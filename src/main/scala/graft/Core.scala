@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One declared operator from SURVEY.md §2: a stable key, the Spark-side
+  * implementation, and (where SQL-expressible) an equivalent DuckDB oracle.
+  *
+  * Contract (SparkEntry.scala): the driver runs `run(spark, sfDir)`, writes
+  * the result to parquet, runs `oracle` in DuckDB over the same tables, and
+  * hash-compares. Column names/types must line up on both sides; every
+  * oracle query ends in a total ORDER BY (SURVEY §7.4).
+  */
+final case class QueryDef(
+    key: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+/** Loaders for the driver's synthetic star schema (TESTDATA.md) and the
+  * reference's golden FHIR files (/root/reference/examples).
+  */
+object Tables {
+  val goldenDir = "/root/reference/examples"
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS): Spark 4.x refuses it unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (then: LongType nanos).
+    * Derived columns:
+    *   ts_ms — epoch millis (oracle-comparable with DuckDB `epoch_ms(ts)`)
+    *   ts_ts — TimestampType at micros (ns values are µs-aligned in the data)
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def golden(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(s"$goldenDir/$name.parquet")
+}
+
+/** Hash-match helpers (SURVEY §7.4): double measures are cast to
+  * DECIMAL(18,4) before aggregation (exact, order-independent sums) and all
+  * decimal outputs normalized to DECIMAL(38,6) so Spark and DuckDB agree on
+  * both value and type.
+  */
+object Q {
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  def out6(c: Column): Column = c.cast(DecimalType(38, 6))
+  val one4: Column = lit(1).cast(DecimalType(18, 4))
+  /** DuckDB-side equivalents, for readability of oracle SQL strings. */
+  final val D4 = "DECIMAL(18,4)"
+  final val D6 = "DECIMAL(38,6)"
+}

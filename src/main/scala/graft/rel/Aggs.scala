@@ -1,0 +1,206 @@
+package graft.rel
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2.E — aggregation shapes.
+  *
+  * Hash-match discipline: double measures go through DECIMAL(18,4) before
+  * SUM/AVG (exact, order-independent) and decimal outputs are normalized to
+  * DECIMAL(38,6). Partial (map-side) aggregation is automatic for all of
+  * these via HashAggregateExec.
+  */
+object Aggs {
+
+  private val sumQty = Q.out6(sum(Q.dec4(col("l_quantity"))))
+
+  val defs: Seq[QueryDef] = Seq(
+    // E1 — TPC-H Q1 style hash aggregate (also the flagship `entry`).
+    QueryDef(
+      "agg_hash_group",
+      Some(
+        s"""SELECT l_returnflag, l_linestatus,
+           | CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS sum_qty,
+           | CAST(sum(CAST(l_extendedprice AS ${Q.D4})) AS ${Q.D6}) AS sum_base,
+           | CAST(sum(CAST(l_extendedprice AS ${Q.D4}) * (CAST(1 AS ${Q.D4}) - CAST(l_discount AS ${Q.D4}))) AS ${Q.D6}) AS sum_disc_price,
+           | CAST(avg(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS avg_qty,
+           | CAST(count(*) AS BIGINT) AS n
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\\s+", " ").trim),
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sumQty.as("sum_qty"),
+            Q.out6(sum(Q.dec4(col("l_extendedprice")))).as("sum_base"),
+            Q.out6(sum(Q.dec4(col("l_extendedprice")) * (Q.one4 - Q.dec4(col("l_discount"))))).as("sum_disc_price"),
+            Q.out6(avg(Q.dec4(col("l_quantity")))).as("avg_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "l_linestatus")),
+
+    // E2 — high-cardinality group + collect_list (ObjectHashAggregate path).
+    QueryDef(
+      "agg_sort_fallback",
+      Some(
+        s"SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n, " +
+          "list_sort(list(l_linenumber)) AS lns, " +
+          s"CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS sum_qty " +
+          "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(
+            count(lit(1)).as("n"),
+            sort_array(collect_list(col("l_linenumber"))).as("lns"),
+            sumQty.as("sum_qty"))
+          .orderBy("l_orderkey")),
+
+    // E3 — distinct aggregates alongside plain ones (Expand-based rewrite).
+    QueryDef(
+      "agg_distinct",
+      Some(
+        "SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part, " +
+          s"CAST(sum(DISTINCT CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS sumd_qty, " +
+          "CAST(count(*) AS BIGINT) AS n " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_part"),
+            Q.out6(sum_distinct(Q.dec4(col("l_quantity")))).as("sumd_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")),
+
+    // E4 — HyperLogLog approximate distinct (no oracle: approximate; the
+    // ScalaTest spec bounds it against the exact count).
+    QueryDef(
+      "agg_approx_distinct",
+      None,
+      (s, d) =>
+        Tables.t(s, d, "customer")
+          .groupBy("c_nationkey")
+          .agg(
+            approx_count_distinct(col("c_custkey")).as("approx_cust"),
+            count(lit(1)).as("n"))
+          .orderBy("c_nationkey")),
+
+    // E5 — GROUPING SETS ((n_name),(c_mktsegment),()) with grouping_id.
+    QueryDef(
+      "agg_grouping_sets",
+      Some(
+        "SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust, " +
+          s"CAST(sum(CAST(c_acctbal AS ${Q.D4})) AS ${Q.D6}) AS sum_bal, " +
+          "CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid " +
+          "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ()) " +
+          "ORDER BY gid, n_name NULLS FIRST, c_mktsegment NULLS FIRST"),
+      (s, d) => {
+        val c = Tables.t(s, d, "customer")
+        val n = Tables.t(s, d, "nation")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupingSets(
+            Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq()),
+            col("n_name"), col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_cust"),
+            Q.out6(sum(Q.dec4(col("c_acctbal")))).as("sum_bal"),
+            grouping_id().cast("long").as("gid"))
+          .orderBy(col("gid"), col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+      }),
+
+    // E6 — ROLLUP(region, nation).
+    QueryDef(
+      "agg_rollup",
+      Some(
+        "SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust, " +
+          s"CAST(sum(CAST(c_acctbal AS ${Q.D4})) AS ${Q.D6}) AS sum_bal, " +
+          "CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid " +
+          "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey " +
+          "GROUP BY ROLLUP(r_name, n_name) " +
+          "ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST"),
+      (s, d) => {
+        val c = Tables.t(s, d, "customer")
+        val n = Tables.t(s, d, "nation")
+        val r = Tables.t(s, d, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_cust"),
+            Q.out6(sum(Q.dec4(col("c_acctbal")))).as("sum_bal"),
+            grouping_id().cast("long").as("gid"))
+          .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      }),
+
+    // E7 — CUBE(returnflag, linestatus).
+    QueryDef(
+      "agg_cube",
+      Some(
+        "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS sum_qty, " +
+          "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid " +
+          "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+          "ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sumQty.as("sum_qty"),
+            grouping_id().cast("long").as("gid"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // E8 — stats family. stddev is computed from exact decimal sums with an
+    // explicit double formula so Spark and DuckDB evaluate the identical
+    // IEEE expression (raw stddev_samp merges partials in partition order —
+    // nondeterministic). Exact interpolated median via percentile/quantile_cont.
+    QueryDef(
+      "agg_stats",
+      Some(
+        "SELECT o_orderstatus, " +
+          s"CAST(min(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS min_price, " +
+          s"CAST(max(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS max_price, " +
+          s"CAST(avg(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS avg_price, " +
+          // DECIMAL(19,4) operands force DuckDB onto the hugeint-backed
+          // multiply (int64 DECIMAL(18) overflows); both sides stay exact.
+          "round(sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) " +
+          " - CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)) " +
+          " / (count(*) - 1)), 4) AS sd_price, " +
+          "round(quantile_cont(o_totalprice, 0.5), 4) AS med_price, " +
+          "CAST(count(*) AS BIGINT) AS n " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      (s, d) => {
+        val p4 = Q.dec4(col("o_totalprice"))
+        Tables.t(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            Q.out6(min(p4)).as("min_price"),
+            Q.out6(max(p4)).as("max_price"),
+            Q.out6(avg(p4)).as("avg_price"),
+            round(
+              sqrt(
+                (sum(p4 * p4).cast("double")
+                  - sum(p4).cast("double") * sum(p4).cast("double") / count(lit(1)))
+                  / (count(lit(1)) - 1)),
+              4).as("sd_price"),
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("med_price"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // E9 — per-customer sorted array of order totals.
+    QueryDef(
+      "agg_collect_sorted",
+      Some(
+        s"SELECT o_custkey, list_sort(list(CAST(o_totalprice AS ${Q.D4}))) AS totals " +
+          "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(sort_array(collect_list(Q.dec4(col("o_totalprice")))).as("totals"))
+          .orderBy("o_custkey"))
+  )
+}

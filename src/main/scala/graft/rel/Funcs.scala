@@ -1,0 +1,168 @@
+package graft.rel
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, MapType, StringType}
+
+/** SURVEY §2.I — scalar function families (string, date, math, array, map,
+  * JSON, conditional/null). All pure, codegen'd, no UDFs.
+  */
+object Funcs {
+
+  val defs: Seq[QueryDef] = Seq(
+    // I1 — string family over part.
+    QueryDef(
+      "func_string",
+      Some(
+        "SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS lo_brand, " +
+          "substring(p_name, 1, 8) AS sub8, concat_ws('|', p_brand, p_type) AS bt, " +
+          "lpad(p_brand, 12, '*') AS padded, trim(p_name) AS trimmed, " +
+          "regexp_extract(p_name, '([a-z]+)', 1) AS first_word, " +
+          "replace(p_type, ' ', '_') AS type_u, " +
+          "CAST(length(p_name) AS BIGINT) AS name_len, " +
+          "CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words, " +
+          "p_name LIKE '%a%' AS has_a " +
+          "FROM part ORDER BY p_partkey"),
+      (s, d) =>
+        Tables.t(s, d, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          lower(col("p_brand")).as("lo_brand"),
+          substring(col("p_name"), 1, 8).as("sub8"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          trim(col("p_name")).as("trimmed"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u"),
+          length(col("p_name")).cast("long").as("name_len"),
+          size(split(col("p_name"), " ")).cast("long").as("n_words"),
+          col("p_name").like("%a%").as("has_a"))
+          .orderBy("p_partkey")),
+
+    // I2 — datetime family over orders. DuckDB dayofweek is 0=Sunday while
+    // Spark's is 1=Sunday, hence the +1 on the oracle side.
+    QueryDef(
+      "func_date",
+      Some(
+        "SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, " +
+          "CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo, " +
+          "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, " +
+          "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002, " +
+          "CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30, " +
+          "last_day(CAST(o_orderdate AS DATE)) AS eom, CAST(o_orderdate AS DATE) AS od " +
+          "FROM orders ORDER BY o_orderkey"),
+      (s, d) =>
+        Tables.t(s, d, "orders").select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate"))).cast("long").as("days_to_2002"),
+          date_add(to_date(col("o_orderdate")), 30).cast("timestamp").as("plus30"),
+          last_day(to_date(col("o_orderdate"))).as("eom"),
+          to_date(col("o_orderdate")).as("od"))
+          .orderBy("o_orderkey")),
+
+    // I3 — math family over part.
+    QueryDef(
+      "func_math",
+      Some(
+        s"SELECT p_partkey, CAST(abs(CAST(p_retailprice AS ${Q.D4}) - 950) AS ${Q.D6}) AS abs_dev, " +
+          "CAST(ceil(p_retailprice) AS BIGINT) AS ceil_p, CAST(floor(p_retailprice) AS BIGINT) AS floor_p, " +
+          "pow(p_size, 2) AS size_sq, sqrt(p_retailprice) AS sqrt_p, " +
+          "round(ln(p_retailprice), 6) AS ln_p, round(exp(p_size * 0.1), 6) AS exp_s, " +
+          "CAST(p_partkey % 7 AS BIGINT) AS pmod7, " +
+          "CAST(sign(p_retailprice - 950) AS BIGINT) AS sgn " +
+          "FROM part ORDER BY p_partkey"),
+      (s, d) =>
+        Tables.t(s, d, "part").select(
+          col("p_partkey"),
+          Q.out6(abs(Q.dec4(col("p_retailprice")) - 950)).as("abs_dev"),
+          ceil(col("p_retailprice")).cast("long").as("ceil_p"),
+          floor(col("p_retailprice")).cast("long").as("floor_p"),
+          pow(col("p_size"), 2).as("size_sq"),
+          sqrt(col("p_retailprice")).as("sqrt_p"),
+          round(log(col("p_retailprice")), 6).as("ln_p"),
+          round(exp(col("p_size") * 0.1), 6).as("exp_s"),
+          pmod(col("p_partkey"), lit(7)).cast("long").as("pmod7"),
+          signum(col("p_retailprice") - 950).cast("long").as("sgn"))
+          .orderBy("p_partkey")),
+
+    // I4 — array family + higher-order functions over document tokens.
+    QueryDef(
+      "func_array",
+      Some(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
+          "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq, " +
+          "list_contains(string_split(text, ' '), 'spark') AS has_spark, " +
+          "list_slice(list_sort(string_split(text, ' ')), 1, 3) AS first3, " +
+          "CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_len, " +
+          "CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS BIGINT) AS n_long " +
+          "FROM documents ORDER BY doc_id"),
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.t(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"),
+          array_contains(toks, "spark").as("has_spark"),
+          slice(sort_array(toks), 1, 3).as("first3"),
+          aggregate(transform(toks, x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
+            .as("sum_len"),
+          size(filter(toks, x => length(x) > 4)).cast("long").as("n_long"))
+          .orderBy("doc_id")
+      }),
+
+    // I5 — map family: parse props to MapType and explode.
+    QueryDef(
+      "func_map",
+      Some(
+        "SELECT event_id, CAST(len(json_keys(props)) AS BIGINT) AS n_keys, " +
+          "k AS key, CAST(json_extract_string(props, k) AS BIGINT) AS value " +
+          "FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events) " +
+          "ORDER BY event_id, key"),
+      (s, d) => {
+        val m = from_json(col("props"), MapType(StringType, LongType))
+        Tables.events(s, d)
+          .select(col("event_id"), size(map_keys(m)).cast("long").as("n_keys"), explode(m))
+          .orderBy("event_id", "key")
+      }),
+
+    // I6 — JSON family: path extraction, typed cast, missing path.
+    QueryDef(
+      "func_json",
+      Some(
+        "SELECT event_id, json_extract_string(props, '$.k') AS k_str, " +
+          "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, " +
+          "json_extract_string(props, '$.missing') AS missing " +
+          "FROM events ORDER BY event_id"),
+      (s, d) =>
+        Tables.events(s, d).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+          get_json_object(col("props"), "$.missing").as("missing"))
+          .orderBy("event_id")),
+
+    // I7 — conditional / null family.
+    QueryDef(
+      "func_conditional_null",
+      Some(
+        "SELECT c_custkey, coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg, " +
+          s"CAST(least(CAST(c_acctbal AS ${Q.D4}), CAST(1000 AS ${Q.D4})) AS ${Q.D6}) AS least_bal, " +
+          s"CAST(greatest(CAST(c_acctbal AS ${Q.D4}), CAST(1000 AS ${Q.D4})) AS ${Q.D6}) AS greatest_bal, " +
+          "CASE WHEN c_name IS NOT NULL THEN 'named' ELSE 'anon' END AS named, " +
+          "isnan(c_acctbal) AS is_nan " +
+          "FROM customer ORDER BY c_custkey"),
+      (s, d) =>
+        Tables.t(s, d, "customer").select(
+          col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+          Q.out6(least(Q.dec4(col("c_acctbal")), lit(1000).cast(DecimalType(18, 4)))).as("least_bal"),
+          Q.out6(greatest(Q.dec4(col("c_acctbal")), lit(1000).cast(DecimalType(18, 4)))).as("greatest_bal"),
+          expr("nvl2(c_name, 'named', 'anon')").as("named"),
+          isnan(col("c_acctbal")).as("is_nan"))
+          .orderBy("c_custkey"))
+  )
+}

@@ -1,0 +1,205 @@
+package graft.rel
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.D — every join shape.
+  *
+  * Scale posture (100 TB): dimension sides are `broadcast()`-hinted (D1),
+  * fact-fact joins shuffle on their equi keys with AQE skew handling (D2),
+  * the band join (D8) is rewritten from a theta BNLJ into an
+  * explode-then-equi-join so it shuffles instead of nested-looping, and the
+  * as-of join (D9) is an equi-join on the entity key + per-key window dedup,
+  * which partitions cleanly by key at any scale.
+  */
+object Joins {
+
+  val defs: Seq[QueryDef] = Seq(
+    // D1 — broadcast hash join: fact ⋈ small dim.
+    QueryDef(
+      "join_broadcast_hash",
+      Some(
+        s"SELECT p_brand, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(sum(CAST(l_extendedprice AS ${Q.D4})) AS ${Q.D6}) AS sum_price " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "GROUP BY p_brand ORDER BY p_brand"),
+      (s, d) => {
+        val li = Tables.t(s, d, "lineitem")
+        val p = Tables.t(s, d, "part")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n"),
+            Q.out6(sum(Q.dec4(col("l_extendedprice")))).as("sum_price"))
+          .orderBy("p_brand")
+      }),
+
+    // D2 — shuffle sort-merge join: fact ⋈ fact (merge-hinted).
+    QueryDef(
+      "join_shuffle_sortmerge",
+      Some(
+        s"SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(sum(CAST(l_extendedprice AS ${Q.D4}) * (CAST(1 AS ${Q.D4}) - CAST(l_discount AS ${Q.D4}))) AS ${Q.D6}) AS revenue " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, d) => {
+        val li = Tables.t(s, d, "lineitem").hint("merge")
+        val o = Tables.t(s, d, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            Q.out6(sum(Q.dec4(col("l_extendedprice")) * (Q.one4 - Q.dec4(col("l_discount"))))).as("revenue"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // D3 — left outer: every customer, with or without orders.
+    QueryDef(
+      "join_left_outer",
+      Some(
+        s"SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders, " +
+          s"CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS sum_total " +
+          "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+          "GROUP BY c_custkey ORDER BY c_custkey"),
+      (s, d) => {
+        val c = Tables.t(s, d, "customer")
+        val o = Tables.t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            Q.out6(sum(Q.dec4(col("o_totalprice")))).as("sum_total"))
+          .orderBy("c_custkey")
+      }),
+
+    // D4 — full outer over pre-aggregated sides (aggregate-before-join keeps
+    // the shuffled sides small at scale).
+    QueryDef(
+      "join_full_outer",
+      Some(
+        "SELECT COALESCE(a.key, b.key) AS key, COALESCE(n_orders, 0) AS n_orders, " +
+          "COALESCE(n_events, 0) AS n_events FROM " +
+          "(SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1) a " +
+          "FULL OUTER JOIN " +
+          "(SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1) b " +
+          "ON a.key = b.key ORDER BY key"),
+      (s, d) => {
+        val os = Tables.t(s, d, "orders")
+          .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n_orders"))
+        val es = Tables.events(s, d)
+          .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n_events"))
+        os.join(es, Seq("key"), "full")
+          .select(
+            col("key"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+          .orderBy("key")
+      }),
+
+    // D5 — left semi (EXISTS).
+    QueryDef(
+      "join_left_semi",
+      Some(
+        "SELECT c_custkey, c_name FROM customer " +
+          "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+          "ORDER BY c_custkey"),
+      (s, d) => {
+        val c = Tables.t(s, d, "customer")
+        val o = Tables.t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      }),
+
+    // D6 — left anti (NOT EXISTS).
+    QueryDef(
+      "join_left_anti",
+      Some(
+        "SELECT c_custkey, c_name FROM customer " +
+          "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+          "ORDER BY c_custkey"),
+      (s, d) => {
+        val c = Tables.t(s, d, "customer")
+        val o = Tables.t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      }),
+
+    // D7 — Cartesian product of the two tiny dims.
+    QueryDef(
+      "join_cross",
+      Some(
+        "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"),
+      (s, d) =>
+        Tables.t(s, d, "region").crossJoin(Tables.t(s, d, "nation"))
+          .select("r_name", "n_name").orderBy("r_name", "n_name")),
+
+    // D8 — band join |size1 - size2| <= 1, rewritten as explode + equi-join
+    // (the theta form would be an O(n^2) broadcast nested loop at scale).
+    // Ordered pairs k1 != k2, grouped by the probe side's size.
+    QueryDef(
+      "join_theta_range",
+      Some(
+        "SELECT p1.p_size AS size1, CAST(count(*) AS BIGINT) AS n_pairs " +
+          "FROM part p1 JOIN part p2 ON p1.p_size BETWEEN p2.p_size - 1 AND p2.p_size + 1 " +
+          "AND p1.p_partkey != p2.p_partkey GROUP BY 1 ORDER BY 1"),
+      (s, d) => {
+        val p = Tables.t(s, d, "part")
+        val probe = p.select(col("p_partkey").as("k1"), col("p_size").as("size1"))
+        val build = p.select(
+            col("p_partkey").as("k2"),
+            explode(sequence(col("p_size") - 1, col("p_size") + 1)).as("size1"))
+        probe.join(build, Seq("size1"))
+          .where(col("k1") =!= col("k2"))
+          .groupBy("size1").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("size1")
+      }),
+
+    // D9 — as-of join: for each event, the latest order of the same user at
+    // or before the event time. Equi-join on the user key + windowed dedup:
+    // partitions by key, no driver state, AQE-safe.
+    QueryDef(
+      "join_asof",
+      Some(
+        "SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, o_orderkey, o_orderdate " +
+          "FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
+          "QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 " +
+          "ORDER BY event_id"),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts_ts"), col("ts_ms"))
+        val o = Tables.t(s, d, "orders")
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts_ts"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("event_id"), col("ts_ms"), col("o_orderkey"), col("o_orderdate"))
+          .orderBy("event_id")
+      }),
+
+    // D10 — interval overlap: orders of the same customer within ±30 days.
+    // Equi key (customer) + range residual ⇒ shuffle join, not a BNLJ.
+    QueryDef(
+      "join_interval_overlap",
+      Some(
+        "SELECT o1.o_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS n_near " +
+          "FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey " +
+          "AND o1.o_orderkey != o2.o_orderkey " +
+          "AND o2.o_orderdate BETWEEN o1.o_orderdate - INTERVAL 30 DAY AND o1.o_orderdate + INTERVAL 30 DAY " +
+          "GROUP BY 1 ORDER BY 1"),
+      (s, d) => {
+        val o = Tables.t(s, d, "orders")
+        val o1 = o.select(col("o_orderkey").as("k1"), col("o_custkey").as("ck"), col("o_orderdate").as("d1"))
+        val o2 = o.select(col("o_orderkey").as("k2"), col("o_custkey").as("ck"), col("o_orderdate").as("d2"))
+        o1.join(o2, Seq("ck"))
+          .where(
+            col("k1") =!= col("k2") &&
+              col("d2") >= col("d1") - expr("INTERVAL 30 DAYS") &&
+              col("d2") <= col("d1") + expr("INTERVAL 30 DAYS"))
+          .groupBy(col("k1").as("o_orderkey"))
+          .agg(count(lit(1)).as("n_near"))
+          .orderBy("o_orderkey")
+      })
+  )
+}

@@ -1,0 +1,201 @@
+package graft.rel
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.F window functions, §2.G sorts/limits/top-k, §2.H set ops.
+  *
+  * Every window partitions by a key that distributes at scale (customer,
+  * user, segment) — no global (unpartitioned) windows anywhere. Top-k uses
+  * orderBy.limit which Spark fuses into TakeOrderedAndProjectExec (no total
+  * sort materialization).
+  */
+object Windows {
+
+  val defs: Seq[QueryDef] = Seq(
+    // F1 — rank/dense_rank/row_number: top-3 orders per customer.
+    QueryDef(
+      "window_rank",
+      Some(
+        s"SELECT o_custkey, o_orderkey, CAST(o_totalprice AS ${Q.D4}) AS price, " +
+          "CAST(rank() OVER w AS BIGINT) AS rnk, CAST(dense_rank() OVER w AS BIGINT) AS drnk, " +
+          "CAST(row_number() OVER w AS BIGINT) AS rn FROM orders " +
+          "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
+          "QUALIFY rn <= 3 ORDER BY o_custkey, rn"),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), Q.dec4(col("o_totalprice")).as("price"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            row_number().over(w).cast("long").as("rn"))
+          .where(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      }),
+
+    // F2 — lag/lead/first/last over per-user event sequences.
+    QueryDef(
+      "window_analytic",
+      Some(
+        "SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value, " +
+          "lag(value, 1) OVER w AS prev_val, lead(event_type, 1) OVER w AS next_type, " +
+          "first_value(event_type) OVER w AS first_type, last_value(event_type) OVER w AS latest_type " +
+          "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+          "ORDER BY user_id, event_id"),
+      (s, d) => {
+        val wBase = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val w = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),
+            lag(col("value"), 1).over(wBase).as("prev_val"),
+            lead(col("event_type"), 1).over(wBase).as("next_type"),
+            first(col("event_type")).over(w).as("first_type"),
+            last(col("event_type")).over(w).as("latest_type"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    // F3 — moving sum over ROWS BETWEEN 2 PRECEDING AND CURRENT ROW.
+    QueryDef(
+      "window_frame_rows",
+      Some(
+        "SELECT user_id, event_id, " +
+          s"CAST(sum(CAST(value AS ${Q.D4})) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          s"ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ${Q.D6}) AS mov_sum " +
+          "FROM events ORDER BY user_id, event_id"),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-2, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            Q.out6(sum(Q.dec4(col("value"))).over(w)).as("mov_sum"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    // F4 — running revenue per customer, RANGE frame over the date (peers
+    // with the same order date share the running value in both engines).
+    QueryDef(
+      "window_frame_range",
+      Some(
+        "SELECT o_custkey, o_orderkey, o_orderdate, " +
+          s"CAST(sum(CAST(o_totalprice AS ${Q.D4})) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
+          s"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ${Q.D6}) AS running " +
+          "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            Q.out6(sum(Q.dec4(col("o_totalprice"))).over(w)).as("running"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      }),
+
+    // F5 — ntile / cume_dist / percent_rank per market segment.
+    QueryDef(
+      "window_ntile_cumedist",
+      Some(
+        s"SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS ${Q.D4}) AS bal, " +
+          "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+          "round(cume_dist() OVER w, 6) AS cd, round(percent_rank() OVER w, 6) AS pr " +
+          "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) " +
+          "ORDER BY c_mktsegment, c_custkey"),
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.t(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"), Q.dec4(col("c_acctbal")).as("bal"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(cume_dist().over(w), 6).as("cd"),
+            round(percent_rank().over(w), 6).as("pr"))
+          .orderBy("c_mktsegment", "c_custkey")
+      }),
+
+    // G1 — multi-key total sort, mixed asc/desc + a nulls-first key.
+    QueryDef(
+      "sort_multi_key",
+      Some(
+        "SELECT l_orderkey, l_linenumber, l_returnflag, nullif(l_returnflag, 'N') AS flag_n, l_quantity " +
+          "FROM lineitem ORDER BY flag_n ASC NULLS FIRST, l_quantity DESC, l_orderkey, l_linenumber"),
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            expr("nullif(l_returnflag, 'N')").as("flag_n"), col("l_quantity"))
+          .orderBy(col("flag_n").asc_nulls_first, col("l_quantity").desc,
+            col("l_orderkey"), col("l_linenumber"))),
+
+    // G2 — ORDER BY + LIMIT/OFFSET pagination.
+    QueryDef(
+      "limit_offset",
+      Some(
+        s"SELECT o_orderkey, CAST(o_totalprice AS ${Q.D4}) AS price FROM orders " +
+          "ORDER BY price DESC, o_orderkey LIMIT 50 OFFSET 20"),
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .select(col("o_orderkey"), Q.dec4(col("o_totalprice")).as("price"))
+          .orderBy(col("price").desc, col("o_orderkey"))
+          .offset(20).limit(50)),
+
+    // G3 — top-10 revenue order keys (TakeOrderedAndProjectExec).
+    QueryDef(
+      "topk_order_limit",
+      Some(
+        s"SELECT l_orderkey, CAST(sum(CAST(l_extendedprice AS ${Q.D4}) * (CAST(1 AS ${Q.D4}) - CAST(l_discount AS ${Q.D4}))) AS ${Q.D6}) AS revenue " +
+          "FROM lineitem GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(Q.out6(sum(Q.dec4(col("l_extendedprice")) * (Q.one4 - Q.dec4(col("l_discount"))))).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)),
+
+    // H1 — UNION ALL (duplicates preserved).
+    QueryDef(
+      "set_union_all",
+      Some(
+        "SELECT * FROM (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O' " +
+          "UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000) " +
+          "ORDER BY o_orderkey, o_orderstatus"),
+      (s, d) => {
+        val o = Tables.t(s, d, "orders")
+        val a = o.where(col("o_orderstatus") === "O").select("o_orderkey", "o_orderstatus")
+        val b = o.where(col("o_totalprice") > 400000).select("o_orderkey", "o_orderstatus")
+        a.union(b).orderBy("o_orderkey", "o_orderstatus")
+      }),
+
+    // H2 — UNION DISTINCT of nation keys from two tables.
+    QueryDef(
+      "set_union_distinct",
+      Some(
+        "SELECT * FROM (SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer " +
+          "UNION SELECT CAST(s_nationkey AS BIGINT) AS key FROM supplier) ORDER BY key"),
+      (s, d) =>
+        Tables.t(s, d, "customer").select(col("c_nationkey").cast("long").as("key"))
+          .union(Tables.t(s, d, "supplier").select(col("s_nationkey").cast("long").as("key")))
+          .distinct()
+          .orderBy("key")),
+
+    // H3 — INTERSECT: high-balance customers who have bought.
+    QueryDef(
+      "set_intersect",
+      Some(
+        "SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000 " +
+          "INTERSECT SELECT o_custkey AS key FROM orders ORDER BY key"),
+      (s, d) =>
+        Tables.t(s, d, "customer").where(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("key"))
+          .intersect(Tables.t(s, d, "orders").select(col("o_custkey").as("key")))
+          .orderBy("key")),
+
+    // H4 — EXCEPT: customers who never bought.
+    QueryDef(
+      "set_except",
+      Some(
+        "SELECT c_custkey AS key FROM customer " +
+          "EXCEPT SELECT o_custkey AS key FROM orders ORDER BY key"),
+      (s, d) =>
+        Tables.t(s, d, "customer").select(col("c_custkey").as("key"))
+          .except(Tables.t(s, d, "orders").select(col("o_custkey").as("key")))
+          .orderBy("key"))
+  )
+}
