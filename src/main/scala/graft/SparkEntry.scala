@@ -15,7 +15,9 @@ object SparkEntry {
       rel.Joins.defs ++
       rel.Aggs.defs ++
       rel.Windows.defs ++
-      rel.Funcs.defs
+      rel.Funcs.defs ++
+      udx.Udx.defs ++
+      llm.Llm.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-style scan + hash aggregate (SURVEY §2 E1 / §7.2).

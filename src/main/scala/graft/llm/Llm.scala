@@ -1,0 +1,464 @@
+package graft.llm
+
+import graft.{Q, QueryDef, Tables}
+import graft.udx.Udx
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.L + the driver-mandated training-data-pipeline operators:
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+  * text analysis (language-ID, quality scoring, token counting,
+  * fingerprinting), and multimodal binary columns.
+  *
+  * Scale posture (100 TB): every near-dup operator is candidate-generation
+  * (equi-join on LSH band / bucket keys — shuffles on small keys) followed by
+  * exact verification on candidates only; no O(n²) driver-side loops. The
+  * brute-force pairwise forms exist as correctness baselines and are scoped
+  * (per-label / per-source / fixed query set) so their cost is bounded.
+  */
+object Llm {
+
+  /** Cosine similarity over two array<float> columns, computed in double
+    * with a sequential left fold — DuckDB's list_dot_product mirrors the
+    * same accumulation order, so values agree bit-for-bit before rounding.
+    */
+  private def cosCol(a: String, b: String): Column = {
+    def dot(x: String, y: String) = expr(
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def duckCos(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
+      s"(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
+      s"sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
+
+  /** Word 5-gram shingle set (documents with ≥5 tokens). */
+  private val shinglesExpr =
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i, 5))))"
+
+  private val duckShingles =
+    "SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS sh " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 5"
+
+  val defs: Seq[QueryDef] = Seq(
+    // L1 — exact dedup: keep min doc_id per content hash.
+    QueryDef(
+      "dedup_exact",
+      Some(
+        "SELECT sha256(text) AS h, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies " +
+          "FROM documents GROUP BY 1 ORDER BY keep_id"),
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("keep_id")),
+
+    // L2 — MinHash + LSH near-dup: 5-gram shingles → 64-perm MinHash (K3
+    // aggregator) → 32 bands × 2 rows → candidate pairs via band equi-join →
+    // exact Jaccard verification ≥ 0.5. The oracle is the brute-force pair
+    // scan, valid because band recall at the planted-dup similarity (~0.9)
+    // is 1 - (1-s²)³² ≈ 1; candidates are exactly verified either way.
+    QueryDef(
+      "dedup_minhash_near",
+      Some(
+        s"WITH s AS ($duckShingles), " +
+          "p AS (SELECT a.doc_id AS i, b.doc_id AS j, " +
+          "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jac " +
+          "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+          "SELECT i, j, jac FROM p WHERE jac >= 0.5 ORDER BY i, j"),
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val sh = docs.where(size(split(col("text"), " ")) >= 5)
+          .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+        val sigs = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("h"))
+          .groupBy("doc_id").agg(Udx.minhash(col("h")).as("sig"))
+        val bands = sigs.select(col("doc_id"),
+          explode(expr("transform(sequence(0, 31), b -> struct(b AS band, xxhash64(slice(sig, b*2+1, 2)) AS bkey))")).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
+        cand
+          .join(sh.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
+          .join(sh.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
+          .withColumn("jac", round(
+            size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))).cast("double"), 6))
+          .where(col("jac") >= 0.5)
+          .select(col("i"), col("j"), col("jac"))
+          .orderBy("i", "j")
+      }),
+
+    // SimHash near-dup: 64-bit signature from token hashes, 4×16-bit band
+    // join, Hamming ≤ 8 verification. No oracle (hash-function-specific);
+    // LlmSpec pins determinism and agreement with minhash dups.
+    QueryDef(
+      "dedup_simhash",
+      None,
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val sims = docs.select(col("doc_id"), expr(
+          // per bit: count-weighted sum of ±1 over token occurrences, then
+          // sign bit (occurrence-weighted beats set-based on a small shared
+          // vocabulary, where every doc would otherwise saturate every bit)
+          "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) -> acc + " +
+            "CASE WHEN aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
+            "(c, t) -> c + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
+            "THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)").as("sim"))
+        val bands = sims.select(col("doc_id"), col("sim"),
+          explode(expr("transform(sequence(0, 3), p -> struct(p AS band, shiftright(sim, p*16) & 65535 AS bkey))")).as("bb"))
+          .select(col("doc_id"), col("sim"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+            expr("bit_count(x.sim ^ y.sim)").cast("long").as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 3)
+          .orderBy("i", "j")
+      }),
+
+    // n-gram Jaccard dedup: char 3-grams, scoped per source, τ = 0.8
+    // (planted dups sit ≥ 0.9; background ≤ ~0.7 on this corpus).
+    QueryDef(
+      "dedup_ngram_jaccard",
+      Some(
+        "WITH g AS (SELECT doc_id, source, list_distinct([text[i:i+2] for i in range(1, length(text) - 1)]) AS gr FROM documents), " +
+          "p AS (SELECT a.source AS source, a.doc_id AS i, b.doc_id AS j, " +
+          "round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(a.gr, b.gr))) AS DOUBLE), 6) AS jac " +
+          "FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id) " +
+          "SELECT source, i, j, jac FROM p WHERE jac >= 0.8 ORDER BY source, i, j"),
+      (s, d) => {
+        val g = Tables.t(s, d, "documents").select(col("doc_id"), col("source"),
+          array_distinct(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("gr"))
+        g.select(col("source"), col("doc_id").as("i"), col("gr").as("ga"))
+          .join(g.select(col("source"), col("doc_id").as("j"), col("gr").as("gb")), "source")
+          .where(col("i") < col("j"))
+          .withColumn("jac", round(
+            size(array_intersect(col("ga"), col("gb"))).cast("double") /
+              size(array_union(col("ga"), col("gb"))).cast("double"), 6))
+          .where(col("jac") >= 0.8)
+          .select(col("source"), col("i"), col("j"), col("jac"))
+          .orderBy("source", "i", "j")
+      }),
+
+    // Embedding-cosine near-dup: pairs ≥ τ, emit the dropped (higher) ids.
+    QueryDef(
+      "dedup_embed_cosine",
+      Some(
+        "WITH p AS (SELECT a.vec_id AS i, b.vec_id AS j, " +
+          s"round(${duckCos("a.embedding", "b.embedding")}, 6) AS sim " +
+          "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
+          "SELECT DISTINCT j AS drop_id FROM p WHERE sim >= 0.35 ORDER BY drop_id"),
+      (s, d) => {
+        val e = Tables.t(s, d, "embeddings")
+        val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
+        a.join(b, col("i") < col("j"))
+          .withColumn("sim", round(cosCol("ea", "eb"), 6))
+          .where(col("sim") >= 0.35)
+          .select(col("j").as("drop_id")).distinct()
+          .orderBy("drop_id")
+      }),
+
+    // L3 — brute-force cosine top-5 for a fixed query set (broadcast the
+    // 5-row query side; rank on the rounded sim for cross-engine ties).
+    QueryDef(
+      "sim_cosine_topk",
+      Some(
+        "WITH sims AS (SELECT q.vec_id AS qid, c.vec_id AS cid, " +
+          s"round(${duckCos("q.embedding", "c.embedding")}, 6) AS sim " +
+          "FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id) " +
+          "SELECT qid, cid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn " +
+          "FROM sims QUALIFY rn <= 5 ORDER BY qid, rn"),
+      (s, d) => {
+        val e = Tables.t(s, d, "embeddings")
+        val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        c.join(broadcast(q), col("qid") =!= col("cid"))
+          .withColumn("sim", round(cosCol("qe", "ce"), 6))
+          .select(col("qid"), col("cid"), col("sim"), row_number().over(w).cast("long").as("rn"))
+          .where(col("rn") <= 5)
+          .orderBy("qid", "rn")
+      }),
+
+    // L4 — similarity threshold self-join scoped to label groups.
+    QueryDef(
+      "sim_join_threshold",
+      Some(
+        "SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS i, b.vec_id AS j, " +
+          s"round(${duckCos("a.embedding", "b.embedding")}, 6) AS sim " +
+          "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+          s"WHERE round(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35 " +
+          "ORDER BY label, i, j"),
+      (s, d) => {
+        val e = Tables.t(s, d, "embeddings")
+        val a = e.select(col("label"), col("vec_id").as("i"), col("embedding").as("ea"))
+        val b = e.select(col("label"), col("vec_id").as("j"), col("embedding").as("eb"))
+        a.join(b, "label")
+          .where(col("i") < col("j"))
+          .withColumn("sim", round(cosCol("ea", "eb"), 6))
+          .where(col("sim") >= 0.35)
+          .select(col("label").cast("long").as("label"), col("i"), col("j"), col("sim"))
+          .orderBy("label", "i", "j")
+      }),
+
+    // LSH-bucketed ANN (the scale path for L3): 8 fixed pseudo-random
+    // hyperplanes → 8-bit bucket; query probes only its own bucket. No
+    // oracle (approximate); LlmSpec measures recall vs brute force.
+    QueryDef(
+      "sim_ann_lsh",
+      None,
+      (s, d) => {
+        val rnd = new scala.util.Random(42)
+        val planes = Seq.fill(8)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+        val planesCol = typedLit(planes)
+        val e = Tables.t(s, d, "embeddings")
+          .withColumn("hp", planesCol)
+          .withColumn("bucket", expr(
+            "aggregate(sequence(0, 7), 0, (acc, p) -> acc + CASE WHEN " +
+              "aggregate(zip_with(embedding, hp[p], (x, h) -> CAST(x AS DOUBLE) * h), CAST(0 AS DOUBLE), (a2, v) -> a2 + v) >= 0 " +
+              "THEN CAST(shiftleft(1, p) AS INT) ELSE 0 END)"))
+          .drop("hp")
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+        val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        c.join(broadcast(q), "bucket")
+          .where(col("qid") =!= col("cid"))
+          .withColumn("sim", round(cosCol("qe", "ce"), 6))
+          .select(col("qid"), col("cid"), col("sim"), row_number().over(w).cast("long").as("rn"))
+          .where(col("rn") <= 3)
+          .orderBy("qid", "rn")
+      }),
+
+    // L5 — majority label among the 5 nearest neighbours (ties → min label).
+    QueryDef(
+      "knn_label_vote",
+      Some(
+        "WITH sims AS (SELECT q.vec_id AS qid, c.vec_id AS cid, CAST(c.label AS BIGINT) AS label, " +
+          s"round(${duckCos("q.embedding", "c.embedding")}, 6) AS sim " +
+          "FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id), " +
+          "top5 AS (SELECT * FROM sims QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) <= 5), " +
+          "votes AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS n FROM top5 GROUP BY qid, label) " +
+          "SELECT qid, label AS pred_label, n FROM votes " +
+          "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) = 1 ORDER BY qid"),
+      (s, d) => {
+        val e = Tables.t(s, d, "embeddings")
+        val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label").cast("long").as("label"))
+        val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        val wVote = Window.partitionBy(col("qid")).orderBy(col("n").desc, col("label"))
+        c.join(broadcast(q), col("qid") =!= col("cid"))
+          .withColumn("sim", round(cosCol("qe", "ce"), 6))
+          .withColumn("rn", row_number().over(wTop))
+          .where(col("rn") <= 5)
+          .groupBy("qid", "label").agg(count(lit(1)).as("n"))
+          .withColumn("vr", row_number().over(wVote))
+          .where(col("vr") === 1)
+          .select(col("qid"), col("label").as("pred_label"), col("n"))
+          .orderBy("qid")
+      }),
+
+    // L6 — top-20 terms per language by TF (stopword-filtered).
+    QueryDef(
+      "text_token_stats",
+      Some(
+        "WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents), " +
+          "tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf FROM toks " +
+          "WHERE term NOT IN ('the', 'a', 'of', 'and', 'to', 'in') AND length(term) > 0 GROUP BY lang, term) " +
+          "SELECT lang, term, tf, CAST(row_number() OVER (PARTITION BY lang ORDER BY tf DESC, term) AS BIGINT) AS rn " +
+          "FROM tf QUALIFY rn <= 20 ORDER BY lang, rn"),
+      (s, d) => {
+        val stop = Seq("the", "a", "of", "and", "to", "in")
+        val w = Window.partitionBy(col("lang")).orderBy(col("tf").desc, col("term"))
+        Tables.t(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+          .where(!col("term").isin(stop: _*) && length(col("term")) > 0)
+          .groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 20)
+          .orderBy("lang", "rn")
+      }),
+
+    // L7 — docs × lang matrix via Spark's pivot (explicit value list keeps
+    // the plan a single pass; oracle is the portable conditional-agg form).
+    QueryDef(
+      "text_pivot_langs",
+      Some(
+        "SELECT source, " +
+          "CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de, " +
+          "CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en, " +
+          "CAST(count(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es, " +
+          "CAST(count(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr, " +
+          "CAST(count(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh " +
+          "FROM documents GROUP BY source ORDER BY source"),
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .groupBy("source")
+          .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("source")),
+
+    // L8 — binary columns: UTF-8 encode, byte stats, base64 round-trip.
+    QueryDef(
+      "multimodal_binary",
+      Some(
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+          "base64(encode(text)) AS b64, " +
+          "decode(from_base64(base64(encode(text)))) = text AS rt_ok " +
+          "FROM documents ORDER BY doc_id"),
+      (s, d) =>
+        Tables.t(s, d, "documents").select(
+          col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          // Spark's base64 emits MIME-style \r\n breaks every 76 chars;
+          // strip them to match RFC 4648 output (what DuckDB emits).
+          regexp_replace(base64(col("text").cast("binary")), "\r\n", "").as("b64"),
+          (unbase64(base64(col("text").cast("binary"))).cast("string") === col("text")).as("rt_ok"))
+          .orderBy("doc_id")),
+
+    // Multimodal decode plumbing: opaque binary payload + typed metadata,
+    // "decoded" per partition through a typed mapPartitions. The real
+    // image/audio decoder is STUBBED (no codec libs in this container) with
+    // a deterministic fake derived from the byte length — the Spark-side
+    // schema, batching, and partition flow are real and oracle-checked.
+    QueryDef(
+      "multimodal_decode_stub",
+      Some(
+        "SELECT doc_id, CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width, " +
+          "CAST(64 + (octet_length(encode(text)) * 31) % 417 AS BIGINT) AS height, " +
+          "CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames " +
+          "FROM documents ORDER BY doc_id"),
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              // ??? real decoder goes here (e.g. javax.imageio / ffmpeg)
+              val n = bytes.length.toLong
+              (id, 64L + n % 577, 64L + (n * 31) % 417, 1L + n % 7)
+            }
+          }
+          .toDF("doc_id", "width", "height", "n_frames")
+          .orderBy("doc_id")
+      }),
+
+    // Language-ID: per-lang token-frequency profiles (top-10, integer
+    // weights) learned from the corpus, docs scored by exact integer sums —
+    // deterministic across engines, no floating point anywhere.
+    QueryDef(
+      "text_langid",
+      Some(
+        "WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+          "prof AS (SELECT plang, tok, CAST(11 - rnk AS BIGINT) AS w FROM " +
+          "(SELECT lang AS plang, tok, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rnk " +
+          "FROM toks GROUP BY lang, tok) WHERE rnk <= 10), " +
+          "scores AS (SELECT t.doc_id, p.plang, sum(p.w) AS score FROM toks t JOIN prof p ON t.tok = p.tok GROUP BY 1, 2), " +
+          "pred AS (SELECT doc_id, plang FROM scores QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) = 1) " +
+          "SELECT d.doc_id, pred.plang AS pred_lang, d.lang, pred.plang = d.lang AS correct " +
+          "FROM pred JOIN documents d USING (doc_id) ORDER BY d.doc_id"),
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val toks = docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        val wProf = Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("tok"))
+        val prof = toks.groupBy(col("lang").as("plang"), col("tok")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rnk", row_number().over(wProf))
+          .where(col("rnk") <= 10)
+          .select(col("plang"), col("tok"), (lit(11) - col("rnk")).cast("long").as("w"))
+        val wPred = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang"))
+        toks.join(broadcast(prof), "tok")
+          .groupBy("doc_id", "plang").agg(sum(col("w")).as("score"))
+          .withColumn("rn", row_number().over(wPred))
+          .where(col("rn") === 1)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"), col("plang").as("pred_lang"), col("lang"),
+            (col("plang") === col("lang")).as("correct"))
+          .orderBy("doc_id")
+      }),
+
+    // Quality scoring: integer-scaled ratios (micro-units via integer
+    // division) — exact in both engines, no decimal/double division.
+    QueryDef(
+      "text_quality",
+      Some(
+        "SELECT doc_id, n_toks, " +
+          "(sum_len * 1000000) // n_toks AS avg_len_micro, " +
+          "(n_stop * 1000000) // n_toks AS stop_ratio_micro, " +
+          "(n_uniq * 1000000) // n_toks AS distinct_ratio_micro, " +
+          "n_toks >= 20 AND (n_uniq * 1000000) // n_toks >= 100000 AS is_quality FROM " +
+          "(SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
+          "CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_len, " +
+          "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop, " +
+          "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq FROM documents) " +
+          "ORDER BY doc_id"),
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_toks"),
+            aggregate(transform(toks, x => length(x).cast("long")), lit(0L), (a, x) => a + x).as("sum_len"),
+            size(filter(toks, x => x.isin("the", "a", "of", "and", "to", "in"))).cast("long").as("n_stop"),
+            size(array_distinct(toks)).cast("long").as("n_uniq"))
+          .select(
+            col("doc_id"), col("n_toks"),
+            expr("sum_len * 1000000 DIV n_toks").as("avg_len_micro"),
+            expr("n_stop * 1000000 DIV n_toks").as("stop_ratio_micro"),
+            expr("n_uniq * 1000000 DIV n_toks").as("distinct_ratio_micro"),
+            (col("n_toks") >= 20 && expr("n_uniq * 1000000 DIV n_toks") >= 100000).as("is_quality"))
+          .orderBy("doc_id")
+      }),
+
+    // Token counting: whitespace split vs BPE-ish regex vs chars/4 estimate.
+    QueryDef(
+      "text_token_count",
+      Some(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
+          "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_re, " +
+          "(length(text) + 3) // 4 AS n_est, CAST(length(text) AS BIGINT) AS len_chars, " +
+          "n_chars, CAST(length(text) AS BIGINT) = n_chars AS len_ok " +
+          "FROM documents ORDER BY doc_id"),
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_ws"),
+            size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).cast("long").as("n_re"),
+            expr("(length(text) + 3) DIV 4").as("n_est"),
+            length(col("text")).cast("long").as("len_chars"),
+            col("n_chars"),
+            (length(col("text")).cast("long") === col("n_chars")).as("len_ok"))
+          .orderBy("doc_id")),
+
+    // Fingerprinting: min-hash over char 8-grams (md5 text-min is engine-
+    // portable) + whole-document md5.
+    QueryDef(
+      "text_fingerprint",
+      Some(
+        "SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 8))) AS fp, md5(text) AS full_md5 " +
+          "FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i FROM documents) " +
+          "GROUP BY doc_id, text ORDER BY doc_id"),
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .where(length(col("text")) >= 8)
+          .select(col("doc_id"), col("text"),
+            expr("array_min(transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8))))").as("fp"),
+            md5(col("text")).as("full_md5"))
+          .select(col("doc_id"), col("fp"), col("full_md5"))
+          .orderBy("doc_id"))
+  )
+}

@@ -1,0 +1,151 @@
+package graft.udx
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.K — UDF / UDAF / UDTF surface.
+  *
+  * K2/K3 use the public typed `Aggregator` API (codegen-friendly buffers, no
+  * Catalyst internals). K3's MinHash aggregator is shared with the LSH
+  * near-dup pipeline (llm/Llm.scala L2).
+  */
+object Udx {
+
+  /** K2 — geometric mean via log-sum buffer. */
+  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), x: Double): (Double, Long) =
+      (b._1 + math.log(x), b._2 + 1)
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(r: (Double, Long)): Double =
+      if (r._2 == 0) Double.NaN else math.exp(r._1 / r._2)
+    def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** K3 — 64-permutation MinHash signature over a group of 64-bit element
+    * hashes. Permutations are fixed affine maps a_i*h + b_i over Z/2^64 with
+    * odd multipliers from a seeded splitmix-style sequence — deterministic
+    * across runs and partitionings (min is order-independent).
+    * At 100 TB this is a partial-aggregable sketch: each executor folds its
+    * partition into 64 longs, merge is elementwise min.
+    */
+  final val NumPerms = 64
+  private def splitmix(seed: Long): Iterator[Long] = Iterator.iterate(seed) { s =>
+    var z = s + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }.drop(1)
+  private[graft] val permA: Array[Long] = splitmix(42L).map(_ | 1L).take(NumPerms).toArray
+  private[graft] val permB: Array[Long] = splitmix(4242L).take(NumPerms).toArray
+
+  object MinHashSig extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(NumPerms)(Long.MaxValue)
+    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var i = 0
+      while (i < NumPerms) {
+        val v = permA(i) * h + permB(i)
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < NumPerms) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  val geomean = udaf(GeoMean, Encoders.scalaDouble)
+  val minhash = udaf(MinHashSig, Encoders.scalaLong)
+
+  /** K1 — registered scalar UDF (haversine km). Deterministic; the oracle
+    * mirrors the identical IEEE formula, rounded to 3 dp to absorb libm ulps.
+    */
+  val haversineUdf = udf { (lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
+    val r = 6371.0
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.sin(dLon / 2) * math.sin(dLon / 2)
+    2 * r * math.asin(math.sqrt(a))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // K1 — scalar UDF over synthesized lat/lon (no geo columns in testdata;
+    // coordinates are exact small decimals derived from keys).
+    QueryDef(
+      "udf_scalar_haversine",
+      Some(
+        "SELECT c_custkey, lat, lon, " +
+          "round(2 * 6371 * asin(sqrt(pow(sin(radians(0 - lat) / 2), 2) + " +
+          "cos(radians(lat)) * cos(radians(0)) * pow(sin(radians(0 - lon) / 2), 2))), 3) AS dist_km " +
+          "FROM (SELECT c_custkey, CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat, " +
+          "CAST((c_nationkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon FROM customer) " +
+          "ORDER BY c_custkey"),
+      (s, d) => {
+        s.udf.register("haversine_km", haversineUdf)
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            ((col("c_custkey") % 180 - 90).cast("double") + 0.5).as("lat"),
+            ((col("c_nationkey") * 7 % 360 - 180).cast("double") + 0.5).as("lon"))
+          .withColumn("dist_km", round(expr("haversine_km(lat, lon, 0.0d, 0.0d)"), 3))
+          .orderBy("c_custkey")
+      }),
+
+    // K2 — typed Aggregator registered as a UDAF.
+    QueryDef(
+      "udaf_typed_geomean",
+      Some(
+        "SELECT p_brand, round(exp(avg(ln(p_retailprice))), 3) AS geomean, " +
+          "CAST(count(*) AS BIGINT) AS n FROM part GROUP BY p_brand ORDER BY p_brand"),
+      (s, d) =>
+        Tables.t(s, d, "part")
+          .groupBy("p_brand")
+          .agg(round(geomean(col("p_retailprice")), 3).as("geomean"), count(lit(1)).as("n"))
+          .orderBy("p_brand")),
+
+    // K3 — MinHash signature per document source (no oracle: the signature
+    // is hash-function-specific; MinHashSpec asserts determinism and the
+    // Jaccard-estimate bound instead).
+    QueryDef(
+      "udaf_imperative_minhash",
+      None,
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .select(col("source"), xxhash64(col("tok")).as("h"))
+          .groupBy("source")
+          .agg(minhash(col("h")).as("sig"))
+          .select(col("source"), col("sig"))
+          .orderBy("source")),
+
+    // K4 — table-generating: one row per day of each order's month.
+    QueryDef(
+      "udtf_generate",
+      Some(
+        "SELECT o_orderkey, CAST(g AS DATE) AS day FROM (SELECT o_orderkey, " +
+          "unnest(generate_series(CAST(date_trunc('month', o_orderdate) AS DATE), " +
+          "last_day(CAST(o_orderdate AS DATE)), INTERVAL 1 DAY)) AS g FROM orders) " +
+          "ORDER BY o_orderkey, day"),
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            explode(expr(
+              "sequence(to_date(date_trunc('month', o_orderdate)), last_day(o_orderdate), interval 1 day)"))
+              .as("day"))
+          .orderBy("o_orderkey", "day"))
+  )
+}
