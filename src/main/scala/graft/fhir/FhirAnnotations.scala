@@ -1,0 +1,144 @@
+package graft.fhir
+
+import java.time.{LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
+import java.time.temporal.TemporalAdjusters
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2 A6/A7/A8 — the spec's query-acceleration annotations
+  * (reference README.md:301-381).
+  */
+object FhirAnnotations {
+
+  // ---------------------------------------------------------------- A6
+  // Date-range annotation: earliest/latest instant included in a (possibly
+  // partial-precision, possibly offset-bearing) FHIR date/dateTime, at ms
+  // precision, UTC (README.md:316-330; worked vector :325-327:
+  // 2014-06-01T12:05Z → [12:05:00.000Z, 12:05:59.999Z]).
+  // Timezone-less values are interpreted as UTC (spec is silent; documented
+  // policy, SURVEY §7.4 trap 7).
+
+  private val FhirDateTime =
+    """^(\d{4})(?:-(\d{2})(?:-(\d{2})(?:T(\d{2}):(\d{2})(?::(\d{2})(?:\.(\d+))?)?(Z|[+-]\d{2}:\d{2})?)?)?)?$""".r
+
+  /** (startEpochMicros, endEpochMicros) or null for unparseable input. */
+  private[fhir] def bounds(s: String): Option[(Long, Long)] = s match {
+    case FhirDateTime(y, mo, dd, hh, mi, ss, frac, off) =>
+      val zone = off match {
+        case null | "Z" => ZoneOffset.UTC
+        case o => ZoneOffset.of(o)
+      }
+      val year = y.toInt
+      def micros(ldt: LocalDateTime): Long = {
+        val ins = ldt.atOffset(zone).toInstant
+        ins.getEpochSecond * 1000000L + ins.getNano / 1000L
+      }
+      val (lo, hi): (LocalDateTime, LocalDateTime) =
+        if (mo == null) {
+          val a = LocalDate.of(year, 1, 1).atStartOfDay
+          (a, a.plusYears(1))
+        } else if (dd == null) {
+          val a = LocalDate.of(year, mo.toInt, 1).atStartOfDay
+          (a, a.plusMonths(1))
+        } else if (hh == null) {
+          val a = LocalDate.of(year, mo.toInt, dd.toInt).atStartOfDay
+          (a, a.plusDays(1))
+        } else if (ss == null) {
+          val a = LocalDate.of(year, mo.toInt, dd.toInt).atTime(hh.toInt, mi.toInt)
+          (a, a.plusMinutes(1))
+        } else if (frac == null) {
+          val a = LocalDate.of(year, mo.toInt, dd.toInt).atTime(hh.toInt, mi.toInt, ss.toInt)
+          (a, a.plusSeconds(1))
+        } else {
+          // fractional seconds: exact instant at ms precision
+          val ms = (frac + "000").take(3).toInt
+          val a = LocalDate.of(year, mo.toInt, dd.toInt)
+            .atTime(hh.toInt, mi.toInt, ss.toInt, ms * 1000000)
+          (a, a.plusNanos(1000000))
+        }
+      // end bound is inclusive at ms precision: hi - 1ms
+      Some((micros(lo), micros(hi) - 1000L))
+    case _ => None
+  }
+
+  private val startUdf = udf((s: String) =>
+    Option(s).flatMap(bounds).map(b => java.lang.Long.valueOf(b._1)).orNull)
+  private val endUdf = udf((s: String) =>
+    Option(s).flatMap(bounds).map(b => java.lang.Long.valueOf(b._2)).orNull)
+
+  /** TimestampType (µs, ms-aligned) range columns for a string column. */
+  def rangeStart(c: Column): Column = timestamp_micros(startUdf(c))
+  def rangeEnd(c: Column): Column = timestamp_micros(endUdf(c))
+
+  /** Add `__<field>_start` / `__<field>_end` beside a top-level column. */
+  def annotateRange(df: DataFrame, field: String): DataFrame =
+    df.withColumn(s"__${field}_start", rangeStart(col(field)))
+      .withColumn(s"__${field}_end", rangeEnd(col(field)))
+
+  // ---------------------------------------------------------------- A7
+  // DECIMAL(38,6) twin of a decimal string, half-up (README.md:347-353;
+  // golden behavior: "42.38090848315092" → 42.380908).
+
+  def numeric(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** Add `__<leaf>_numeric` inside the struct at `parentPath` beside `leaf`.
+    * Paths through structs only; array elements are handled with transform
+    * at the call site.
+    */
+  def annotateNumeric(df: DataFrame, parentPath: String, leaf: String): DataFrame = {
+    val parts = parentPath.split('.')
+    val parent = parts.foldLeft(null: Column)((acc, p) => if (acc == null) col(p) else acc.getField(p))
+    val updated = parent.withField(s"__${leaf}_numeric", numeric(parent.getField(leaf)))
+    if (parts.length == 1) df.withColumn(parts.head, updated)
+    else {
+      // rebuild nested parents outer-to-inner
+      def rebuild(path: List[String], base: Column): Column = path match {
+        case last :: Nil => base.withField(last, updated)
+        case head :: tail => base.withField(head, rebuild(tail, base.getField(head)))
+        case Nil => base
+      }
+      df.withColumn(parts.head, rebuild(parts.tail.toList, col(parts.head)))
+    }
+  }
+
+  // ---------------------------------------------------------------- A8
+  // UCUM canonicalization (README.md:367-381): a broadcast conversion table
+  // code → (factor, offset, canonical code); canonical value =
+  // value * factor + offset in exact decimal arithmetic.
+  // Non-terminating factors (°F) are fixed at 6 dp — documented approximation.
+
+  /** (code, factor, offset, canonicalCode) */
+  val ucumTable: Seq[(String, String, String, String)] = Seq(
+    ("kg", "1000", "0", "g"),
+    ("g", "1", "0", "g"),
+    ("mg", "0.001", "0", "g"),
+    ("cm", "0.01", "0", "m"),
+    ("mm", "0.001", "0", "m"),
+    ("m", "1", "0", "m"),
+    ("mm[Hg]", "133.322387", "0", "Pa"),
+    ("Cel", "1", "273.15", "K"),
+    ("[degF]", "0.555556", "255.372222", "K"),
+    ("min", "60", "0", "s"),
+    ("h", "3600", "0", "s"))
+
+  /** DuckDB VALUES literal mirroring ucumTable, for oracle SQL. */
+  def ucumValuesSql: String =
+    ucumTable.map { case (c, f, o, k) =>
+      s"('$c', CAST($f AS DECIMAL(12,6)), CAST($o AS DECIMAL(18,6)), '$k')"
+    }.mkString("(VALUES ", ", ", ") AS ucum(code, factor, off, canon)")
+
+  def ucumDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    ucumTable.toDF("code", "factor_s", "off_s", "canon")
+      .select(col("code"),
+        col("factor_s").cast(DecimalType(12, 6)).as("factor"),
+        col("off_s").cast(DecimalType(18, 6)).as("off"),
+        col("canon"))
+  }
+
+  /** canonical value = CAST(v18 * factor + off AS DECIMAL(38,6)). */
+  def canonicalValue(valueStr: Column, factor: Column, off: Column): Column =
+    (valueStr.cast(DecimalType(18, 6)) * factor + off).cast(DecimalType(38, 6))
+}

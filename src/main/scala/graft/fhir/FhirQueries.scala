@@ -1,0 +1,223 @@
+package graft.fhir
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2.A — the reference's own surface as queries over its golden
+  * files (/root/reference/examples). sfDir is ignored: the golden files are
+  * fixed-location conformance fixtures.
+  */
+object FhirQueries {
+
+  private val G = Tables.goldenDir
+
+  val defs: Seq[QueryDef] = Seq(
+    // A1 — schema derivation: decode the golden Patient table to NDJSON,
+    // re-derive a spec schema from the JSON, emit (path, type) rows.
+    // No oracle (structural); FhirSpec pins the shape against the README's
+    // worked examples.
+    QueryDef(
+      "fhir_schema_derive",
+      None,
+      (s, d) => {
+        val ndjson = FhirCodec.decode(Tables.golden(s, "Patient"))
+        val schema = FhirSchema.deriveSchema(s, ndjson)
+        import s.implicits._
+        FhirSchema.leaves(schema).toDF("path", "dtype").orderBy("path")
+      }),
+
+    // A2/A3 — lossless round-trip: decode → re-derive → re-encode; row and
+    // id cardinality must survive (full tree equality in FhirSpec).
+    QueryDef(
+      "fhir_roundtrip",
+      Some(
+        s"SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT id) AS BIGINT) AS nd_ids " +
+          s"FROM read_parquet('$G/Observation.parquet')"),
+      (s, d) => {
+        val ndjson = FhirCodec.decode(Tables.golden(s, "Observation"))
+        val schema = FhirSchema.deriveSchema(s, ndjson)
+        val back = FhirCodec.encode(s, ndjson, schema)
+        back.agg(count(lit(1)).as("n_rows"), countDistinct(col("id")).as("nd_ids"))
+      }),
+
+    // A4 — schema union-merge: two partial projections written as separate
+    // parquet tables, read back with mergeSchema; absent columns null-fill.
+    QueryDef(
+      "fhir_schema_merge",
+      Some(
+        s"SELECT * FROM (SELECT id, gender, CAST(NULL AS VARCHAR) AS birthDate " +
+          s"FROM read_parquet('$G/Patient.parquet') UNION ALL " +
+          s"SELECT id, CAST(NULL AS VARCHAR) AS gender, birthDate FROM read_parquet('$G/Patient.parquet')) " +
+          "ORDER BY id, gender NULLS FIRST, birthDate NULLS FIRST"),
+      (s, d) => {
+        val p = Tables.golden(s, "Patient")
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_fhir_merge"
+        p.select("id", "gender").write.mode("overwrite").parquet(s"$tmp/a")
+        p.select("id", "birthDate").write.mode("overwrite").parquet(s"$tmp/b")
+        s.read.option("mergeSchema", "true").parquet(s"$tmp/a", s"$tmp/b")
+          .select(col("id"), col("gender"), col("birthDate"))
+          .orderBy(col("id"), col("gender").asc_nulls_first, col("birthDate").asc_nulls_first)
+      }),
+
+    // A5 — conformance: resourceType presence/uniformity (README.md:29-41)
+    // + FHIR value-format regexes (README.md:84-86).
+    QueryDef(
+      "fhir_conformance_check",
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(count(CASE WHEN resourceType IS NULL THEN 1 END) AS BIGINT) AS n_null_rt, " +
+          "CAST(count(DISTINCT resourceType) AS BIGINT) AS nd_rt, " +
+          "CAST(count(CASE WHEN NOT regexp_matches(birthDate, '^\\d{4}(-\\d{2}(-\\d{2})?)?$') THEN 1 END) AS BIGINT) AS n_bad_birthdate, " +
+          "CAST(count(CASE WHEN gender NOT IN ('male', 'female', 'other', 'unknown') THEN 1 END) AS BIGINT) AS n_bad_gender " +
+          s"FROM read_parquet('$G/Patient.parquet')"),
+      (s, d) =>
+        Tables.golden(s, "Patient").agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("resourceType").isNull, 1)).as("n_null_rt"),
+          countDistinct(col("resourceType")).as("nd_rt"),
+          count(when(!col("birthDate").rlike("^\\d{4}(-\\d{2}(-\\d{2})?)?$"), 1)).as("n_bad_birthdate"),
+          count(when(!col("gender").isin("male", "female", "other", "unknown"), 1)).as("n_bad_gender"))),
+
+    // A6 — date-range annotation columns. Golden data has date-precision
+    // birthDate and second-precision offset dateTimes; partial-precision
+    // vectors (README.md:325-327) are covered in FhirSpec.
+    QueryDef(
+      "fhir_annotate_datetime_range",
+      Some(
+        "SELECT id, birthDate, CAST(birthDate AS TIMESTAMP) AS bd_start, " +
+          "CAST(birthDate AS TIMESTAMP) + INTERVAL 1 DAY - INTERVAL 1 MILLISECOND AS bd_end, " +
+          "timezone('UTC', CAST(deceasedDateTime AS TIMESTAMPTZ)) AS dd_start, " +
+          "timezone('UTC', CAST(deceasedDateTime AS TIMESTAMPTZ)) + INTERVAL 999 MILLISECOND AS dd_end " +
+          s"FROM read_parquet('$G/Patient.parquet') ORDER BY id"),
+      (s, d) => {
+        val p = FhirAnnotations.annotateRange(Tables.golden(s, "Patient"), "birthDate")
+        p.select(
+          col("id"), col("birthDate"),
+          col("__birthDate_start").as("bd_start"),
+          col("__birthDate_end").as("bd_end"),
+          FhirAnnotations.rangeStart(col("deceasedDateTime")).as("dd_start"),
+          FhirAnnotations.rangeEnd(col("deceasedDateTime")).as("dd_end"))
+          .orderBy("id")
+      }),
+
+    // A7 — decimal numeric annotation vs the golden files' own
+    // __value_numeric columns (must agree exactly).
+    QueryDef(
+      "fhir_annotate_decimal_numeric",
+      Some(
+        "SELECT id, valueQuantity.value AS val_str, " +
+          "CAST(valueQuantity.value AS DECIMAL(38,6)) AS val_num, " +
+          "valueQuantity.__value_numeric AS file_num, " +
+          "CAST(valueQuantity.value AS DECIMAL(38,6)) = valueQuantity.__value_numeric AS matches " +
+          s"FROM read_parquet('$G/Observation.parquet') WHERE valueQuantity.value IS NOT NULL ORDER BY id"),
+      (s, d) =>
+        Tables.golden(s, "Observation")
+          .where(col("valueQuantity.value").isNotNull)
+          .select(
+            col("id"),
+            col("valueQuantity.value").as("val_str"),
+            FhirAnnotations.numeric(col("valueQuantity.value")).as("val_num"),
+            col("valueQuantity.__value_numeric").as("file_num"),
+            (FhirAnnotations.numeric(col("valueQuantity.value")) === col("valueQuantity.__value_numeric"))
+              .as("matches"))
+          .orderBy("id")),
+
+    // A8 — UCUM canonicalization via broadcast conversion table.
+    QueryDef(
+      "fhir_annotate_quantity_canonical",
+      Some(
+        "SELECT id, valueQuantity.code AS code, valueQuantity.value AS val_str, ucum.canon AS canon_code, " +
+          "CAST(CAST(valueQuantity.value AS DECIMAL(18,6)) * ucum.factor + ucum.off AS DECIMAL(38,6)) AS canon_value " +
+          s"FROM read_parquet('$G/Observation.parquet') LEFT JOIN ${FhirAnnotations.ucumValuesSql} " +
+          "ON valueQuantity.code = ucum.code WHERE valueQuantity.value IS NOT NULL ORDER BY id"),
+      (s, d) => {
+        val o = Tables.golden(s, "Observation").where(col("valueQuantity.value").isNotNull)
+        val u = FhirAnnotations.ucumDf(s)
+        o.join(broadcast(u), o("valueQuantity.code") === u("code"), "left")
+          .select(
+            o("id"),
+            o("valueQuantity.code").as("code"),
+            o("valueQuantity.value").as("val_str"),
+            u("canon").as("canon_code"),
+            FhirAnnotations.canonicalValue(o("valueQuantity.value"), u("factor"), u("off"))
+              .as("canon_value"))
+          .orderBy("id")
+      }),
+
+    // A9 — choice-type coalesce over the live multipleBirth[x] siblings
+    // (README.md:141-172; both populated in the golden Patient).
+    QueryDef(
+      "fhir_choice_coalesce",
+      Some(
+        "SELECT id, CASE WHEN multipleBirthBoolean IS NOT NULL THEN 'boolean' " +
+          "WHEN multipleBirthInteger IS NOT NULL THEN 'integer' END AS choice_type, " +
+          "coalesce(CAST(multipleBirthBoolean AS VARCHAR), CAST(multipleBirthInteger AS VARCHAR)) AS choice_value " +
+          s"FROM read_parquet('$G/Patient.parquet') ORDER BY id"),
+      (s, d) =>
+        Tables.golden(s, "Patient").select(
+          col("id"),
+          when(col("multipleBirthBoolean").isNotNull, "boolean")
+            .when(col("multipleBirthInteger").isNotNull, "integer").as("choice_type"),
+          coalesce(col("multipleBirthBoolean").cast("string"),
+            col("multipleBirthInteger").cast("string")).as("choice_value"))
+          .orderBy("id")),
+
+    // A10 — reference resolution: Observation.subject.reference →
+    // 'Patient/' || Patient.id (README.md:181-189). The Patient side is a
+    // dimension — broadcast it.
+    QueryDef(
+      "fhir_reference_resolve",
+      Some(
+        "SELECT o.id AS obs_id, p.id AS patient_id, p.gender " +
+          s"FROM read_parquet('$G/Observation.parquet') o " +
+          s"JOIN read_parquet('$G/Patient.parquet') p ON o.subject.reference = 'Patient/' || p.id " +
+          "ORDER BY obs_id"),
+      (s, d) => {
+        val o = Tables.golden(s, "Observation")
+        val p = Tables.golden(s, "Patient")
+        o.join(broadcast(p), o("subject.reference") === concat(lit("Patient/"), p("id")))
+          .select(o("id").as("obs_id"), p("id").as("patient_id"), p("gender"))
+          .orderBy("obs_id")
+      }),
+
+    // A11 — unnest repeating elements: one row per given name
+    // (README.md:110-137; nested list name.given).
+    QueryDef(
+      "fhir_unnest",
+      Some(
+        "WITH n AS (SELECT id, unnest(name) AS nm FROM " +
+          s"read_parquet('$G/Patient.parquet')) " +
+          "SELECT id, nm.family AS family, unnest(nm.given) AS given FROM n " +
+          "ORDER BY id, family NULLS FIRST, given"),
+      (s, d) =>
+        Tables.golden(s, "Patient")
+          .select(col("id"), explode(col("name")).as("nm"))
+          .select(col("id"), col("nm.family").as("family"), explode(col("nm.given")).as("given"))
+          .orderBy(col("id"), col("family").asc_nulls_first, col("given"))),
+
+    // A12 — extension extraction by url: geolocation latitude/longitude
+    // nested two extensions deep under address (README.md:204-248).
+    QueryDef(
+      "fhir_extension_extract",
+      Some(
+        "SELECT id, geo.lat AS lat, geo.lon AS lon FROM (" +
+          "SELECT id, {'lat': list_filter(g.extension, x -> x.url = 'latitude')[1].__valueDecimal_numeric, " +
+          "'lon': list_filter(g.extension, x -> x.url = 'longitude')[1].__valueDecimal_numeric} AS geo " +
+          s"FROM (SELECT id, unnest(address) AS a FROM read_parquet('$G/Patient.parquet')), " +
+          "unnest(list_filter(a.extension, e -> e.url = 'http://hl7.org/fhir/StructureDefinition/geolocation')) AS t(g)) " +
+          "WHERE geo.lat IS NOT NULL ORDER BY id, lat, lon"),
+      (s, d) =>
+        Tables.golden(s, "Patient")
+          .select(col("id"), explode(col("address")).as("a"))
+          .select(col("id"),
+            explode(expr(
+              "filter(a.extension, e -> e.url = 'http://hl7.org/fhir/StructureDefinition/geolocation')"))
+              .as("g"))
+          .select(col("id"),
+            expr("filter(g.extension, x -> x.url = 'latitude')[0].__valueDecimal_numeric").as("lat"),
+            expr("filter(g.extension, x -> x.url = 'longitude')[0].__valueDecimal_numeric").as("lon"))
+          .where(col("lat").isNotNull)
+          .orderBy("id", "lat", "lon"))
+  )
+}

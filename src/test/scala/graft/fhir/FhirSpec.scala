@@ -1,0 +1,121 @@
+package graft.fhir
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5 layers 1-3: conformance clauses, golden files, round-trip.
+  * Fixtures are the spec's own worked examples
+  * (/root/reference/README.md:90-96, 116-124, 150-163, 325-327).
+  */
+class FhirSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private def ds(lines: String*) = {
+    import spark.implicits._
+    spark.createDataset(lines)
+  }
+
+  // --- A1 schema derivation: spec clauses ---
+
+  test("derive: simple patient (README.md:90-96) — primitives, alphabetical, resourceType required") {
+    val schema = FhirSchema.deriveSchema(spark,
+      ds("""{"resourceType":"Patient","id":"example","birthDate":"1970-01-01"}"""))
+    assert(schema.fieldNames.toSeq == Seq("birthDate", "id", "resourceType"))
+    assert(schema("birthDate").dataType == StringType) // date kept as text
+    assert(!schema("resourceType").nullable)           // README.md:39-41
+    assert(schema("id").nullable)                      // README.md:47-48
+  }
+
+  test("derive: repeating element (README.md:116-124) — LIST shape") {
+    val schema = FhirSchema.deriveSchema(spark,
+      ds("""{"resourceType":"AllergyIntolerance","category":["food","environment"]}"""))
+    assert(schema("category").dataType == ArrayType(StringType, containsNull = true))
+  }
+
+  test("derive: choice types (README.md:150-163) — sibling columns per populated type") {
+    val schema = FhirSchema.deriveSchema(spark, ds(
+      """{"resourceType":"Patient","multipleBirthBoolean":false}""",
+      """{"resourceType":"Patient","multipleBirthInteger":2}"""))
+    assert(schema("multipleBirthBoolean").dataType == BooleanType)
+    assert(schema("multipleBirthInteger").dataType == IntegerType)
+  }
+
+  test("derive: decimals become strings (README.md:347-348)") {
+    val schema = FhirSchema.deriveSchema(spark,
+      ds("""{"resourceType":"Observation","valueQuantity":{"value":36.50,"unit":"Cel"}}"""))
+    val vq = schema("valueQuantity").dataType.asInstanceOf[StructType]
+    assert(vq("value").dataType == StringType)
+  }
+
+  // --- A2 encode: decimal text preservation (SURVEY §7.4 trap 5) ---
+
+  test("encode preserves decimal text exactly") {
+    val json = """{"resourceType":"Observation","valueQuantity":{"value":42.38090848315092,"unit":"kg"}}"""
+    val schema = FhirSchema.deriveSchema(spark, ds(json))
+    val df = FhirCodec.encode(spark, ds(json), schema)
+    val v = df.select(col("valueQuantity.value")).head().getString(0)
+    assert(v == "42.38090848315092")
+    // trailing-zero form survives too
+    val json2 = """{"resourceType":"Observation","valueQuantity":{"value":36.50,"unit":"Cel"}}"""
+    val v2 = FhirCodec.encode(spark, ds(json2), schema)
+      .select(col("valueQuantity.value")).head().getString(0)
+    assert(v2 == "36.50")
+  }
+
+  // --- A2∘A3 round-trip on golden files (README.md:11-13) ---
+
+  test("golden round-trip: decode → derive → encode → decode is stable") {
+    for (name <- Seq("Patient", "Observation", "ExplanationOfBenefit")) {
+      val df = spark.read.parquet(s"/root/reference/examples/$name.parquet")
+      assert(df.count() == 100, s"$name rows")
+      val nd1 = FhirCodec.decode(df)
+      val schema = FhirSchema.deriveSchema(spark, nd1)
+      val back = FhirCodec.encode(spark, nd1, schema)
+      val nd2 = FhirCodec.decode(back)
+      // JSON round-trip fixpoint: second decode emits identical documents
+      val a = nd1.collect().sorted
+      val b = nd2.collect().sorted
+      assert(a.length == b.length, s"$name doc count")
+      assert(a.sameElements(b), s"$name round-trip drift")
+    }
+  }
+
+  test("golden files: annotation placement is sibling-in-group (README.md:304-306)") {
+    val obs = spark.read.parquet("/root/reference/examples/Observation.parquet")
+    val vq = obs.schema("valueQuantity").dataType.asInstanceOf[StructType]
+    assert(vq.fieldNames.contains("__value_numeric"))
+    assert(vq("__value_numeric").dataType == DecimalType(38, 6)) // README.md:352-353
+  }
+
+  // --- A6 range annotation: worked vector + partial precision ---
+
+  test("range bounds: spec vector 2014-06-01T12:05Z (README.md:325-327)") {
+    val Some((lo, hi)) = FhirAnnotations.bounds("2014-06-01T12:05Z")
+    assert(lo == java.time.Instant.parse("2014-06-01T12:05:00.000Z").toEpochMilli * 1000)
+    assert(hi == java.time.Instant.parse("2014-06-01T12:05:59.999Z").toEpochMilli * 1000)
+  }
+
+  test("range bounds: partial precision and offsets (README.md:316-330)") {
+    val Some((y0, y1)) = FhirAnnotations.bounds("2014")
+    assert(y0 == java.time.Instant.parse("2014-01-01T00:00:00Z").toEpochMilli * 1000)
+    assert(y1 == java.time.Instant.parse("2014-12-31T23:59:59.999Z").toEpochMilli * 1000)
+    val Some((m0, m1)) = FhirAnnotations.bounds("2014-06")
+    assert(m0 == java.time.Instant.parse("2014-06-01T00:00:00Z").toEpochMilli * 1000)
+    assert(m1 == java.time.Instant.parse("2014-06-30T23:59:59.999Z").toEpochMilli * 1000)
+    val Some((o0, _)) = FhirAnnotations.bounds("2018-04-19T23:48:59+10:00")
+    assert(o0 == java.time.Instant.parse("2018-04-19T13:48:59Z").toEpochMilli * 1000)
+    assert(FhirAnnotations.bounds("not-a-date").isEmpty)
+  }
+
+  // --- A4 merge soundness ---
+
+  test("merge: union of fields, conflict raises") {
+    val a = StructType(Seq(StructField("id", StringType), StructField("gender", StringType)))
+    val b = StructType(Seq(StructField("birthDate", StringType), StructField("id", StringType)))
+    val m = FhirSchema.mergeSchemas(Seq(a, b))
+    assert(m.fieldNames.toSeq == Seq("birthDate", "gender", "id"))
+    val conflict = StructType(Seq(StructField("id", IntegerType)))
+    intercept[IllegalArgumentException](FhirSchema.mergeSchemas(Seq(a, conflict)))
+  }
+}
