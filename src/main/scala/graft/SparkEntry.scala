@@ -18,7 +18,8 @@ object SparkEntry {
       rel.Funcs.defs ++
       udx.Udx.defs ++
       llm.Llm.defs ++
-      fhir.FhirQueries.defs
+      fhir.FhirQueries.defs ++
+      stream.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-style scan + hash aggregate (SURVEY §2 E1 / §7.2).

@@ -1,0 +1,153 @@
+package graft.stream
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** SURVEY §2.J — Structured Streaming over the events table, run as a
+  * bounded stream with Trigger.AvailableNow so tumbling/sliding/session/
+  * dedup/stateful results equal their batch equivalents (which is what makes
+  * DuckDB oracles possible).
+  *
+  * Scale posture: all state is keyed (window × type, user) and bounded by
+  * watermarks; sinks here are memory tables for the harness, but every plan
+  * is the one you would run against a real source with a parquet/Kafka sink.
+  */
+object Streams {
+
+  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    // The file stream source requires a directory; expose the (read-only)
+    // single-file table through a symlink in a scratch dir.
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    val sch = s.read.parquet(path).schema
+    s.readStream.schema(sch).parquet(streamDir.toString)
+      .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a bounded streaming query into a memory sink and return the table. */
+  private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+    val s = df.sparkSession
+    s.catalog.dropTempView(name)
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // J1 — tumbling 1-hour windows with a 10-minute watermark.
+    QueryDef(
+      "stream_tumbling_window",
+      Some(
+        "SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(sum(CAST(value AS ${Q.D4})) AS ${Q.D6}) AS sum_val " +
+          "FROM (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ws, " +
+          "event_type, value FROM events) GROUP BY ws, event_type ORDER BY ws, event_type"),
+      (s, d) => {
+        val agg = streamEvents(s, d)
+          .withWatermark("ts_ts", "10 minutes")
+          .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), Q.out6(sum(Q.dec4(col("value")))).as("sum_val"))
+        runToTable(agg, "graft_j1", "complete")
+          .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_val"))
+          .orderBy("ws", "event_type")
+      }),
+
+    // J2 — 1-hour windows sliding every 30 minutes (each event lands in 2).
+    QueryDef(
+      "stream_sliding_window",
+      Some(
+        "SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n FROM " +
+          "(SELECT event_type, unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)), " +
+          "time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE]) AS ws " +
+          "FROM events) GROUP BY ws, event_type ORDER BY ws, event_type"),
+      (s, d) => {
+        val agg = streamEvents(s, d)
+          .withWatermark("ts_ts", "10 minutes")
+          .groupBy(window(col("ts_ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        runToTable(agg, "graft_j2", "complete")
+          .select(col("w.start").as("ws"), col("event_type"), col("n"))
+          .orderBy("ws", "event_type")
+      }),
+
+    // J3 — per-user session windows with a 5-minute gap. Oracle is the
+    // classic gaps-and-islands rewrite; session end = last event + gap.
+    QueryDef(
+      "stream_session_window",
+      Some(
+        "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +
+          "m AS (SELECT user_id, t, CASE WHEN lag(t) OVER w IS NULL " +
+          "OR t - lag(t) OVER w > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk " +
+          "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)), " +
+          "g AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM m) " +
+          "SELECT user_id, min(t) AS s_start, max(t) + INTERVAL 5 MINUTE AS s_end, " +
+          "CAST(count(*) AS BIGINT) AS n FROM g GROUP BY user_id, sess " +
+          "ORDER BY user_id, s_start"),
+      (s, d) => {
+        val agg = streamEvents(s, d)
+          .withWatermark("ts_ts", "10 minutes")
+          .groupBy(session_window(col("ts_ts"), "5 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        runToTable(agg, "graft_j3", "complete")
+          .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"), col("n"))
+          .orderBy("user_id", "s_start")
+      }),
+
+    // J4 — exactly-once dedup: the stream unioned with itself (every event
+    // twice) collapses back to one row per event_id within the watermark.
+    QueryDef(
+      "stream_stateful_dedup",
+      Some(
+        "SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, value " +
+          "FROM events ORDER BY event_id"),
+      (s, d) => {
+        val once = streamEvents(s, d)
+        val twice = once.union(streamEvents(s, d))
+          .withWatermark("ts_ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), expr("ts div 1000000").as("ts_ms"),
+            col("event_type"), col("value"))
+        runToTable(twice, "graft_j4", "append").orderBy("event_id")
+      }),
+
+    // J6 — arbitrary stateful aggregation: per-user running (count, sum)
+    // via flatMapGroupsWithState. Sum kept in exact 1e-4 units (Long) so
+    // state merge order cannot perturb the result.
+    QueryDef(
+      "stream_stateful_count",
+      Some(
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_e4 " +
+          "FROM events GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val updated = streamEvents(s, d)
+          .select(col("user_id"), col("value"))
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) =>
+              val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+              var n = n0
+              var sum = s0
+              rows.foreach { case (_, v) => n += 1; sum += math.round(v * 10000) }
+              state.update((n, sum))
+              Iterator((user, n, sum))
+          }
+          .toDF("user_id", "n", "sum_e4")
+        runToTable(updated, "graft_j6", "append").orderBy("user_id")
+      })
+  )
+}
