@@ -27,6 +27,40 @@ object FhirQueries {
         FhirSchema.leaves(schema).toDF("path", "dtype").orderBy("path")
       }),
 
+    // A2 — encode: spec worked examples (README.md:90-96,150-163) as NDJSON
+    // through the Jackson encoder; the oracle is the literal expected rows.
+    QueryDef(
+      "fhir_encode",
+      Some(
+        "SELECT * FROM (VALUES ('example', '1970-01-01', CAST(NULL AS BOOLEAN), CAST(NULL AS INTEGER), 'Patient'), " +
+          "('mb1', CAST(NULL AS VARCHAR), false, CAST(NULL AS INTEGER), 'Patient'), " +
+          "('mb2', CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN), 2, 'Patient')) " +
+          "AS t(id, birthDate, multipleBirthBoolean, multipleBirthInteger, resourceType) ORDER BY id"),
+      (s, d) => {
+        import s.implicits._
+        val nd = s.createDataset(Seq(
+          """{"resourceType":"Patient","id":"example","birthDate":"1970-01-01"}""",
+          """{"resourceType":"Patient","id":"mb1","multipleBirthBoolean":false}""",
+          """{"resourceType":"Patient","id":"mb2","multipleBirthInteger":2}"""))
+        val schema = FhirSchema.deriveSchema(s, nd)
+        FhirCodec.encode(s, nd, schema).orderBy("id")
+      }),
+
+    // A3 — decode: golden Patient → NDJSON; every emitted document is
+    // parseable JSON carrying the row's id and resourceType.
+    QueryDef(
+      "fhir_decode",
+      Some(
+        "SELECT id, resourceType = 'Patient' AS rt_ok " +
+          s"FROM read_parquet('$G/Patient.parquet') ORDER BY id"),
+      (s, d) =>
+        FhirCodec.decode(Tables.golden(s, "Patient"))
+          .toDF("value")
+          .select(
+            get_json_object(col("value"), "$.id").as("id"),
+            (get_json_object(col("value"), "$.resourceType") === "Patient").as("rt_ok"))
+          .orderBy("id")),
+
     // A2/A3 — lossless round-trip: decode → re-derive → re-encode; row and
     // id cardinality must survive (full tree equality in FhirSpec).
     QueryDef(

@@ -120,6 +120,47 @@ object Streams {
         runToTable(twice, "graft_j4", "append").orderBy("event_id")
       }),
 
+    // J5 — watermark late-data drop, observable end-to-end: two
+    // AvailableNow runs over a shared checkpoint. Run 1 sets the watermark
+    // to 10:20 (from the 10:30 row); run 2 delivers a 09:10 row for the
+    // already-past-watermark 09:00 window — it must be dropped, leaving the
+    // window's count at 1 when it closes.
+    QueryDef(
+      "stream_late_data_drop",
+      Some("SELECT TIMESTAMP '2024-01-01 09:00:00' AS ws, CAST(1 AS BIGINT) AS n"),
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+        val base = s"${sys.props("java.io.tmpdir")}/graft_late"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        def mk(name: String, rows: Seq[String]): Unit =
+          s.createDataFrame(
+              s.sparkContext.parallelize(
+                rows.map(t => Row(java.sql.Timestamp.valueOf(t))), 1),
+              StructType(Seq(StructField("t", TimestampType))))
+            .write.parquet(s"$base/in/$name")
+        def runOnce(): Unit = {
+          // memory sink cannot recover a checkpoint; the parquet sink can
+          val q = s.readStream.schema("t TIMESTAMP").parquet(s"$base/in/*")
+            .withWatermark("t", "10 minutes")
+            .groupBy(window(col("t"), "1 hour").as("w"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("w.start").as("ws"), col("n"))
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        mk("f1", Seq("2024-01-01 09:05:00", "2024-01-01 10:30:00"))
+        runOnce() // watermark now durably 10:20
+        mk("f2", Seq("2024-01-01 09:10:00", "2024-01-01 11:30:00", "2024-01-01 13:00:00"))
+        runOnce() // 09:10 is late → dropped; 09:00 window closes with n=1
+        s.read.parquet(s"$base/out")
+          .where(col("ws") === lit("2024-01-01 09:00:00").cast("timestamp"))
+          .orderBy("ws")
+      }),
+
     // J6 — arbitrary stateful aggregation: per-user running (count, sum)
     // via flatMapGroupsWithState. Sum kept in exact 1e-4 units (Long) so
     // state merge order cannot perturb the result.
