@@ -63,19 +63,14 @@ object FhirAnnotations {
     case _ => None
   }
 
-  private val startUdf = udf((s: String) =>
-    Option(s).flatMap(bounds).map(b => java.lang.Long.valueOf(b._1)).orNull)
-  private val endUdf = udf((s: String) =>
-    Option(s).flatMap(bounds).map(b => java.lang.Long.valueOf(b._2)).orNull)
-
-  /** TimestampType (µs, ms-aligned) range columns for a string column. */
-  def rangeStart(c: Column): Column = timestamp_micros(startUdf(c))
-  def rangeEnd(c: Column): Column = timestamp_micros(endUdf(c))
-
-  /** Add `__<field>_start` / `__<field>_end` beside a top-level column. */
-  def annotateRange(df: DataFrame, field: String): DataFrame =
-    df.withColumn(s"__${field}_start", rangeStart(col(field)))
-      .withColumn(s"__${field}_end", rangeEnd(col(field)))
+  /** Add `__<field>_start` / `__<field>_end` beside a top-level column,
+    * via the native codegen expressions (FhirDateTimeStart/End).
+    */
+  def annotateRange(df: DataFrame, field: String): DataFrame = {
+    FhirDateTimeExpr.register(df.sparkSession)
+    df.withColumn(s"__${field}_start", expr(s"fhir_dt_start($field)"))
+      .withColumn(s"__${field}_end", expr(s"fhir_dt_end($field)"))
+  }
 
   // ---------------------------------------------------------------- A7
   // DECIMAL(38,6) twin of a decimal string, half-up (README.md:347-353;

@@ -125,13 +125,14 @@ object FhirQueries {
           "timezone('UTC', CAST(deceasedDateTime AS TIMESTAMPTZ)) + INTERVAL 999 MILLISECOND AS dd_end " +
           s"FROM read_parquet('$G/Patient.parquet') ORDER BY id"),
       (s, d) => {
+        FhirDateTimeExpr.register(s)
         val p = FhirAnnotations.annotateRange(Tables.golden(s, "Patient"), "birthDate")
         p.select(
           col("id"), col("birthDate"),
           col("__birthDate_start").as("bd_start"),
           col("__birthDate_end").as("bd_end"),
-          FhirAnnotations.rangeStart(col("deceasedDateTime")).as("dd_start"),
-          FhirAnnotations.rangeEnd(col("deceasedDateTime")).as("dd_end"))
+          expr("fhir_dt_start(deceasedDateTime)").as("dd_start"),
+          expr("fhir_dt_end(deceasedDateTime)").as("dd_end"))
           .orderBy("id")
       }),
 
@@ -176,6 +177,30 @@ object FhirQueries {
             u("canon").as("canon_code"),
             FhirAnnotations.canonicalValue(o("valueQuantity.value"), u("factor"), u("off"))
               .as("canon_value"))
+          .orderBy("id")
+      }),
+
+    // §4 — the AnnotationRewrite optimizer rule, observable end-to-end: the
+    // filter is written against the raw string date (cast to timestamp);
+    // the rule rewrites it to the typed __birthDate_start annotation column
+    // (PlanSpec asserts the plan shape; results must match the string-side
+    // oracle either way).
+    QueryDef(
+      "opt_annotation_rewrite",
+      Some(
+        "SELECT id, birthDate FROM read_parquet('" + G + "/Patient.parquet') " +
+          "WHERE CAST(birthDate AS TIMESTAMP) >= TIMESTAMP '1990-01-01' ORDER BY id"),
+      (s, d) => {
+        graft.opt.AnnotationRewrite.install(s)
+        // materialize a spec table carrying its annotation columns — the
+        // rule targets tables at rest, where __birthDate_start is a real
+        // parquet column with min/max stats
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_annotated_patient"
+        FhirAnnotations.annotateRange(Tables.golden(s, "Patient"), "birthDate")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .where(col("birthDate").cast("timestamp") >= lit("1990-01-01").cast("timestamp"))
+          .select(col("id"), col("birthDate"))
           .orderBy("id")
       }),
 

@@ -35,6 +35,76 @@ object Llm {
       s"(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
       s"sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
 
+  /** FNV-1a 64-bit over UTF-8 bytes — deterministic token/gram hashing for
+    * the JVM-kernel dedup paths (no RNG, no engine-specific hash).
+    */
+  private[llm] def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Spark-round-compatible rounding (BigDecimal HALF_UP, like functions.round). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** All-pairs cosine ≥ tau via a broadcast of the (small) normalized matrix
+    * and a primitive-array kernel in mapPartitions — the interpreted
+    * higher-order-function form is ~50× slower. Double accumulation runs in
+    * ascending index order, matching DuckDB's list_dot_product, so values
+    * agree bit-for-bit before rounding.
+    *
+    * Scale note: valid while ONE side fits in an executor (here: the whole
+    * embedding table, 64 floats/row → ~0.5 MB per 2k vectors). At 100 TB the
+    * same kernel runs per block of a block-partitioned self-join (shuffle on
+    * block id pairs); the LSH-bucketed variant (sim_ann_lsh) is the
+    * sub-quadratic path.
+    */
+  private def cosinePairsFast(
+      s: SparkSession, d: String, sameLabelOnly: Boolean, tau: Double): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val e = Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+    val all = e.collect().sortBy(_._1)
+    val ids = all.map(_._1)
+    val labels = all.map(_._2)
+    val mat = all.map(_._3.map(_.toDouble))
+    val norms = mat.map { v =>
+      var acc = 0.0; var k = 0
+      while (k < v.length) { acc += v(k) * v(k); k += 1 }
+      math.sqrt(acc)
+    }
+    val bc = s.sparkContext.broadcast((ids, labels, mat, norms))
+    e.mapPartitions { it =>
+      val (bIds, bLabels, bMat, bNorms) = bc.value
+      it.flatMap { case (i, labelI, embI) =>
+        val vi = embI.map(_.toDouble)
+        var accI = 0.0
+        var k = 0
+        while (k < vi.length) { accI += vi(k) * vi(k); k += 1 }
+        val normI = math.sqrt(accI)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        var j = 0
+        while (j < bIds.length) {
+          if (bIds(j) > i && (!sameLabelOnly || bLabels(j) == labelI)) {
+            val vj = bMat(j)
+            var dot = 0.0
+            k = 0
+            while (k < vi.length) { dot += vi(k) * vj(k); k += 1 }
+            val sim = round6(dot / (normI * bNorms(j)))
+            if (sim >= tau) out += ((labelI.toLong, i, bIds(j), sim))
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("label", "i", "j", "sim")
+  }
+
   /** Word 5-gram shingle set (documents with ≥5 tokens). */
   private val shinglesExpr =
     "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), " +
@@ -104,14 +174,34 @@ object Llm {
       None,
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
-        val sims = docs.select(col("doc_id"), expr(
-          // per bit: count-weighted sum of ±1 over token occurrences, then
-          // sign bit (occurrence-weighted beats set-based on a small shared
-          // vocabulary, where every doc would otherwise saturate every bit)
-          "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) -> acc + " +
-            "CASE WHEN aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
-            "(c, t) -> c + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
-            "THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)").as("sim"))
+        // Occurrence-weighted 64-bit simhash in a single-pass JVM kernel
+        // (set-based saturates on a small shared vocabulary; the nested-HOF
+        // form of this is ~100× slower than the primitive loop).
+        val simhashUdf = udf { (text: String) =>
+          val cnt = new Array[Int](64)
+          var start = 0
+          val n = text.length
+          var i = 0
+          while (i <= n) {
+            if (i == n || text.charAt(i) == ' ') {
+              if (i > start) {
+                val h = fnv64(text.substring(start, i))
+                var b = 0
+                while (b < 64) {
+                  if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+                  b += 1
+                }
+              }
+              start = i + 1
+            }
+            i += 1
+          }
+          var sim = 0L
+          var b = 0
+          while (b < 64) { if (cnt(b) > 0) sim |= (1L << b); b += 1 }
+          sim
+        }
+        val sims = docs.select(col("doc_id"), simhashUdf(col("text")).as("sim"))
         val bands = sims.select(col("doc_id"), col("sim"),
           explode(expr("transform(sequence(0, 3), p -> struct(p AS band, shiftright(sim, p*16) & 65535 AS bkey))")).as("bb"))
           .select(col("doc_id"), col("sim"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
@@ -137,16 +227,49 @@ object Llm {
           "FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id) " +
           "SELECT source, i, j, jac FROM p WHERE jac >= 0.8 ORDER BY source, i, j"),
       (s, d) => {
-        val g = Tables.t(s, d, "documents").select(col("doc_id"), col("source"),
-          array_distinct(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("gr"))
-        g.select(col("source"), col("doc_id").as("i"), col("gr").as("ga"))
-          .join(g.select(col("source"), col("doc_id").as("j"), col("gr").as("gb")), "source")
-          .where(col("i") < col("j"))
-          .withColumn("jac", round(
-            size(array_intersect(col("ga"), col("gb"))).cast("double") /
-              size(array_union(col("ga"), col("gb"))).cast("double"), 6))
-          .where(col("jac") >= 0.8)
-          .select(col("source"), col("i"), col("j"), col("jac"))
+        // Per-source kernel: group docs by source, compute char-3-gram hash
+        // sets once per doc, then sorted-merge intersection over primitive
+        // long arrays. No pairwise array shuffle (the naive self-join ships
+        // both gram sets per candidate pair); groups are source-bounded, so
+        // this partitions cleanly — for giant groups the L2 banding pattern
+        // applies.
+        val sp = s
+        import sp.implicits._
+        Tables.t(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .groupByKey(_._1)
+          .flatMapGroups { (src, it) =>
+            val docs = it.toArray.sortBy(_._2).map { case (_, id, text) =>
+              val grams = new java.util.TreeSet[java.lang.Long]()
+              var i = 0
+              while (i + 3 <= text.length) { grams.add(fnv64(text.substring(i, i + 3))); i += 1 }
+              val arr = new Array[Long](grams.size)
+              val gi = grams.iterator(); var k = 0
+              while (gi.hasNext) { arr(k) = gi.next(); k += 1 }
+              (id, arr)
+            }
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
+            var a = 0
+            while (a < docs.length) {
+              var b = a + 1
+              while (b < docs.length) {
+                val (ia, ga) = docs(a); val (ib, gb) = docs(b)
+                var x = 0; var y = 0; var shared = 0
+                while (x < ga.length && y < gb.length) {
+                  if (ga(x) == gb(y)) { shared += 1; x += 1; y += 1 }
+                  else if (ga(x) < gb(y)) x += 1
+                  else y += 1
+                }
+                val jac = round6(shared.toDouble / (ga.length + gb.length - shared).toDouble)
+                if (jac >= 0.8) out += ((src, ia, ib, jac))
+                b += 1
+              }
+              a += 1
+            }
+            out
+          }
+          .toDF("source", "i", "j", "jac")
           .orderBy("source", "i", "j")
       }),
 
@@ -158,16 +281,10 @@ object Llm {
           s"round(${duckCos("a.embedding", "b.embedding")}, 6) AS sim " +
           "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
           "SELECT DISTINCT j AS drop_id FROM p WHERE sim >= 0.35 ORDER BY drop_id"),
-      (s, d) => {
-        val e = Tables.t(s, d, "embeddings")
-        val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
-        a.join(b, col("i") < col("j"))
-          .withColumn("sim", round(cosCol("ea", "eb"), 6))
-          .where(col("sim") >= 0.35)
+      (s, d) =>
+        cosinePairsFast(s, d, sameLabelOnly = false, tau = 0.35)
           .select(col("j").as("drop_id")).distinct()
-          .orderBy("drop_id")
-      }),
+          .orderBy("drop_id")),
 
     // L3 — brute-force cosine top-5 for a fixed query set (broadcast the
     // 5-row query side; rank on the rounded sim for cross-engine ties).
@@ -200,17 +317,10 @@ object Llm {
           "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
           s"WHERE round(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35 " +
           "ORDER BY label, i, j"),
-      (s, d) => {
-        val e = Tables.t(s, d, "embeddings")
-        val a = e.select(col("label"), col("vec_id").as("i"), col("embedding").as("ea"))
-        val b = e.select(col("label"), col("vec_id").as("j"), col("embedding").as("eb"))
-        a.join(b, "label")
-          .where(col("i") < col("j"))
-          .withColumn("sim", round(cosCol("ea", "eb"), 6))
-          .where(col("sim") >= 0.35)
-          .select(col("label").cast("long").as("label"), col("i"), col("j"), col("sim"))
-          .orderBy("label", "i", "j")
-      }),
+      (s, d) =>
+        cosinePairsFast(s, d, sameLabelOnly = true, tau = 0.35)
+          .select(col("label"), col("i"), col("j"), col("sim"))
+          .orderBy("label", "i", "j")),
 
     // LSH-bucketed ANN (the scale path for L3): 8 fixed pseudo-random
     // hyperplanes → 8-bit bucket; query probes only its own bucket. No
