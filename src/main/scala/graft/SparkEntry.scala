@@ -16,6 +16,7 @@ object SparkEntry {
       rel.Aggs.defs ++
       rel.Windows.defs ++
       rel.Funcs.defs ++
+      rel.Scale.defs ++
       udx.Udx.defs ++
       llm.Llm.defs ++
       fhir.FhirQueries.defs ++

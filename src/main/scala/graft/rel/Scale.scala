@@ -1,0 +1,111 @@
+package graft.rel
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scale-pattern operators: the physical-layout techniques a 100 TB
+  * deployment leans on, demonstrated end-to-end and oracle-checked.
+  *
+  *  - Partitioned output: `partitionBy` on a derived key so downstream
+  *    predicates prune whole directories (PlanSpec asserts PartitionFilters).
+  *  - Salted skew join: a hot-key dimension join salted ×16 so one key's
+  *    rows spread over 16 reducers instead of one straggler.
+  *  - Bucketed co-located join: both fact tables pre-bucketed on the join
+  *    key; the join runs with ZERO shuffle exchanges (PlanSpec asserts).
+  */
+object Scale {
+
+  /** 5-row priority dimension used by the salted-join demo; mirrored as a
+    * VALUES literal in the oracle.
+    */
+  private val prioWeights = Seq(
+    ("1-URGENT", "5.5"), ("2-HIGH", "4.25"), ("3-MEDIUM", "3.0"),
+    ("4-NOT SPECIFIED", "2.75"), ("5-LOW", "1.5"))
+
+  private def prioValuesSql: String =
+    prioWeights.map { case (p, w) => s"('$p', CAST($w AS DECIMAL(18,4)))" }
+      .mkString("(VALUES ", ", ", ") AS d(pri, weight)")
+
+  val defs: Seq[QueryDef] = Seq(
+    // Partitioned sink + pruned re-read: write orders partitioned by year,
+    // read back only one partition. The scan must touch one directory.
+    QueryDef(
+      "sink_partitioned_write",
+      Some(
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS sum_total " +
+          "FROM orders GROUP BY 1 ORDER BY 1"),
+      (s, d) => {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_part_orders"
+        Tables.t(s, d, "orders")
+          .withColumn("yr", year(col("o_orderdate")).cast("long"))
+          .write.mode("overwrite").partitionBy("yr").parquet(tmp)
+        s.read.parquet(tmp)
+          .groupBy("yr")
+          .agg(count(lit(1)).as("n"), Q.out6(sum(Q.dec4(col("o_totalprice")))).as("sum_total"))
+          .orderBy("yr")
+      }),
+
+    // Salted skew join: the dimension is exploded ×16 with a salt column,
+    // the fact derives the same salt from its row key, and the join key
+    // becomes (priority, salt) — a hot priority spreads over 16 partitions.
+    // Result is identical to the unsalted join (the oracle).
+    QueryDef(
+      "join_salted_skew",
+      Some(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(sum(d.weight) AS ${Q.D6}) AS sum_w " +
+          s"FROM orders o JOIN $prioValuesSql ON o.o_orderpriority = d.pri " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, d) => {
+        import s.implicits._
+        val dim = prioWeights.toDF("pri", "w_str")
+          .select(col("pri"), col("w_str").cast(DecimalType(18, 4)).as("weight"))
+          .withColumn("salt", explode(sequence(lit(0), lit(15))))
+        val o = Tables.t(s, d, "orders")
+          .withColumn("salt", pmod(col("o_orderkey"), lit(16)).cast("int"))
+        o.join(dim, o("o_orderpriority") === dim("pri") && o("salt") === dim("salt"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), Q.out6(sum(col("weight"))).as("sum_w"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Bucketed co-located join: both sides written bucketBy(8, key) as
+    // catalog tables; the join requires no Exchange (asserted in PlanSpec
+    // via bucketedJoinFrame below).
+    QueryDef(
+      "join_bucketed_colocated",
+      Some(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS sum_qty " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, d) =>
+        bucketedJoinFrame(s, d)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), Q.out6(sum(Q.dec4(col("l_quantity")))).as("sum_qty"))
+          .orderBy("o_orderpriority"))
+  )
+
+  /** The shuffle-free bucketed join, exposed for the plan-shape test. */
+  def bucketedJoinFrame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val suffix = Integer.toHexString(d.hashCode)
+    val (tl, to) = (s"graft_bkt_lineitem_$suffix", s"graft_bkt_orders_$suffix")
+    if (!s.catalog.tableExists(tl)) {
+      // the in-memory catalog forgets tables across JVMs but their warehouse
+      // directories persist — clear stale locations before recreating
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq(tl, to).foreach(t =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$t")))
+      Tables.t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+      Tables.t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+    }
+    // merge-hint both sides: at toy scale the planner would broadcast and
+    // ignore bucketing; the point is the shuffle-free sort-merge join
+    s.table(tl).hint("merge").join(s.table(to).hint("merge"),
+      col("l_orderkey") === col("o_orderkey"))
+  }
+}

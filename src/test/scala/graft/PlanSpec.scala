@@ -55,6 +55,22 @@ class PlanSpec extends AnyFunSuite {
     assert(df.where(col("s").isNotNull).count() == 100)
   }
 
+  test("partitioned sink: partition predicate prunes directories") {
+    SparkEntry.queries("sink_partitioned_write")(spark, sf).count() // materialize layout
+    val pruned = spark.read.parquet(s"${sys.props("java.io.tmpdir")}/graft_part_orders")
+      .where(col("yr") === 1998)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(yr"), p)
+    assert(pruned.count() > 0)
+  }
+
+  test("bucketed join: no shuffle exchange on either side") {
+    val joined = rel.Scale.bucketedJoinFrame(spark, sf)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("AnnotationRewrite: string-date predicate becomes annotation predicate") {
     opt.AnnotationRewrite.install(spark)
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_plan_annotated"
