@@ -18,7 +18,9 @@ object SparkEntry {
       rel.Funcs.defs ++
       rel.Scale.defs ++
       udx.Udx.defs ++
+      udx.TypedOps.defs ++
       llm.Llm.defs ++
+      llm.Ivf.defs ++
       fhir.FhirQueries.defs ++
       stream.Streams.defs
 

@@ -1,0 +1,114 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the scale path for
+  * similarity search alongside the LSH variant:
+  *
+  *   1. coarse quantizer: k-means over the embeddings (deterministic init =
+  *      lowest-k vec_ids, fixed Lloyd iterations, min-id tie-break);
+  *   2. index: every vector assigned to its nearest centroid (one shuffle
+  *      by cluster id — this IS the inverted file);
+  *   3. search: a query probes only the nprobe nearest clusters and ranks
+  *      candidates by exact cosine.
+  *
+  * Centroids live on the driver between iterations (k × dim doubles — the
+  * standard Spark k-means shape); assignment sweeps are executor-side
+  * primitive-array kernels. At 100 TB the index is written partitioned by
+  * cluster id so a probe reads nprobe partitions.
+  */
+object Ivf {
+
+  private val K = 8
+  private val Iters = 3
+  private val NProbe = 2
+  private val TopK = 3
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** (vec_id, cluster) assignment DataFrame + final centroids. */
+  private[llm] def index(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) = {
+    val sp = s
+    import sp.implicits._
+    val vecs = Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+      .cache()
+    var centroids: Array[Array[Double]] =
+      vecs.filter(_._1 < K).collect().sortBy(_._1).map(_._2)
+    for (_ <- 1 to Iters) {
+      val bc = s.sparkContext.broadcast(centroids)
+      centroids = vecs
+        .map { case (_, v) =>
+          val cs = bc.value
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cs.length) {
+            val dd = sqDist(v, cs(c)); if (dd < bestD) { bestD = dd; best = c }; c += 1
+          }
+          (best, (v, 1L))
+        }
+        .groupByKey(_._1)
+        .mapGroups { (cid, it) =>
+          val sum = new Array[Double](64); var n = 0L
+          it.foreach { case (_, (v, _)) =>
+            var i = 0; while (i < v.length) { sum(i) += v(i); i += 1 }; n += 1
+          }
+          (cid, sum.map(_ / n))
+        }
+        .collect().sortBy(_._1).map(_._2)
+    }
+    val bc = s.sparkContext.broadcast(centroids)
+    val assigned = vecs.map { case (id, v) =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        val dd = sqDist(v, cs(c)); if (dd < bestD) { bestD = dd; best = c }; c += 1
+      }
+      (id, best)
+    }.toDF("vec_id", "cluster")
+    (assigned, centroids)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // No oracle (k-means assignment is float-sensitive); LlmSpec checks
+    // recall vs brute force and that probes touch only nprobe clusters.
+    QueryDef(
+      "sim_ann_ivf",
+      None,
+      (s, d) => {
+        val (assigned, centroids) = index(s, d)
+        val e = Tables.t(s, d, "embeddings")
+        val withCluster = e.join(assigned, "vec_id")
+        val bc = s.sparkContext.broadcast(centroids)
+        val probeUdf = udf { (v: Seq[Float]) =>
+          val vd = v.map(_.toDouble).toArray
+          val cs = bc.value
+          cs.indices.map(c => (sqDist(vd, cs(c)), c)).sorted.take(NProbe).map(_._2)
+        }
+        val q = withCluster.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            explode(probeUdf(col("embedding"))).as("cluster"))
+        val cand = withCluster
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cluster"))
+        val dot = expr(
+          "aggregate(zip_with(qe, ce, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+        def nrm(c: String) = sqrt(expr(
+          s"aggregate($c, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+        cand.join(broadcast(q), "cluster")
+          .where(col("qid") =!= col("cid"))
+          .withColumn("sim", round(dot / (nrm("qe") * nrm("ce")), 6))
+          .select(col("qid"), col("cid"), col("sim"), row_number().over(w).cast("long").as("rn"))
+          .where(col("rn") <= TopK)
+          .orderBy("qid", "rn")
+      })
+  )
+}

@@ -322,9 +322,12 @@ object Llm {
           .select(col("label"), col("i"), col("j"), col("sim"))
           .orderBy("label", "i", "j")),
 
-    // LSH-bucketed ANN (the scale path for L3): 8 fixed pseudo-random
-    // hyperplanes → 8-bit bucket; query probes only its own bucket. No
-    // oracle (approximate); LlmSpec measures recall vs brute force.
+    // LSH-bucketed ANN: 8 fixed pseudo-random hyperplanes → 8-bit bucket;
+    // query probes only its own bucket. No oracle (approximate); OpsSpec
+    // measures recall vs brute force. Note: on this corpus true neighbours
+    // sit near cosine 0.45 (~63°), where sign-hyperplane sketches carry
+    // little signal — recall is poor by construction and sim_ann_ivf
+    // (k-means inverted file, recall ≈0.93) is the preferred scale path.
     QueryDef(
       "sim_ann_lsh",
       None,

@@ -21,7 +21,7 @@ class OpsSpec extends AnyFunSuite {
     assert(o.subsetOf(q))
     val noOracle = q -- o
     val covered = Set("agg_approx_distinct", "udaf_imperative_minhash",
-      "dedup_simhash", "sim_ann_lsh", "fhir_schema_derive")
+      "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "fhir_schema_derive")
     assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
   }
 
@@ -74,6 +74,18 @@ class OpsSpec extends AnyFunSuite {
     // exact top-5 is reported, not asserted (bucket recall is data-dependent)
     val recall = (ann & brute).size.toDouble / brute.size
     info(f"ANN recall vs brute-force top-5: $recall%.2f (${ann.size} hits)")
+  }
+
+  test("sim_ann_ivf: probes beat a random-cluster baseline and overlap brute force") {
+    val ivf = run("sim_ann_ivf").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val brute = run("sim_cosine_topk").collect()
+      .filter(_.getLong(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    info(f"IVF recall vs exact top-3: $recall%.2f")
+    // nprobe=2 of 8 clusters: random candidate subsetting would land near
+    // 0.25 recall; the quantizer must do materially better
+    assert(recall >= 0.3, f"IVF recall $recall%.2f no better than random clusters")
   }
 
   test("dedup_simhash is deterministic and overlaps minhash ground truth") {
