@@ -36,7 +36,9 @@ object FhirCodec {
         finally p.close()
       }
     }(Encoders.row(schema))
-    rows.toDF()
+    // Encoders.row drops nested field metadata (fhirType=decimal); re-apply
+    // the full schema so decode can re-emit decimals as raw JSON numbers.
+    rows.toDF().to(schema)
   }
 
   def encode(ndjson: DataFrame, schema: StructType): DataFrame =
@@ -79,43 +81,70 @@ object FhirCodec {
     }
   }
 
-  /** Spec DataFrame → FHIR NDJSON. */
-  def decode(df: DataFrame): Dataset[String] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val st = df.schema
-    val kept = st.fields.filterNot(_.name.startsWith("__"))
-    val cols = kept.map(f => prune(col(f.name), f.dataType).as(f.name))
-    df.select(to_json(struct(cols.toIndexedSeq: _*)).as("value")).as[String]
-  }
-
-  /** Schema with `__*` annotation fields removed, recursively. */
-  def strippedType(dt: DataType): DataType = dt match {
-    case st: StructType =>
-      StructType(st.fields.filterNot(_.name.startsWith("__"))
-        .map(f => StructField(f.name, strippedType(f.dataType), nullable = true)))
-    case at: ArrayType => ArrayType(strippedType(at.elementType), containsNull = true)
-    case other => other
-  }
-
-  /** Null-prune a column: annotation fields dropped, structs whose pruned
-    * children are all null become null, arrays drop null elements and empty
-    * arrays become null. Pure Column expressions — codegen-friendly, no UDFs.
+  /** Spec DataFrame → FHIR NDJSON via a per-partition Jackson writer:
+    * `__*` annotation fields are skipped, null leaves / all-null structs /
+    * empty arrays are pruned (so required-struct encodings don't grow empty
+    * objects), and string fields carrying `fhirType=decimal` metadata (set
+    * by FhirSchema.deriveSchema) are re-emitted as raw JSON numbers —
+    * restoring the original FHIR number tokens exactly. Tables read from
+    * plain parquet have no such metadata and decode decimals as strings
+    * (the distinction is not recoverable from the parquet schema alone).
     */
-  private def prune(c: Column, dt: DataType): Column = dt match {
-    case st: StructType =>
-      val kept = st.fields.filterNot(_.name.startsWith("__"))
-      val children = kept.map(f => prune(c.getField(f.name), f.dataType).as(f.name))
-      if (children.isEmpty) lit(null).cast(strippedType(st))
-      else {
-        val rebuilt = struct(children.toIndexedSeq: _*)
-        val anyNonNull = children.map(_.isNotNull).reduce(_ || _)
-        when(c.isNotNull && anyNonNull, rebuilt).otherwise(lit(null).cast(strippedType(st)))
-      }
-    case at: ArrayType =>
-      val cleaned = filter(transform(c, x => prune(x, at.elementType)), _.isNotNull)
-      when(c.isNotNull && size(cleaned) > 0, cleaned)
-        .otherwise(lit(null).cast(strippedType(at)))
-    case _ => c
+  def decode(df: DataFrame): Dataset[String] = {
+    val schema = df.schema
+    df.map(row => writeDoc(row, schema))(Encoders.STRING)
   }
+
+  private val RawNumber = """-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?""".r
+
+  private def writeDoc(row: Row, st: StructType): String = {
+    val sw = new java.io.StringWriter()
+    val gen = new JsonFactory().createGenerator(sw)
+    writeStruct(gen, row, st)
+    gen.close()
+    sw.toString
+  }
+
+  /** Anything here worth emitting? (drives null/empty pruning) */
+  private def nonEmpty(v: Any, dt: DataType): Boolean = (v, dt) match {
+    case (null, _) => false
+    case (r: Row, st: StructType) =>
+      st.fields.zipWithIndex.exists { case (f, i) =>
+        !f.name.startsWith("__") && nonEmpty(r.get(i), f.dataType)
+      }
+    case (s: scala.collection.Seq[_], at: ArrayType) =>
+      s.exists(e => nonEmpty(e, at.elementType))
+    case _ => true
+  }
+
+  private def writeStruct(gen: com.fasterxml.jackson.core.JsonGenerator, r: Row, st: StructType): Unit = {
+    gen.writeStartObject()
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      val v = r.get(i)
+      if (!f.name.startsWith("__") && nonEmpty(v, f.dataType)) {
+        gen.writeFieldName(f.name)
+        writeValue(gen, v, f.dataType, FhirSchema.isDecimalField(f))
+      }
+    }
+    gen.writeEndObject()
+  }
+
+  private def writeValue(gen: com.fasterxml.jackson.core.JsonGenerator, v: Any,
+      dt: DataType, rawDecimal: Boolean): Unit = (v, dt) match {
+    case (r: Row, st: StructType) => writeStruct(gen, r, st)
+    case (s: scala.collection.Seq[_], at: ArrayType) =>
+      gen.writeStartArray()
+      s.foreach(e => if (nonEmpty(e, at.elementType)) writeValue(gen, e, at.elementType, rawDecimal))
+      gen.writeEndArray()
+    case (s: String, StringType) if rawDecimal && RawNumber.matches(s) => gen.writeRawValue(s)
+    case (s: String, _) => gen.writeString(s)
+    case (b: Boolean, _) => gen.writeBoolean(b)
+    case (i: Int, _) => gen.writeNumber(i)
+    case (l: Long, _) => gen.writeNumber(l)
+    case (d: Double, _) => gen.writeNumber(d)
+    case (d: java.math.BigDecimal, _) => gen.writeNumber(d)
+    case (other, t) =>
+      throw new IllegalArgumentException(s"unsupported decode value $other: ${t.simpleString}")
+  }
+
 }

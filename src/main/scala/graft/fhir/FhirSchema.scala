@@ -28,12 +28,26 @@ object FhirSchema {
   def deriveSchema(spark: SparkSession, resources: Dataset[String]): StructType =
     rewrite(spark.read.json(resources).schema, top = true).asInstanceOf[StructType]
 
+  /** Field metadata marking a StringType column that carries FHIR decimal
+    * text — decode re-emits such values as raw JSON numbers.
+    */
+  val DecimalMeta: Metadata =
+    new MetadataBuilder().putString("fhirType", "decimal").build()
+
+  def isDecimalField(f: StructField): Boolean =
+    f.metadata.contains("fhirType") && f.metadata.getString("fhirType") == "decimal"
+
   private def rewrite(dt: DataType, top: Boolean = false): DataType = dt match {
     case st: StructType =>
       val fields = st.fields
         .map { f =>
           val required = top && f.name == "resourceType"
-          StructField(f.name, rewrite(f.dataType), nullable = !required)
+          val meta = f.dataType match {
+            case _: DoubleType | _: DecimalType | _: FloatType => DecimalMeta
+            case ArrayType(_: DoubleType | _: DecimalType | _: FloatType, _) => DecimalMeta
+            case _ => Metadata.empty
+          }
+          StructField(f.name, rewrite(f.dataType), nullable = !required, metadata = meta)
         }
         .sortBy(_.name)
       StructType(fields)
