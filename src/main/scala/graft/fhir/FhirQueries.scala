@@ -94,24 +94,33 @@ object FhirQueries {
           .orderBy(col("id"), col("gender").asc_nulls_first, col("birthDate").asc_nulls_first)
       }),
 
-    // A5 — conformance: resourceType presence/uniformity (README.md:29-41)
-    // + FHIR value-format regexes (README.md:84-86).
+    // A5 — conformance over ALL golden tables: resourceType presence and
+    // uniformity (README.md:29-41) per table, + FHIR value-format regexes
+    // (README.md:84-86) on the Patient fields that carry them.
     QueryDef(
       "fhir_conformance_check",
       Some(
-        "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
-          "CAST(count(CASE WHEN resourceType IS NULL THEN 1 END) AS BIGINT) AS n_null_rt, " +
-          "CAST(count(DISTINCT resourceType) AS BIGINT) AS nd_rt, " +
-          "CAST(count(CASE WHEN NOT regexp_matches(birthDate, '^\\d{4}(-\\d{2}(-\\d{2})?)?$') THEN 1 END) AS BIGINT) AS n_bad_birthdate, " +
-          "CAST(count(CASE WHEN gender NOT IN ('male', 'female', 'other', 'unknown') THEN 1 END) AS BIGINT) AS n_bad_gender " +
-          s"FROM read_parquet('$G/Patient.parquet')"),
+        Seq("ExplanationOfBenefit", "Observation", "Patient").map { n =>
+          s"SELECT '$n' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, " +
+            "CAST(count(CASE WHEN resourceType IS NULL THEN 1 END) AS BIGINT) AS n_null_rt, " +
+            "CAST(count(DISTINCT resourceType) AS BIGINT) AS nd_rt, " +
+            (if (n == "Patient")
+              "CAST(count(CASE WHEN NOT regexp_matches(birthDate, '^\\d{4}(-\\d{2}(-\\d{2})?)?$') THEN 1 END) AS BIGINT) AS n_bad_fmt "
+            else "CAST(0 AS BIGINT) AS n_bad_fmt ") +
+            s"FROM read_parquet('$G/$n.parquet')"
+        }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl")),
       (s, d) =>
-        Tables.golden(s, "Patient").agg(
-          count(lit(1)).as("n_rows"),
-          count(when(col("resourceType").isNull, 1)).as("n_null_rt"),
-          countDistinct(col("resourceType")).as("nd_rt"),
-          count(when(!col("birthDate").rlike("^\\d{4}(-\\d{2}(-\\d{2})?)?$"), 1)).as("n_bad_birthdate"),
-          count(when(!col("gender").isin("male", "female", "other", "unknown"), 1)).as("n_bad_gender"))),
+        Seq("ExplanationOfBenefit", "Observation", "Patient").map { n =>
+          val df = Tables.golden(s, n)
+          df.agg(
+            count(lit(1)).as("n_rows"),
+            count(when(col("resourceType").isNull, 1)).as("n_null_rt"),
+            countDistinct(col("resourceType")).as("nd_rt"),
+            (if (n == "Patient")
+              count(when(!col("birthDate").rlike("^\\d{4}(-\\d{2}(-\\d{2})?)?$"), 1))
+            else count(lit(null))).as("n_bad_fmt"))
+            .select(lit(n).as("tbl"), col("n_rows"), col("n_null_rt"), col("nd_rt"), col("n_bad_fmt"))
+        }.reduce(_ union _).orderBy("tbl")),
 
     // A6 — date-range annotation columns. Golden data has date-precision
     // birthDate and second-precision offset dateTimes; partial-precision

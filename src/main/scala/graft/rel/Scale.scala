@@ -27,7 +27,32 @@ object Scale {
     prioWeights.map { case (p, w) => s"('$p', CAST($w AS DECIMAL(18,4)))" }
       .mkString("(VALUES ", ", ", ") AS d(pri, weight)")
 
+  /** TPC-H Q3-shaped SQL, written once in the ANSI dialect both engines
+    * accept — Spark executes it via spark.sql over temp views, DuckDB runs
+    * the identical text as the oracle.
+    */
+  private val q3Sql =
+    "SELECT o_orderkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue, " +
+      "o_orderdate, o_orderpriority " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+      "AND l_shipdate > TIMESTAMP '1998-01-01' " +
+      "GROUP BY o_orderkey, o_orderdate, o_orderpriority " +
+      "ORDER BY revenue DESC, o_orderkey LIMIT 20"
+
   val defs: Seq[QueryDef] = Seq(
+    // SQL entry point: the same ANSI text runs in Spark (spark.sql) and
+    // DuckDB — dialect-portable by construction.
+    QueryDef(
+      "sql_api_q3",
+      Some(q3Sql),
+      (s, d) => {
+        Seq("customer", "orders", "lineitem").foreach(t =>
+          Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q3Sql)
+      }),
+
     // Partitioned sink + pruned re-read: write orders partitioned by year,
     // read back only one partition. The scan must touch one directory.
     QueryDef(
