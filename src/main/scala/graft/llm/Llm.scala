@@ -145,9 +145,15 @@ object Llm {
         val docs = Tables.t(s, d, "documents")
         val sh = docs.where(size(split(col("text"), " ")) >= 5)
           .select(col("doc_id"), expr(shinglesExpr).as("sh"))
-        val sigs = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-          .select(col("doc_id"), xxhash64(col("g")).as("h"))
-          .groupBy("doc_id").agg(Udx.minhash(col("h")).as("sig"))
+        // per-document single-pass signature kernel: same affine
+        // permutations as the K3 group aggregator, but no explode/shuffle —
+        // a row's signature never needs to leave its partition
+        val sigUdf = udf { (grams: Seq[String]) =>
+          val buf = Udx.MinHashSig.zero
+          grams.foreach(g => Udx.MinHashSig.reduce(buf, fnv64(g)))
+          buf
+        }
+        val sigs = sh.select(col("doc_id"), sigUdf(col("sh")).as("sig"))
         val bands = sigs.select(col("doc_id"),
           explode(expr("transform(sequence(0, 31), b -> struct(b AS band, xxhash64(slice(sig, b*2+1, 2)) AS bkey))")).as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
