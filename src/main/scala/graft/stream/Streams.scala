@@ -161,6 +161,34 @@ object Streams {
           .orderBy("ws")
       }),
 
+    // Stream-stream interval join: clicks attributed to a purchase by the
+    // same user within the preceding 2 hours, both sides watermarked (the
+    // watermark + time bound is what lets Spark expire join state — without
+    // it a stream-stream join buffers forever). Inner join emits matches as
+    // found, so the bounded run equals the batch interval join.
+    QueryDef(
+      "stream_stream_join",
+      Some(
+        "SELECT p.event_id AS p_id, c.event_id AS c_id, CAST(epoch_ms(p.ts) AS BIGINT) AS p_ms " +
+          "FROM events p JOIN events c ON p.event_type = 'purchase' AND c.event_type = 'click' " +
+          "AND c.user_id = p.user_id AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts " +
+          "ORDER BY p_id, c_id"),
+      (s, d) => {
+        val purchases = streamEvents(s, d).where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts_ts").as("p_ts"), expr("ts div 1000000").as("p_ms"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = streamEvents(s, d).where(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts_ts").as("c_ts"))
+          .withWatermark("c_ts", "3 hours")
+        val joined = purchases.join(clicks,
+          col("c_user") === col("p_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
+            col("c_ts") <= col("p_ts"))
+          .select(col("p_id"), col("c_id"), col("p_ms"))
+        runToTable(joined, "graft_jss", "append").orderBy("p_id", "c_id")
+      }),
+
     // J6 — arbitrary stateful aggregation: per-user running (count, sum)
     // via flatMapGroupsWithState. Sum kept in exact 1e-4 units (Long) so
     // state merge order cannot perturb the result.
