@@ -1,9 +1,9 @@
 package graft.stream
 
 import graft.{Q, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, ValueState}
 
 /** SURVEY §2.J — Structured Streaming over the events table, run as a
   * bounded stream with Trigger.AvailableNow so tumbling/sliding/session/
@@ -15,6 +15,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * is the one you would run against a real source with a parquet/Kafka sink.
   */
 object Streams {
+
+  /** Spark 4 transformWithState processor: per-user running max (RocksDB
+    * state store). Max is order-independent, so the result is exact.
+    */
+  class RunningMax extends StatefulProcessor[Long, (Long, Double), (Long, Double)] {
+    @transient private var maxState: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      maxState = getHandle.getValueState[Double]("max", Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Double)] = {
+      var mx = if (maxState.exists()) maxState.get() else Double.MinValue
+      rows.foreach { case (_, v) => if (v > mx) mx = v }
+      maxState.update(mx)
+      Iterator((key, mx))
+    }
+  }
 
   private def streamEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -187,6 +204,34 @@ object Streams {
             col("c_ts") <= col("p_ts"))
           .select(col("p_id"), col("c_id"), col("p_ms"))
         runToTable(joined, "graft_jss", "append").orderBy("p_id", "c_id")
+      }),
+
+    // Spark 4 transformWithState (successor of flatMapGroupsWithState):
+    // per-user running max through a StatefulProcessor with a RocksDB-backed
+    // ValueState. Single bounded batch ⇒ final state == batch max.
+    QueryDef(
+      "stream_transform_with_state",
+      Some(
+        "SELECT user_id, max(value) AS max_val FROM events GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val sp = s
+          import sp.implicits._
+          val updated = streamEvents(s, d)
+            .select(col("user_id"), col("value"))
+            .as[(Long, Double)]
+            .groupByKey(_._1)
+            .transformWithState(new RunningMax, TimeMode.None(), OutputMode.Append())
+            .toDF("user_id", "max_val")
+          runToTable(updated, "graft_tws", "append").orderBy("user_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
       }),
 
     // J6 — arbitrary stateful aggregation: per-user running (count, sum)
