@@ -21,6 +21,7 @@ object SparkEntry {
       udx.TypedOps.defs ++
       llm.Llm.defs ++
       llm.Ivf.defs ++
+      llm.Pipeline.defs ++
       fhir.FhirQueries.defs ++
       stream.Streams.defs
 

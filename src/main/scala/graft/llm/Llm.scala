@@ -106,7 +106,7 @@ object Llm {
   }
 
   /** Word 5-gram shingle set (documents with ≥5 tokens). */
-  private val shinglesExpr =
+  private[llm] val shinglesExpr =
     "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), " +
       "i -> concat_ws(' ', slice(split(text, ' '), i, 5))))"
 

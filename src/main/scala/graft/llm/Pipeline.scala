@@ -1,0 +1,134 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond SURVEY §2.L's dedup/similarity
+  * core: deterministic dataset splitting, PII redaction, context chunking,
+  * and benchmark decontamination. All four are the standard curation steps
+  * between "raw crawl" and "training shards" in an LLM data pipeline
+  * (driver mandate, BASELINE.json:6).
+  *
+  * Scale posture (100 TB): each is a single narrow pass (split/redact/chunk)
+  * or a candidate-generation join on small keys (decontaminate: shuffles
+  * 5-gram strings, not documents), so all partition cleanly. Splitting is
+  * hash-based, not random — reproducible across runs, engines, and
+  * re-partitioning, which sampleBy(seed) is not.
+  */
+object Pipeline {
+
+  /** Deterministic split assignment: first hex char of md5(doc_id) —
+    * '0'..'b' → train (12/16), 'c'..'d' → val (2/16), 'e'..'f' → test.
+    * md5 of the decimal string is identical in Spark and DuckDB, so the
+    * assignment (not just the proportions) is engine-portable.
+    */
+  private val splitCol = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    when(h < "c", "train").when(h < "e", "val").otherwise("test")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // Deterministic train/val/test split: hash-assigned, with per-split
+    // corpus stats (doc count, total chars, languages covered).
+    QueryDef(
+      "split_train_test",
+      Some(
+        "SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train' " +
+          "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'val' ELSE 'test' END AS split, " +
+          "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+          "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs " +
+          "FROM documents GROUP BY 1 ORDER BY split"),
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .withColumn("split", splitCol)
+          .groupBy("split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("split")),
+
+    // PII redaction: regex masking of emails and phone-like digit runs.
+    // The synthetic corpus carries no PII, so a deterministic PII suffix is
+    // appended first — the redaction plumbing (two codegen'd regexp_replace
+    // passes + a match counter) is what the operator demonstrates.
+    QueryDef(
+      "text_pii_redact",
+      Some(
+        "WITH synth AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+          "'@example.com or call 555-' || (doc_id*7)%10000 AS s FROM documents) " +
+          "SELECT doc_id, regexp_replace(regexp_replace(s, '[a-z0-9]+@[a-z]+[.][a-z]+', '<EMAIL>', 'g'), " +
+          "'[0-9]{3}-[0-9]+', '<PHONE>', 'g') AS redacted, " +
+          "CAST(len(regexp_extract_all(s, '[a-z0-9]+@[a-z]+[.][a-z]+')) AS BIGINT) AS n_emails " +
+          "FROM synth ORDER BY doc_id"),
+      (s, d) => {
+        val email = "[a-z0-9]+@[a-z]+[.][a-z]+"
+        val phone = "[0-9]{3}-[0-9]+"
+        Tables.t(s, d, "documents")
+          .withColumn("s", concat(
+            col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or call 555-"), pmod(col("doc_id") * 7, lit(10000))))
+          .select(
+            col("doc_id"),
+            regexp_replace(regexp_replace(col("s"), email, "<EMAIL>"), phone, "<PHONE>").as("redacted"),
+            size(expr(s"regexp_extract_all(s, '$email', 0)")).cast("long").as("n_emails"))
+          .orderBy("doc_id")
+      }),
+
+    // Context chunking: token windows of 16 with stride 8 (half-window
+    // overlap); trailing fragments under half a window are dropped unless
+    // they are the document's only chunk. One explode, no shuffle until the
+    // final presentation sort.
+    QueryDef(
+      "doc_chunk_overlap",
+      Some(
+        "WITH w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+          "c AS (SELECT doc_id, i AS start, list_slice(toks, i, i+15) AS chunk " +
+          "FROM w, unnest(generate_series(1, len(toks), 8)) AS t(i)) " +
+          "SELECT doc_id, CAST(start AS BIGINT) AS start, CAST(len(chunk) AS BIGINT) AS n_tokens, " +
+          "array_to_string(chunk, ' ') AS chunk_text " +
+          "FROM c WHERE start = 1 OR len(chunk) >= 8 ORDER BY doc_id, start"),
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(expr("sequence(1, size(toks), 8)")).as("start"))
+          .select(
+            col("doc_id"),
+            col("start").cast("long").as("start"),
+            expr("slice(toks, start, 16)").as("chunk"))
+          .where(col("start") === 1 || size(col("chunk")) >= 8)
+          .select(
+            col("doc_id"), col("start"),
+            size(col("chunk")).cast("long").as("n_tokens"),
+            concat_ws(" ", col("chunk")).as("chunk_text"))
+          .orderBy("doc_id", "start")),
+
+    // Benchmark decontamination: every non-benchmark document sharing ≥1
+    // word-5-gram with the "benchmark" partition (doc_id % 50 = 0 stands in
+    // for an eval set). Grams are deduplicated per side before the join, so
+    // only distinct small strings shuffle — the candidate-generation shape
+    // that survives 100 TB (documents never move).
+    QueryDef(
+      "decontaminate_ngram",
+      Some(
+        "WITH s AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS sh " +
+          "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 5), " +
+          "g AS (SELECT doc_id, unnest(sh) AS gram FROM s), " +
+          "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0) " +
+          "SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared " +
+          "FROM g JOIN b USING (gram) WHERE g.doc_id % 50 != 0 " +
+          "GROUP BY g.doc_id ORDER BY g.doc_id"),
+      (s, d) => {
+        val grams = Tables.t(s, d, "documents")
+          .where(size(split(col("text"), " ")) >= 5)
+          .select(col("doc_id"), explode(expr(Llm.shinglesExpr)).as("gram"))
+        val bench = grams.where(col("doc_id") % 50 === 0).select("gram").distinct()
+        grams.where(col("doc_id") % 50 =!= 0)
+          .join(broadcast(bench), "gram")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("gram")).as("n_shared"))
+          .orderBy("doc_id")
+      })
+  )
+}
