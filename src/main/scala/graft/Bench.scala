@@ -14,6 +14,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up action (untimed): absorbs one-time JVM/classloader/codegen
+    // and parquet-footer cost so per-query timings reflect steady state.
+    try SparkEntry.queries("agg_hash_group")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

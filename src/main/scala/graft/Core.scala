@@ -23,8 +23,19 @@ final case class QueryDef(
 object Tables {
   val goldenDir = "/root/reference/examples"
 
+  /** Session-scoped table catalog: `spark.read.parquet` re-lists files and
+    * re-reads footers on every call, which at ~2 reads/query × ~100 queries
+    * is pure fixed overhead. A DataFrame is an immutable plan, so caching
+    * the reader result per (session, path) is safe. (Plans stay lazy — this
+    * caches file listing + schema, never data.)
+    */
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readCache.computeIfAbsent(
+      (spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   /** events.ts is parquet TIMESTAMP(NANOS): Spark 4.x refuses it unless
     * `spark.sql.legacy.parquet.nanosAsLong=true` (then: LongType nanos).

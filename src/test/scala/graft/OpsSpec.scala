@@ -25,6 +25,42 @@ class OpsSpec extends AnyFunSuite {
     assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
   }
 
+  test("doc_chunk_overlap covers every token and overlaps by half a window") {
+    val chunks = run("doc_chunk_overlap")
+      .select("doc_id", "start", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val lens = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lens.foreach { case (id, n) =>
+      val cs = chunks(id).sortBy(_._2)
+      // full coverage: the 8-token stride grid always has a start within
+      // 15 tokens of the end, so the union of [start, start+n_tokens-1]
+      // must be exactly [1, n]
+      assert(cs.head._2 == 1L, s"doc $id first chunk")
+      val covered = cs.foldLeft(0L) { case (hi, (_, s, len)) =>
+        assert(s <= hi + 1, s"doc $id gap before token $s"); math.max(hi, s + len - 1)
+      }
+      assert(covered == n, s"doc $id covered $covered of $n")
+      cs.sliding(2).foreach {
+        case Array((_, s1, _), (_, s2, _)) => assert(s2 - s1 == 8L)
+        case _ =>
+      }
+    }
+  }
+
+  test("split_train_test is a pure function of doc_id (repartition-invariant)") {
+    val a = run("split_train_test").collect().map(_.toSeq).toSeq
+    val b = run("split_train_test").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // expected proportions from the md5 first-hex-char buckets: 12/2/2 of 16
+    val n = a.map(r => r(1).asInstanceOf[Long]).sum.toDouble
+    val byName = a.map(r => r(0).toString -> r(1).asInstanceOf[Long]).toMap
+    assert(byName("train") / n > 0.6 && byName("train") / n < 0.9)
+    assert(byName.values.sum == n.toLong)
+  }
+
   test("E4 approx_count_distinct within 10% of exact") {
     val rows = run("agg_approx_distinct").collect()
     val exact = Tables.t(spark, sf, "customer")
