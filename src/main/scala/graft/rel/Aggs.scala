@@ -86,6 +86,28 @@ object Aggs {
             count(lit(1)).as("n"))
           .orderBy("c_nationkey")),
 
+    // Mergeable-sketch re-aggregation: per-nation Datasketches HLL sketches
+    // of buying customers, then union-merged to a global estimate WITHOUT
+    // touching the base table again — the pattern that makes rollups cheap
+    // at 100 TB (per-partition sketch state is a few KB; only sketches
+    // shuffle on re-aggregation). No oracle (sketch estimates are
+    // Spark-specific; OpsSpec bounds them against exact counts and asserts
+    // merged == direct-over-union).
+    QueryDef(
+      "agg_sketch_merge",
+      None,
+      (s, d) => {
+        val perNation = Tables.t(s, d, "customer")
+          .groupBy("c_nationkey")
+          .agg(expr("hll_sketch_agg(c_custkey)").as("sk"),
+            count(lit(1)).as("n"))
+        perNation
+          .agg(
+            expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total"),
+            sum(col("n")).as("n_rows"))
+          .selectExpr("CAST(est_total AS BIGINT) AS est_total", "n_rows")
+      }),
+
     // E5 — GROUPING SETS ((n_name),(c_mktsegment),()) with grouping_id.
     QueryDef(
       "agg_grouping_sets",

@@ -21,7 +21,8 @@ class OpsSpec extends AnyFunSuite {
     assert(o.subsetOf(q))
     val noOracle = q -- o
     val covered = Set("agg_approx_distinct", "udaf_imperative_minhash",
-      "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "fhir_schema_derive")
+      "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "fhir_schema_derive",
+      "agg_sketch_merge")
     assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
   }
 
@@ -59,6 +60,19 @@ class OpsSpec extends AnyFunSuite {
     val byName = a.map(r => r(0).toString -> r(1).asInstanceOf[Long]).toMap
     assert(byName("train") / n > 0.6 && byName("train") / n < 0.9)
     assert(byName.values.sum == n.toLong)
+  }
+
+  test("agg_sketch_merge: union of per-nation sketches matches exact and direct") {
+    val row = run("agg_sketch_merge").collect().head
+    val est = row.getLong(0)
+    val customer = Tables.t(spark, sf, "customer")
+    val exact = customer.select(countDistinct(col("c_custkey"))).collect().head.getLong(0)
+    assert(math.abs(est - exact).toDouble / exact <= 0.05, s"est $est vs exact $exact")
+    // merging per-group sketches must agree with one sketch over everything
+    val direct = customer
+      .agg(expr("CAST(hll_sketch_estimate(hll_sketch_agg(c_custkey)) AS BIGINT)"))
+      .collect().head.getLong(0)
+    assert(est == direct)
   }
 
   test("E4 approx_count_distinct within 10% of exact") {
