@@ -39,6 +39,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("topk_order_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("decontaminate: benchmark gram side broadcasts, documents never shuffle grams pairwise") {
+    val p = plan("decontaminate_ngram")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "gram join fell back to a full shuffle")
+  }
+
   test("E1: aggregation is partial (map-side) then final") {
     val p = plan("agg_hash_group")
     assert(p.contains("HashAggregate"))
