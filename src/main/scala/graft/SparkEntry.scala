@@ -22,6 +22,7 @@ object SparkEntry {
       llm.Llm.defs ++
       llm.Ivf.defs ++
       llm.Pipeline.defs ++
+      llm.Multimodal.defs ++
       fhir.FhirQueries.defs ++
       stream.Streams.defs
 
