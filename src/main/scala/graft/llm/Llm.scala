@@ -143,8 +143,16 @@ object Llm {
           "SELECT i, j, jac FROM p WHERE jac >= 0.5 ORDER BY i, j"),
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
+        // The shingle table is consumed three times (signature pass + both
+        // sides of the verification join); without persist the plan forks
+        // recompute the interpreted shingling HOF 3× over every document.
+        // Space cost is ~the token count of the corpus; the ContextCleaner
+        // drops the blocks once the query's references are collected. At
+        // 100 TB this is the same call with a disk-backed level — or
+        // recompute, if shingling is cheaper than the I/O.
         val sh = docs.where(size(split(col("text"), " ")) >= 5)
           .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // per-document single-pass signature kernel: same affine
         // permutations as the K3 group aggregator, but no explode/shuffle —
         // a row's signature never needs to leave its partition
