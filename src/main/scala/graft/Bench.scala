@@ -23,10 +23,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-dp rounding keeps the JSON line compact (~1.5 KB for 101 queries):
+    // BENCH_r01's stdout capture was truncated mid-JSON, so every byte of
+    // slack lowers the risk the driver's parse fails.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // BENCH_r01 lesson: stdout alone is fragile (sbt [success] noise after
+    // the JSON line / truncation broke the driver's parse). Persist to a
+    // file too, stop Spark BEFORE printing so no further log lines follow,
+    // and make the JSON the final stdout line.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), json)
     spark.stop()
+    println(json)
   }
 }

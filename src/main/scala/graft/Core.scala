@@ -55,13 +55,20 @@ object Tables {
 }
 
 /** Hash-match helpers (SURVEY §7.4): double measures are cast to
-  * DECIMAL(18,4) before aggregation (exact, order-independent sums) and all
-  * decimal outputs normalized to DECIMAL(38,6) so Spark and DuckDB agree on
-  * both value and type.
+  * DECIMAL(18,4) before aggregation (exact, order-independent sums), decimal
+  * results rounded at DECIMAL(38,6), and every FINAL output column emitted
+  * as DOUBLE. The driver's pandas hasher sees different representations for
+  * Spark-parquet vs DuckDB decimals (CORRECTNESS_r01: 27 hash-fails with
+  * rows+schema matching), while an identical decimal value cast to DOUBLE is
+  * bit-identical in both engines. Oracle SQL mirrors this with
+  * `CAST(x AS DECIMAL(38,6))::DOUBLE`.
   */
 object Q {
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
-  def out6(c: Column): Column = c.cast(DecimalType(38, 6))
+  /** Final-output normalizer: exact decimal rounded to 6 dp, then DOUBLE. */
+  def out6(c: Column): Column = c.cast(DecimalType(38, 6)).cast(DoubleType)
+  /** Final-output form of a raw measure rounded at 4 dp. */
+  def out4(c: Column): Column = c.cast(DecimalType(18, 4)).cast(DoubleType)
   val one4: Column = lit(1).cast(DecimalType(18, 4))
   /** DuckDB-side equivalents, for readability of oracle SQL strings. */
   final val D4 = "DECIMAL(18,4)"

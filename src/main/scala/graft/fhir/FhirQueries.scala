@@ -151,8 +151,8 @@ object FhirQueries {
       "fhir_annotate_decimal_numeric",
       Some(
         "SELECT id, valueQuantity.value AS val_str, " +
-          "CAST(valueQuantity.value AS DECIMAL(38,6)) AS val_num, " +
-          "valueQuantity.__value_numeric AS file_num, " +
+          "CAST(valueQuantity.value AS DECIMAL(38,6))::DOUBLE AS val_num, " +
+          "valueQuantity.__value_numeric::DOUBLE AS file_num, " +
           "CAST(valueQuantity.value AS DECIMAL(38,6)) = valueQuantity.__value_numeric AS matches " +
           s"FROM read_parquet('$G/Observation.parquet') WHERE valueQuantity.value IS NOT NULL ORDER BY id"),
       (s, d) =>
@@ -161,8 +161,8 @@ object FhirQueries {
           .select(
             col("id"),
             col("valueQuantity.value").as("val_str"),
-            FhirAnnotations.numeric(col("valueQuantity.value")).as("val_num"),
-            col("valueQuantity.__value_numeric").as("file_num"),
+            FhirAnnotations.numeric(col("valueQuantity.value")).cast("double").as("val_num"),
+            col("valueQuantity.__value_numeric").cast("double").as("file_num"),
             (FhirAnnotations.numeric(col("valueQuantity.value")) === col("valueQuantity.__value_numeric"))
               .as("matches"))
           .orderBy("id")),
@@ -172,7 +172,7 @@ object FhirQueries {
       "fhir_annotate_quantity_canonical",
       Some(
         "SELECT id, valueQuantity.code AS code, valueQuantity.value AS val_str, ucum.canon AS canon_code, " +
-          "CAST(CAST(valueQuantity.value AS DECIMAL(18,6)) * ucum.factor + ucum.off AS DECIMAL(38,6)) AS canon_value " +
+          "CAST(CAST(valueQuantity.value AS DECIMAL(18,6)) * ucum.factor + ucum.off AS DECIMAL(38,6))::DOUBLE AS canon_value " +
           s"FROM read_parquet('$G/Observation.parquet') LEFT JOIN ${FhirAnnotations.ucumValuesSql} " +
           "ON valueQuantity.code = ucum.code WHERE valueQuantity.value IS NOT NULL ORDER BY id"),
       (s, d) => {
@@ -185,7 +185,7 @@ object FhirQueries {
             o("valueQuantity.value").as("val_str"),
             u("canon").as("canon_code"),
             FhirAnnotations.canonicalValue(o("valueQuantity.value"), u("factor"), u("off"))
-              .as("canon_value"))
+              .cast("double").as("canon_value"))
           .orderBy("id")
       }),
 
@@ -269,7 +269,7 @@ object FhirQueries {
     QueryDef(
       "fhir_extension_extract",
       Some(
-        "SELECT id, geo.lat AS lat, geo.lon AS lon FROM (" +
+        "SELECT id, geo.lat::DOUBLE AS lat, geo.lon::DOUBLE AS lon FROM (" +
           "SELECT id, {'lat': list_filter(g.extension, x -> x.url = 'latitude')[1].__valueDecimal_numeric, " +
           "'lon': list_filter(g.extension, x -> x.url = 'longitude')[1].__valueDecimal_numeric} AS geo " +
           s"FROM (SELECT id, unnest(address) AS a FROM read_parquet('$G/Patient.parquet')), " +
@@ -283,8 +283,8 @@ object FhirQueries {
               "filter(a.extension, e -> e.url = 'http://hl7.org/fhir/StructureDefinition/geolocation')"))
               .as("g"))
           .select(col("id"),
-            expr("filter(g.extension, x -> x.url = 'latitude')[0].__valueDecimal_numeric").as("lat"),
-            expr("filter(g.extension, x -> x.url = 'longitude')[0].__valueDecimal_numeric").as("lon"))
+            expr("filter(g.extension, x -> x.url = 'latitude')[0].__valueDecimal_numeric").cast("double").as("lat"),
+            expr("filter(g.extension, x -> x.url = 'longitude')[0].__valueDecimal_numeric").cast("double").as("lon"))
           .where(col("lat").isNotNull)
           .orderBy("id", "lat", "lon"))
   )

@@ -96,8 +96,8 @@ object Multimodal {
     QueryDef(
       "multimodal_feature_extract",
       Some(
-        "SELECT doc_id, list_transform(generate_series(0,7), b -> " +
-          "CAST(len(list_filter(string_split(text,' '), t -> length(t) > 0 AND ascii(t[1:1]) % 8 = b)) AS BIGINT)) AS feat " +
+        "SELECT doc_id, array_to_string(list_transform(generate_series(0,7), b -> " +
+          "CAST(len(list_filter(string_split(text,' '), t -> length(t) > 0 AND ascii(t[1:1]) % 8 = b)) AS BIGINT)), ',') AS feat " +
           "FROM documents ORDER BY doc_id"),
       (s, d) => {
         val sp = s
@@ -112,7 +112,7 @@ object Multimodal {
               text.split(" ").foreach { t =>
                 if (t.nonEmpty) feat(t.charAt(0).toInt % 8) += 1
               }
-              (id, feat)
+              (id, feat.mkString(","))
             }
           }
           .toDF("doc_id", "feat")

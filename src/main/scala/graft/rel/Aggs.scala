@@ -21,10 +21,10 @@ object Aggs {
       "agg_hash_group",
       Some(
         s"""SELECT l_returnflag, l_linestatus,
-           | CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS sum_qty,
-           | CAST(sum(CAST(l_extendedprice AS ${Q.D4})) AS ${Q.D6}) AS sum_base,
-           | CAST(sum(CAST(l_extendedprice AS ${Q.D4}) * (CAST(1 AS ${Q.D4}) - CAST(l_discount AS ${Q.D4}))) AS ${Q.D6}) AS sum_disc_price,
-           | CAST(avg(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS avg_qty,
+           | CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_qty,
+           | CAST(sum(CAST(l_extendedprice AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_base,
+           | CAST(sum(CAST(l_extendedprice AS ${Q.D4}) * (CAST(1 AS ${Q.D4}) - CAST(l_discount AS ${Q.D4}))) AS ${Q.D6})::DOUBLE AS sum_disc_price,
+           | CAST(avg(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS avg_qty,
            | CAST(count(*) AS BIGINT) AS n
            |FROM lineitem GROUP BY l_returnflag, l_linestatus
            |ORDER BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\\s+", " ").trim),
@@ -44,15 +44,17 @@ object Aggs {
       "agg_sort_fallback",
       Some(
         s"SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n, " +
-          "list_sort(list(l_linenumber)) AS lns, " +
-          s"CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS sum_qty " +
+          // arrays serialize to CSV strings in final outputs: the driver's
+          // pandas sort-before-hash can't handle array cells
+          "array_to_string(list_sort(list(l_linenumber)), ',') AS lns, " +
+          s"CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_qty " +
           "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
       (s, d) =>
         Tables.t(s, d, "lineitem")
           .groupBy("l_orderkey")
           .agg(
             count(lit(1)).as("n"),
-            sort_array(collect_list(col("l_linenumber"))).as("lns"),
+            array_join(transform(sort_array(collect_list(col("l_linenumber"))), _.cast("string")), ",").as("lns"),
             sumQty.as("sum_qty"))
           .orderBy("l_orderkey")),
 
@@ -61,7 +63,7 @@ object Aggs {
       "agg_distinct",
       Some(
         "SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part, " +
-          s"CAST(sum(DISTINCT CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS sumd_qty, " +
+          s"CAST(sum(DISTINCT CAST(l_quantity AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sumd_qty, " +
           "CAST(count(*) AS BIGINT) AS n " +
           "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       (s, d) =>
@@ -113,7 +115,7 @@ object Aggs {
       "agg_grouping_sets",
       Some(
         "SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust, " +
-          s"CAST(sum(CAST(c_acctbal AS ${Q.D4})) AS ${Q.D6}) AS sum_bal, " +
+          s"CAST(sum(CAST(c_acctbal AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_bal, " +
           "CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid " +
           "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
           "GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ()) " +
@@ -137,7 +139,7 @@ object Aggs {
       "agg_rollup",
       Some(
         "SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust, " +
-          s"CAST(sum(CAST(c_acctbal AS ${Q.D4})) AS ${Q.D6}) AS sum_bal, " +
+          s"CAST(sum(CAST(c_acctbal AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_bal, " +
           "CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid " +
           "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
           "JOIN region ON n_regionkey = r_regionkey " +
@@ -162,7 +164,7 @@ object Aggs {
       "agg_cube",
       Some(
         "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, " +
-          s"CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS sum_qty, " +
+          s"CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_qty, " +
           "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid " +
           "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
           "ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
@@ -183,9 +185,9 @@ object Aggs {
       "agg_stats",
       Some(
         "SELECT o_orderstatus, " +
-          s"CAST(min(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS min_price, " +
-          s"CAST(max(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS max_price, " +
-          s"CAST(avg(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS avg_price, " +
+          s"CAST(min(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS min_price, " +
+          s"CAST(max(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS max_price, " +
+          s"CAST(avg(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS avg_price, " +
           // DECIMAL(19,4) operands force DuckDB onto the hugeint-backed
           // multiply (int64 DECIMAL(18) overflows); both sides stay exact.
           "round(sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) " +
@@ -217,12 +219,12 @@ object Aggs {
     QueryDef(
       "agg_collect_sorted",
       Some(
-        s"SELECT o_custkey, list_sort(list(CAST(o_totalprice AS ${Q.D4}))) AS totals " +
+        s"SELECT o_custkey, array_to_string(list_sort(list(CAST(o_totalprice AS ${Q.D4}))), ',') AS totals " +
           "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
       (s, d) =>
         Tables.t(s, d, "orders")
           .groupBy("o_custkey")
-          .agg(sort_array(collect_list(Q.dec4(col("o_totalprice")))).as("totals"))
+          .agg(array_join(transform(sort_array(collect_list(Q.dec4(col("o_totalprice")))), _.cast("string")), ",").as("totals"))
           .orderBy("o_custkey"))
   )
 }

@@ -68,7 +68,7 @@ object Funcs {
     QueryDef(
       "func_math",
       Some(
-        s"SELECT p_partkey, CAST(abs(CAST(p_retailprice AS ${Q.D4}) - 950) AS ${Q.D6}) AS abs_dev, " +
+        s"SELECT p_partkey, CAST(abs(CAST(p_retailprice AS ${Q.D4}) - 950) AS ${Q.D6})::DOUBLE AS abs_dev, " +
           "CAST(ceil(p_retailprice) AS BIGINT) AS ceil_p, CAST(floor(p_retailprice) AS BIGINT) AS floor_p, " +
           "pow(p_size, 2) AS size_sq, sqrt(p_retailprice) AS sqrt_p, " +
           "round(ln(p_retailprice), 6) AS ln_p, round(exp(p_size * 0.1), 6) AS exp_s, " +
@@ -96,7 +96,7 @@ object Funcs {
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
           "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq, " +
           "list_contains(string_split(text, ' '), 'spark') AS has_spark, " +
-          "list_slice(list_sort(string_split(text, ' ')), 1, 3) AS first3, " +
+          "array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 3), ',') AS first3, " +
           "CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_len, " +
           "CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS BIGINT) AS n_long " +
           "FROM documents ORDER BY doc_id"),
@@ -107,7 +107,7 @@ object Funcs {
           size(toks).cast("long").as("n_toks"),
           size(array_distinct(toks)).cast("long").as("n_uniq"),
           array_contains(toks, "spark").as("has_spark"),
-          slice(sort_array(toks), 1, 3).as("first3"),
+          array_join(slice(sort_array(toks), 1, 3), ",").as("first3"),
           aggregate(transform(toks, x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
             .as("sum_len"),
           size(filter(toks, x => length(x) > 4)).cast("long").as("n_long"))
@@ -150,8 +150,8 @@ object Funcs {
       "func_conditional_null",
       Some(
         "SELECT c_custkey, coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg, " +
-          s"CAST(least(CAST(c_acctbal AS ${Q.D4}), CAST(1000 AS ${Q.D4})) AS ${Q.D6}) AS least_bal, " +
-          s"CAST(greatest(CAST(c_acctbal AS ${Q.D4}), CAST(1000 AS ${Q.D4})) AS ${Q.D6}) AS greatest_bal, " +
+          s"CAST(least(CAST(c_acctbal AS ${Q.D4}), CAST(1000 AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS least_bal, " +
+          s"CAST(greatest(CAST(c_acctbal AS ${Q.D4}), CAST(1000 AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS greatest_bal, " +
           "CASE WHEN c_name IS NOT NULL THEN 'named' ELSE 'anon' END AS named, " +
           "isnan(c_acctbal) AS is_nan " +
           "FROM customer ORDER BY c_custkey"),

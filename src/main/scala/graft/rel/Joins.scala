@@ -21,7 +21,7 @@ object Joins {
       "join_broadcast_hash",
       Some(
         s"SELECT p_brand, CAST(count(*) AS BIGINT) AS n, " +
-          s"CAST(sum(CAST(l_extendedprice AS ${Q.D4})) AS ${Q.D6}) AS sum_price " +
+          s"CAST(sum(CAST(l_extendedprice AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_price " +
           "FROM lineitem JOIN part ON l_partkey = p_partkey " +
           "GROUP BY p_brand ORDER BY p_brand"),
       (s, d) => {
@@ -40,7 +40,7 @@ object Joins {
       "join_shuffle_sortmerge",
       Some(
         s"SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
-          s"CAST(sum(CAST(l_extendedprice AS ${Q.D4}) * (CAST(1 AS ${Q.D4}) - CAST(l_discount AS ${Q.D4}))) AS ${Q.D6}) AS revenue " +
+          s"CAST(sum(CAST(l_extendedprice AS ${Q.D4}) * (CAST(1 AS ${Q.D4}) - CAST(l_discount AS ${Q.D4}))) AS ${Q.D6})::DOUBLE AS revenue " +
           "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
           "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
       (s, d) => {
@@ -59,7 +59,7 @@ object Joins {
       "join_left_outer",
       Some(
         s"SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders, " +
-          s"CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS sum_total " +
+          s"CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_total " +
           "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
           "GROUP BY c_custkey ORDER BY c_custkey"),
       (s, d) => {

@@ -32,8 +32,8 @@ object Scale {
     * the identical text as the oracle.
     */
   private val q3Sql =
-    "SELECT o_orderkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
-      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue, " +
+    "SELECT o_orderkey, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue, " +
       "o_orderdate, o_orderpriority " +
       "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
       "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
@@ -59,7 +59,7 @@ object Scale {
       "sink_partitioned_write",
       Some(
         "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(count(*) AS BIGINT) AS n, " +
-          s"CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS sum_total " +
+          s"CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_total " +
           "FROM orders GROUP BY 1 ORDER BY 1"),
       (s, d) => {
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_part_orders"
@@ -80,7 +80,7 @@ object Scale {
       "join_salted_skew",
       Some(
         "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
-          s"CAST(sum(d.weight) AS ${Q.D6}) AS sum_w " +
+          s"CAST(sum(d.weight) AS ${Q.D6})::DOUBLE AS sum_w " +
           s"FROM orders o JOIN $prioValuesSql ON o.o_orderpriority = d.pri " +
           "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
       (s, d) => {
@@ -103,7 +103,7 @@ object Scale {
       "join_bucketed_colocated",
       Some(
         "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
-          s"CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS sum_qty " +
+          s"CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_qty " +
           "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
           "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
       (s, d) =>

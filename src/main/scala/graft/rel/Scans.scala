@@ -70,7 +70,7 @@ object Scans {
     QueryDef(
       "filter_predicate",
       Some(
-        s"SELECT l_orderkey, l_linenumber, l_returnflag, CAST(l_quantity AS ${Q.D4}) AS qty " +
+        s"SELECT l_orderkey, l_linenumber, l_returnflag, CAST(l_quantity AS ${Q.D4})::DOUBLE AS qty " +
           "FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') " +
           "AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1999-01-01' " +
           "AND l_discount > 0.02 AND l_linenumber IS NOT NULL " +
@@ -86,7 +86,7 @@ object Scans {
               col("l_linenumber").isNotNull)
           .select(
             col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-            Q.dec4(col("l_quantity")).as("qty"))
+            Q.out4(col("l_quantity")).as("qty"))
           .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "qty")),
 
     // C2 — projection expressions: CASE WHEN, string concat, decimal arith.
@@ -96,7 +96,7 @@ object Scans {
         "SELECT o_orderkey, concat_ws('-', o_orderstatus, o_orderpriority) AS status_pri, " +
           "CASE WHEN o_totalprice > 300000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' " +
           "ELSE 'small' END AS bucket, " +
-          s"CAST(CAST(o_totalprice AS ${Q.D4}) * CAST(1.1 AS ${Q.D4}) + 5 AS ${Q.D6}) AS adj_price " +
+          s"CAST(CAST(o_totalprice AS ${Q.D4}) * CAST(1.1 AS ${Q.D4}) + 5 AS ${Q.D6})::DOUBLE AS adj_price " +
           "FROM orders ORDER BY o_orderkey"),
       (s, d) =>
         Tables.t(s, d, "orders")

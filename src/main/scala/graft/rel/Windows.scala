@@ -18,7 +18,7 @@ object Windows {
     QueryDef(
       "window_rank",
       Some(
-        s"SELECT o_custkey, o_orderkey, CAST(o_totalprice AS ${Q.D4}) AS price, " +
+        s"SELECT o_custkey, o_orderkey, CAST(o_totalprice AS ${Q.D4})::DOUBLE AS price, " +
           "CAST(rank() OVER w AS BIGINT) AS rnk, CAST(dense_rank() OVER w AS BIGINT) AS drnk, " +
           "CAST(row_number() OVER w AS BIGINT) AS rn FROM orders " +
           "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
@@ -27,7 +27,7 @@ object Windows {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         Tables.t(s, d, "orders")
-          .select(col("o_custkey"), col("o_orderkey"), Q.dec4(col("o_totalprice")).as("price"),
+          .select(col("o_custkey"), col("o_orderkey"), Q.out4(col("o_totalprice")).as("price"),
             rank().over(w).cast("long").as("rnk"),
             dense_rank().over(w).cast("long").as("drnk"),
             row_number().over(w).cast("long").as("rn"))
@@ -63,7 +63,7 @@ object Windows {
       Some(
         "SELECT user_id, event_id, " +
           s"CAST(sum(CAST(value AS ${Q.D4})) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-          s"ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ${Q.D6}) AS mov_sum " +
+          s"ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ${Q.D6})::DOUBLE AS mov_sum " +
           "FROM events ORDER BY user_id, event_id"),
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -81,7 +81,7 @@ object Windows {
       Some(
         "SELECT o_custkey, o_orderkey, o_orderdate, " +
           s"CAST(sum(CAST(o_totalprice AS ${Q.D4})) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
-          s"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ${Q.D6}) AS running " +
+          s"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ${Q.D6})::DOUBLE AS running " +
           "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"),
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
@@ -96,7 +96,7 @@ object Windows {
     QueryDef(
       "window_ntile_cumedist",
       Some(
-        s"SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS ${Q.D4}) AS bal, " +
+        s"SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS ${Q.D4})::DOUBLE AS bal, " +
           "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
           "round(cume_dist() OVER w, 6) AS cd, round(percent_rank() OVER w, 6) AS pr " +
           "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) " +
@@ -104,7 +104,7 @@ object Windows {
       (s, d) => {
         val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
         Tables.t(s, d, "customer")
-          .select(col("c_mktsegment"), col("c_custkey"), Q.dec4(col("c_acctbal")).as("bal"),
+          .select(col("c_mktsegment"), col("c_custkey"), Q.out4(col("c_acctbal")).as("bal"),
             ntile(4).over(w).cast("long").as("quartile"),
             round(cume_dist().over(w), 6).as("cd"),
             round(percent_rank().over(w), 6).as("pr"))
@@ -128,11 +128,11 @@ object Windows {
     QueryDef(
       "limit_offset",
       Some(
-        s"SELECT o_orderkey, CAST(o_totalprice AS ${Q.D4}) AS price FROM orders " +
+        s"SELECT o_orderkey, CAST(o_totalprice AS ${Q.D4})::DOUBLE AS price FROM orders " +
           "ORDER BY price DESC, o_orderkey LIMIT 50 OFFSET 20"),
       (s, d) =>
         Tables.t(s, d, "orders")
-          .select(col("o_orderkey"), Q.dec4(col("o_totalprice")).as("price"))
+          .select(col("o_orderkey"), Q.out4(col("o_totalprice")).as("price"))
           .orderBy(col("price").desc, col("o_orderkey"))
           .offset(20).limit(50)),
 
@@ -140,7 +140,7 @@ object Windows {
     QueryDef(
       "topk_order_limit",
       Some(
-        s"SELECT l_orderkey, CAST(sum(CAST(l_extendedprice AS ${Q.D4}) * (CAST(1 AS ${Q.D4}) - CAST(l_discount AS ${Q.D4}))) AS ${Q.D6}) AS revenue " +
+        s"SELECT l_orderkey, CAST(sum(CAST(l_extendedprice AS ${Q.D4}) * (CAST(1 AS ${Q.D4}) - CAST(l_discount AS ${Q.D4}))) AS ${Q.D6})::DOUBLE AS revenue " +
           "FROM lineitem GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"),
       (s, d) =>
         Tables.t(s, d, "lineitem")

@@ -65,7 +65,7 @@ object Streams {
       "stream_tumbling_window",
       Some(
         "SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n, " +
-          s"CAST(sum(CAST(value AS ${Q.D4})) AS ${Q.D6}) AS sum_val " +
+          s"CAST(sum(CAST(value AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_val " +
           "FROM (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ws, " +
           "event_type, value FROM events) GROUP BY ws, event_type ORDER BY ws, event_type"),
       (s, d) => {

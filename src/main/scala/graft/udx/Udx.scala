@@ -127,8 +127,10 @@ object Udx {
           .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
           .select(col("source"), xxhash64(col("tok")).as("h"))
           .groupBy("source")
-          .agg(minhash(col("h")).as("sig"))
-          .select(col("source"), col("sig"))
+          .agg(minhash(col("h")).as("sig_arr"))
+          // CSV-serialized: the driver sorts even oracle-less Spark outputs,
+          // and pandas sort_values crashes on array cells
+          .select(col("source"), array_join(transform(col("sig_arr"), _.cast("string")), ",").as("sig"))
           .orderBy("source")),
 
     // K4 — table-generating: one row per day of each order's month.

@@ -87,8 +87,9 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("K3 minhash signature is deterministic and Jaccard estimate is sound") {
-    val sig1 = run("udaf_imperative_minhash").collect().map(r => r.getString(0) -> r.getSeq[Long](1))
-    val sig2 = run("udaf_imperative_minhash").collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+    // the query serializes the signature to CSV for the driver's hasher
+    val sig1 = run("udaf_imperative_minhash").collect().map(r => r.getString(0) -> r.getString(1))
+    val sig2 = run("udaf_imperative_minhash").collect().map(r => r.getString(0) -> r.getString(1))
     assert(sig1.map(_._2).zip(sig2.map(_._2)).forall { case (a, b) => a == b })
     // identical input sets → identical signatures (estimate 1.0)
     import spark.implicits._

@@ -5,38 +5,35 @@ Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 
 Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` has been run: reads each
 <outDir>/<name> result parquet and <outDir>/oracle_sql.json, executes the
-oracle in DuckDB with views named after the sf tables, sorts columns by name,
-and compares row-by-row (exact values after normalization). Exit 1 on any
-mismatch. This is strictly harsher than a hash compare, so green here implies
-green at the driver.
+oracle in DuckDB with views named after the sf tables, and compares the way
+the driver does: load BOTH sides into pandas (pyarrow for the Spark parquet,
+DuckDB .df() for the oracle), sort columns by name, sort_values over all
+columns, then compare the per-cell stringified frames. No value normalization
+(CORRECTNESS_r01 lesson: Decimal.normalize() here masked 27 driver hash-fails
+on decimal representation, and the arrow path masked 5 pandas sort crashes on
+array cells — both failure classes must surface locally).
 """
 import json
-import math
 import sys
-from decimal import Decimal
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm(v):
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    if isinstance(v, Decimal):
-        return Decimal(v).normalize()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, norm(x)) for k, x in v.items()))
-    return v
-
-
-def table_rows(tbl):
-    cols = sorted(tbl.column_names)
-    data = {c: tbl.column(c).to_pylist() for c in cols}
-    return cols, [tuple(norm(data[c][i]) for c in cols) for i in range(tbl.num_rows)]
+def canon(df):
+    """Driver-style canonical form: alphabetical columns, full-row sort
+    (raises on unhashable cells exactly like the driver), then pandas
+    COLUMN-level stringification (to_csv). Per-cell str() is wrong here:
+    to_csv prints all-midnight datetime64 columns as bare dates (making
+    spark date32-object vs duck datetime64 equal, as the r01 driver did)
+    and prints None/NaN both as empty — while still distinguishing
+    Decimal('1.500000') from float 1.5 (the r01 failure class)."""
+    cols = sorted(df.columns)
+    df = df[cols].sort_values(cols).reset_index(drop=True)
+    return cols, df.to_csv(index=False).splitlines()[1:]
 
 
 def main():
@@ -48,6 +45,11 @@ def main():
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+    # oracle-less keys still get their Spark output sorted by the driver —
+    # replicate that so array-typed outputs crash here too
+    for d in Path(out_dir).iterdir():
+        if d.is_dir() and d.name not in oracle:
+            oracle[d.name] = None
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
@@ -58,15 +60,23 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_tbl = con.execute(
-                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").arrow()
-            duck_tbl = con.execute(sql).arrow()
+            s_df = pd.read_parquet(res_dir)
+            sc, sr = canon(s_df)
         except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            print(f"FAIL {name}: spark-side {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        sc, sr = table_rows(spark_tbl)
-        dc, dr = table_rows(duck_tbl)
+        if sql is None:
+            print(f"PASS {name} (no oracle; {len(sr)} rows sortable)")
+            n_pass += 1
+            continue
+        try:
+            d_df = con.execute(sql).df()
+            dc, dr = canon(d_df)
+        except Exception as e:
+            print(f"FAIL {name}: oracle-side {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
             n_fail += 1
