@@ -50,59 +50,72 @@ object Llm {
   private def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** All-pairs cosine ≥ tau via a broadcast of the (small) normalized matrix
-    * and a primitive-array kernel in mapPartitions — the interpreted
-    * higher-order-function form is ~50× slower. Double accumulation runs in
-    * ascending index order, matching DuckDB's list_dot_product, so values
-    * agree bit-for-bit before rounding.
-    *
-    * Scale note: valid while ONE side fits in an executor (here: the whole
-    * embedding table, 64 floats/row → ~0.5 MB per 2k vectors). At 100 TB the
-    * same kernel runs per block of a block-partitioned self-join (shuffle on
-    * block id pairs); the LSH-bucketed variant (sim_ann_lsh) is the
-    * sub-quadratic path.
+  /** All-pairs cosine ≥ tau via a block-partitioned self-join: vectors hash
+    * into B blocks, each unordered block pair (p ≤ q) becomes one shuffle
+    * key, and a primitive-array kernel compares the two blocks inside that
+    * task. No driver collect anywhere — every vector is replicated B ways
+    * through a shuffle (B² /2 tasks of N/B vectors each), which is the
+    * standard way all-pairs survives 100 TB: pick B so two blocks fit an
+    * executor; parallelism grows as B². The interpreted higher-order-
+    * function form of the kernel is ~50× slower, hence the JVM loop.
+    * Double accumulation runs in ascending index order, matching DuckDB's
+    * list_dot_product, so values agree bit-for-bit before rounding; the dot
+    * loop is role-symmetric, so block orientation can't change the value.
     */
   private def cosinePairsFast(
       s: SparkSession, d: String, sameLabelOnly: Boolean, tau: Double): DataFrame = {
     val sp = s
     import sp.implicits._
+    val B = 8
     val e = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
       .as[(Long, Int, Array[Float])]
-    val all = e.collect().sortBy(_._1)
-    val ids = all.map(_._1)
-    val labels = all.map(_._2)
-    val mat = all.map(_._3.map(_.toDouble))
-    val norms = mat.map { v =>
-      var acc = 0.0; var k = 0
-      while (k < v.length) { acc += v(k) * v(k); k += 1 }
-      math.sqrt(acc)
-    }
-    val bc = s.sparkContext.broadcast((ids, labels, mat, norms))
-    e.mapPartitions { it =>
-      val (bIds, bLabels, bMat, bNorms) = bc.value
-      it.flatMap { case (i, labelI, embI) =>
-        val vi = embI.map(_.toDouble)
-        var accI = 0.0
-        var k = 0
-        while (k < vi.length) { accI += vi(k) * vi(k); k += 1 }
-        val normI = math.sqrt(accI)
+    // replicate each vector to the B block-pair groups it participates in:
+    // its own block's diagonal pair plus one per other block (normalized to
+    // p <= q, so each unordered vector pair meets in exactly one group)
+    e.flatMap { case (id, label, emb) =>
+        val b = (id % B).toInt
+        (0 until B).map { o =>
+          val (p, q) = if (b <= o) (b, o) else (o, b)
+          (p * B + q, id, label, emb)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val p = key / B
+        val q = key % B
+        val rows = it.toArray.sortBy(_._2).map { case (_, id, label, emb) =>
+          val v = new Array[Double](emb.length)
+          var acc = 0.0
+          var k = 0
+          while (k < emb.length) { v(k) = emb(k).toDouble; acc += v(k) * v(k); k += 1 }
+          (id, label, v, math.sqrt(acc))
+        }
+        // diagonal group (p == q): all i < j within the block; off-diagonal:
+        // only cross pairs between the two blocks (id order normalizes i < j)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
-        var j = 0
-        while (j < bIds.length) {
-          if (bIds(j) > i && (!sameLabelOnly || bLabels(j) == labelI)) {
-            val vj = bMat(j)
-            var dot = 0.0
-            k = 0
-            while (k < vi.length) { dot += vi(k) * vj(k); k += 1 }
-            val sim = round6(dot / (normI * bNorms(j)))
-            if (sim >= tau) out += ((labelI.toLong, i, bIds(j), sim))
+        var a = 0
+        while (a < rows.length) {
+          val (ia, la, va, na) = rows(a)
+          val ba = (ia % B).toInt
+          var bIdx = a + 1
+          while (bIdx < rows.length) {
+            val (ib, lb, vb, nb) = rows(bIdx)
+            val crossOk = p == q || ba != (ib % B).toInt
+            if (crossOk && (!sameLabelOnly || la == lb)) {
+              var dot = 0.0
+              var k = 0
+              while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+              val sim = round6(dot / (na * nb))
+              if (sim >= tau) out += ((la.toLong, ia, ib, sim))
+            }
+            bIdx += 1
           }
-          j += 1
+          a += 1
         }
         out
       }
-    }.toDF("label", "i", "j", "sim")
+      .toDF("label", "i", "j", "sim")
   }
 
   /** Word 5-gram shingle set (documents with ≥5 tokens). */
@@ -241,49 +254,58 @@ object Llm {
           "FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id) " +
           "SELECT source, i, j, jac FROM p WHERE jac >= 0.8 ORDER BY source, i, j"),
       (s, d) => {
-        // Per-source kernel: group docs by source, compute char-3-gram hash
-        // sets once per doc, then sorted-merge intersection over primitive
-        // long arrays. No pairwise array shuffle (the naive self-join ships
-        // both gram sets per candidate pair); groups are source-bounded, so
-        // this partitions cleanly — for giant groups the L2 banding pattern
-        // applies.
+        // Banded candidate generation, not per-group O(g²): each doc's
+        // char-3-gram hash set folds into a 64-perm MinHash signature (the
+        // K3 kernel), 32 bands × 2 rows become equi-join keys scoped by
+        // source, and only candidate pairs get the exact sorted-merge
+        // Jaccard verify. A skewed/giant source no longer concentrates in
+        // one task — candidates shuffle on (source, band, bkey). At τ=0.8
+        // band recall is 1-(1-0.8²)³² ≈ 1-4e-13, and the planted dups sit
+        // ≥0.9, so the banded form reproduces the exhaustive oracle.
         val sp = s
         import sp.implicits._
-        Tables.t(s, d, "documents")
-          .select(col("source"), col("doc_id"), col("text"))
-          .as[(String, Long, String)]
-          .groupByKey(_._1)
-          .flatMapGroups { (src, it) =>
-            val docs = it.toArray.sortBy(_._2).map { case (_, id, text) =>
-              val grams = new java.util.TreeSet[java.lang.Long]()
-              var i = 0
-              while (i + 3 <= text.length) { grams.add(fnv64(text.substring(i, i + 3))); i += 1 }
-              val arr = new Array[Long](grams.size)
-              val gi = grams.iterator(); var k = 0
-              while (gi.hasNext) { arr(k) = gi.next(); k += 1 }
-              (id, arr)
-            }
-            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
-            var a = 0
-            while (a < docs.length) {
-              var b = a + 1
-              while (b < docs.length) {
-                val (ia, ga) = docs(a); val (ib, gb) = docs(b)
-                var x = 0; var y = 0; var shared = 0
-                while (x < ga.length && y < gb.length) {
-                  if (ga(x) == gb(y)) { shared += 1; x += 1; y += 1 }
-                  else if (ga(x) < gb(y)) x += 1
-                  else y += 1
-                }
-                val jac = round6(shared.toDouble / (ga.length + gb.length - shared).toDouble)
-                if (jac >= 0.8) out += ((src, ia, ib, jac))
-                b += 1
-              }
-              a += 1
-            }
-            out
+        val gramsUdf = udf { (text: String) =>
+          val grams = new java.util.TreeSet[java.lang.Long]()
+          var i = 0
+          while (i + 3 <= text.length) { grams.add(fnv64(text.substring(i, i + 3))); i += 1 }
+          val arr = new Array[Long](grams.size)
+          val gi = grams.iterator(); var k = 0
+          while (gi.hasNext) { arr(k) = gi.next(); k += 1 }
+          arr
+        }
+        val sigUdf = udf { (grams: Seq[Long]) =>
+          val buf = Udx.MinHashSig.zero
+          grams.foreach(h => Udx.MinHashSig.reduce(buf, h))
+          buf
+        }
+        val g = Tables.t(s, d, "documents")
+          .select(col("source"), col("doc_id"), gramsUdf(col("text")).as("gr"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bands = g
+          .select(col("source"), col("doc_id"), sigUdf(col("gr")).as("sig"))
+          .select(col("source"), col("doc_id"),
+            explode(expr("transform(sequence(0, 31), b -> struct(b AS band, xxhash64(slice(sig, b*2+1, 2)) AS bkey))")).as("bb"))
+          .select(col("source"), col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.source") === col("y.source") && col("x.band") === col("y.band") &&
+              col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.source").as("source"), col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+          .distinct()
+        val jacUdf = udf { (ga: Seq[Long], gb: Seq[Long]) =>
+          var x = 0; var y = 0; var shared = 0
+          while (x < ga.length && y < gb.length) {
+            if (ga(x) == gb(y)) { shared += 1; x += 1; y += 1 }
+            else if (ga(x) < gb(y)) x += 1
+            else y += 1
           }
-          .toDF("source", "i", "j", "jac")
+          round6(shared.toDouble / (ga.length + gb.length - shared).toDouble)
+        }
+        cand
+          .join(g.select(col("doc_id").as("i"), col("gr").as("ga")), "i")
+          .join(g.select(col("doc_id").as("j"), col("gr").as("gb")), "j")
+          .withColumn("jac", jacUdf(col("ga"), col("gb")))
+          .where(col("jac") >= 0.8)
+          .select(col("source"), col("i"), col("j"), col("jac"))
           .orderBy("source", "i", "j")
       }),
 
