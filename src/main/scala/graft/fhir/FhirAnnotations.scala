@@ -14,9 +14,11 @@ object FhirAnnotations {
 
   // ---------------------------------------------------------------- A6
   // Date-range annotation: earliest/latest instant included in a (possibly
-  // partial-precision, possibly offset-bearing) FHIR date/dateTime, at ms
-  // precision, UTC (README.md:316-330; worked vector :325-327:
-  // 2014-06-01T12:05Z → [12:05:00.000Z, 12:05:59.999Z]).
+  // partial-precision, possibly offset-bearing) FHIR date/dateTime, UTC
+  // (README.md:316-330; worked vector :325-327:
+  // 2014-06-01T12:05Z → [12:05:00.000Z, 12:05:59.999Z]). Partial values
+  // (year..second) bound at ms precision; fractional-second values carry
+  // full µs precision (see the frac branch below).
   // Timezone-less values are interpreted as UTC (spec is silent; documented
   // policy, SURVEY §7.4 trap 7).
 
@@ -52,11 +54,19 @@ object FhirAnnotations {
           val a = LocalDate.of(year, mo.toInt, dd.toInt).atTime(hh.toInt, mi.toInt, ss.toInt)
           (a, a.plusSeconds(1))
         } else {
-          // fractional seconds: exact instant at ms precision
-          val ms = (frac + "000").take(3).toInt
+          // Fractional seconds carry full µs precision: the earliest
+          // included instant of "…00.0005" IS 500µs (an ms-truncated start
+          // would lie BEFORE the denoted period, and would break the
+          // AnnotationRewrite equivalence cast(x) == __x_start for
+          // sub-ms literals). A d-digit fraction spans 10^(6-d) µs.
+          val digits = math.min(frac.length, 6)
+          val us = (frac + "00000").take(6).toInt
           val a = LocalDate.of(year, mo.toInt, dd.toInt)
-            .atTime(hh.toInt, mi.toInt, ss.toInt, ms * 1000000)
-          (a, a.plusNanos(1000000))
+            .atTime(hh.toInt, mi.toInt, ss.toInt, us * 1000)
+          var span = 1L
+          var k = digits
+          while (k < 6) { span *= 10L; k += 1 }
+          return Some((micros(a), micros(a) + span - 1L))
         }
       // end bound is inclusive at ms precision: hi - 1ms
       Some((micros(lo), micros(hi) - 1000L))

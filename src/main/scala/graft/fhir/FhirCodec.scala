@@ -134,7 +134,18 @@ object FhirCodec {
     case (r: Row, st: StructType) => writeStruct(gen, r, st)
     case (s: scala.collection.Seq[_], at: ArrayType) =>
       gen.writeStartArray()
-      s.foreach(e => if (nonEmpty(e, at.elementType)) writeValue(gen, e, at.elementType, rawDecimal))
+      // explicit JSON nulls preserve element-index alignment for FHIR
+      // parallel arrays (given/_given, README.md:252-297) — silently
+      // dropping null elements would shift siblings. Only trailing
+      // emptiness is pruned (whole-array emptiness never reaches here:
+      // writeStruct's nonEmpty check skips the field).
+      val lastKeep = s.lastIndexWhere(e => nonEmpty(e, at.elementType))
+      var i = 0
+      while (i <= lastKeep) {
+        if (nonEmpty(s(i), at.elementType)) writeValue(gen, s(i), at.elementType, rawDecimal)
+        else gen.writeNull()
+        i += 1
+      }
       gen.writeEndArray()
     case (s: String, StringType) if rawDecimal && RawNumber.matches(s) => gen.writeRawValue(s)
     case (s: String, _) => gen.writeString(s)

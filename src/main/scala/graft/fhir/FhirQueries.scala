@@ -86,7 +86,7 @@ object FhirQueries {
           "ORDER BY id, gender NULLS FIRST, birthDate NULLS FIRST"),
       (s, d) => {
         val p = Tables.golden(s, "Patient")
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_fhir_merge"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_fhir_merge_${ProcessHandle.current().pid()}"
         p.select("id", "gender").write.mode("overwrite").parquet(s"$tmp/a")
         p.select("id", "birthDate").write.mode("overwrite").parquet(s"$tmp/b")
         s.read.option("mergeSchema", "true").parquet(s"$tmp/a", s"$tmp/b")
@@ -204,7 +204,7 @@ object FhirQueries {
         // materialize a spec table carrying its annotation columns — the
         // rule targets tables at rest, where __birthDate_start is a real
         // parquet column with min/max stats
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_annotated_patient"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_annotated_patient_${ProcessHandle.current().pid()}"
         FhirAnnotations.annotateRange(Tables.golden(s, "Patient"), "birthDate")
           .write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp)

@@ -194,7 +194,9 @@ object Llm {
       }),
 
     // SimHash near-dup: 64-bit signature from token hashes, 4×16-bit band
-    // join, Hamming ≤ 8 verification. No oracle (hash-function-specific);
+    // join, Hamming ≤ 3 verification (the only threshold for which 4×16-bit
+    // banding guarantees full candidate recall by pigeonhole). No oracle
+    // (hash-function-specific);
     // LlmSpec pins determinism and agreement with minhash dups.
     QueryDef(
       "dedup_simhash",

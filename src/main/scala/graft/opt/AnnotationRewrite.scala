@@ -18,10 +18,14 @@ import org.apache.spark.sql.types.{StringType, TimestampType}
   * min/max stats (pushable to the scan) instead of per-row string parsing.
   *
   * Soundness: for instant-valued (full-precision) data, cast(x) == __x_start
-  * whenever the cast parses, so any comparison is equivalent. Partial-
-  * precision values don't parse under cast (null ⇒ predicate false), so the
-  * rewrite widens only there — matching the spec's intent that the range
-  * annotation, not the raw string, carries partial values' query semantics.
+  * whenever the cast parses, so any comparison is equivalent — including
+  * sub-millisecond fractional seconds, because bounds() keeps the start
+  * instant at full µs precision rather than flooring to ms (a floored start
+  * would flip e.g. cast(x) >= lit for a literal between the floor and the
+  * true instant). Partial-precision values don't parse under cast (null ⇒
+  * predicate false), so the rewrite widens only there — matching the spec's
+  * intent that the range annotation, not the raw string, carries partial
+  * values' query semantics.
   */
 object AnnotationRewrite extends Rule[LogicalPlan] {
 

@@ -62,7 +62,7 @@ object Scale {
           s"CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_total " +
           "FROM orders GROUP BY 1 ORDER BY 1"),
       (s, d) => {
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_part_orders"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_part_orders_${Integer.toHexString(d.hashCode)}"
         Tables.t(s, d, "orders")
           .withColumn("yr", year(col("o_orderdate")).cast("long"))
           .write.mode("overwrite").partitionBy("yr").parquet(tmp)

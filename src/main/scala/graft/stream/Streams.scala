@@ -148,7 +148,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
-        val base = s"${sys.props("java.io.tmpdir")}/graft_late"
+        val base = s"${sys.props("java.io.tmpdir")}/graft_late_${ProcessHandle.current().pid()}"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
         def mk(name: String, rows: Seq[String]): Unit =
           s.createDataFrame(
