@@ -73,13 +73,46 @@ object FhirAnnotations {
     case _ => None
   }
 
-  /** Add `__<field>_start` / `__<field>_end` beside a top-level column,
-    * via the native codegen expressions (FhirDateTimeStart/End).
+  /** Add `__<leaf>_start` / `__<leaf>_end` beside the date/dateTime element
+    * at `path`, INSIDE its owning group (README.md:304-306: an annotation is
+    * a sibling of the annotated element). Dotted paths descend structs and
+    * LIST-of-struct elements alike — `item.servicedPeriod.start` annotates
+    * every array element's nested group via `transform` (README.md:337-342,
+    * 702-703). Uses the native codegen expressions (FhirDateTimeStart/End),
+    * so the whole rebuild stays inside WholeStageCodegen.
     */
-  def annotateRange(df: DataFrame, field: String): DataFrame = {
+  def annotateRange(df: DataFrame, path: String): DataFrame = {
     FhirDateTimeExpr.register(df.sparkSession)
-    df.withColumn(s"__${field}_start", expr(s"fhir_dt_start($field)"))
-      .withColumn(s"__${field}_end", expr(s"fhir_dt_end($field)"))
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    def start(c: Column) = call_function("fhir_dt_start", c)
+    def end(c: Column) = call_function("fhir_dt_end", c)
+    def rebuild(owner: Column, dt: DataType, rest: List[String]): Column = (dt, rest) match {
+      case (_: StructType, leaf :: Nil) =>
+        owner
+          .withField(s"__${leaf}_start", start(owner.getField(leaf)))
+          .withField(s"__${leaf}_end", end(owner.getField(leaf)))
+      case (st: StructType, head :: tail) =>
+        st(head).dataType match {
+          case at: ArrayType =>
+            owner.withField(head,
+              transform(owner.getField(head), e => rebuild(e, at.elementType, tail)))
+          case sdt => owner.withField(head, rebuild(owner.getField(head), sdt, tail))
+        }
+      case _ =>
+        throw new IllegalArgumentException(s"path $path does not descend structs at $rest")
+    }
+    path.split('.').toList match {
+      case leaf :: Nil =>
+        df.withColumn(s"__${leaf}_start", start(col(leaf)))
+          .withColumn(s"__${leaf}_end", end(col(leaf)))
+      case head :: tail =>
+        df.schema(head).dataType match {
+          case at: ArrayType =>
+            df.withColumn(head, transform(col(head), e => rebuild(e, at.elementType, tail)))
+          case sdt => df.withColumn(head, rebuild(col(head), sdt, tail))
+        }
+      case Nil => df
+    }
   }
 
   // ---------------------------------------------------------------- A7
@@ -146,4 +179,31 @@ object FhirAnnotations {
   /** canonical value = CAST(v18 * factor + off AS DECIMAL(38,6)). */
   def canonicalValue(valueStr: Column, factor: Column, off: Column): Column =
     (valueStr.cast(DecimalType(18, 6)) * factor + off).cast(DecimalType(38, 6))
+
+  /** Materialize the spec's `__<q>_canonical` sibling group for the Quantity
+    * struct at top-level `path` (README.md:367-381; worked schema :711-717:
+    * the group mirrors the Quantity's own shape — code/system/unit/value
+    * string + `__value_numeric` DECIMAL(38,6) — holding the canonical unit
+    * and converted value). The UCUM conversion table is a broadcast
+    * dimension; rows without a mapping (or without a value) get a null
+    * group, mirroring a left join. `value` is the plain decimal text of the
+    * converted number at scale 6 — a derived annotation, not a round-trip
+    * of the source text.
+    */
+  def canonicalize(df: DataFrame, path: String): DataFrame = {
+    val u = ucumDf(df.sparkSession).select(
+      col("code").as("__ucum_code"), col("factor").as("__ucum_factor"),
+      col("off").as("__ucum_off"), col("canon").as("__ucum_canon"))
+    val cv = canonicalValue(col(s"$path.value"), col("__ucum_factor"), col("__ucum_off"))
+    df.join(broadcast(u), col(s"$path.code") === col("__ucum_code"), "left")
+      .withColumn(s"__${path}_canonical",
+        when(col("__ucum_canon").isNotNull && col(s"$path.value").isNotNull,
+          struct(
+            col("__ucum_canon").as("code"),
+            col(s"$path.system").as("system"),
+            col("__ucum_canon").as("unit"),
+            cv.cast("string").as("value"),
+            cv.as("__value_numeric"))))
+      .drop("__ucum_code", "__ucum_factor", "__ucum_off", "__ucum_canon")
+  }
 }

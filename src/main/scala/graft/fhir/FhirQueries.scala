@@ -95,32 +95,44 @@ object FhirQueries {
       }),
 
     // A5 — conformance over ALL golden tables: resourceType presence and
-    // uniformity (README.md:29-41) per table, + FHIR value-format regexes
-    // (README.md:84-86) on the Patient fields that carry them.
+    // uniformity (README.md:29-41) per table, + the FHIR R4 value-format
+    // regexes for every string-typed primitive present (README.md:84-86
+    // defers to hl7.org/fhir/datatypes.html — date, dateTime, instant,
+    // decimal, id below are that page's published patterns). One row per
+    // (table, field) check; same regex text runs in Spark rlike and DuckDB
+    // regexp_matches (both RE2-compatible subsets).
     QueryDef(
       "fhir_conformance_check",
       Some(
-        Seq("ExplanationOfBenefit", "Observation", "Patient").map { n =>
-          s"SELECT '$n' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, " +
-            "CAST(count(CASE WHEN resourceType IS NULL THEN 1 END) AS BIGINT) AS n_null_rt, " +
-            "CAST(count(DISTINCT resourceType) AS BIGINT) AS nd_rt, " +
-            (if (n == "Patient")
-              "CAST(count(CASE WHEN NOT regexp_matches(birthDate, '^\\d{4}(-\\d{2}(-\\d{2})?)?$') THEN 1 END) AS BIGINT) AS n_bad_fmt "
-            else "CAST(0 AS BIGINT) AS n_bad_fmt ") +
+        (Seq("ExplanationOfBenefit", "Observation", "Patient").map { n =>
+          s"SELECT '$n' AS tbl, 'resourceType' AS field, 'uniform' AS fhir_type, " +
+            "CAST(count(resourceType) AS BIGINT) AS n_checked, " +
+            "CAST(count(*) - count(resourceType) + CASE WHEN count(DISTINCT resourceType) = 1 THEN 0 ELSE 1 END AS BIGINT) AS n_bad " +
             s"FROM read_parquet('$G/$n.parquet')"
-        }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl")),
+        } ++ FhirConformance.checks.map { case (tbl, field, typ) =>
+          val re = FhirConformance.regex(typ)
+          s"SELECT '$tbl' AS tbl, '$field' AS field, '$typ' AS fhir_type, " +
+            s"CAST(count($field) AS BIGINT) AS n_checked, " +
+            s"CAST(count(CASE WHEN NOT regexp_matches($field, '^($re)$$') THEN 1 END) AS BIGINT) AS n_bad " +
+            s"FROM read_parquet('$G/$tbl.parquet')"
+        }).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl, field"),
+      ),
       (s, d) =>
-        Seq("ExplanationOfBenefit", "Observation", "Patient").map { n =>
-          val df = Tables.golden(s, n)
-          df.agg(
-            count(lit(1)).as("n_rows"),
-            count(when(col("resourceType").isNull, 1)).as("n_null_rt"),
-            countDistinct(col("resourceType")).as("nd_rt"),
-            (if (n == "Patient")
-              count(when(!col("birthDate").rlike("^\\d{4}(-\\d{2}(-\\d{2})?)?$"), 1))
-            else count(lit(null))).as("n_bad_fmt"))
-            .select(lit(n).as("tbl"), col("n_rows"), col("n_null_rt"), col("nd_rt"), col("n_bad_fmt"))
-        }.reduce(_ union _).orderBy("tbl")),
+        (Seq("ExplanationOfBenefit", "Observation", "Patient").map { n =>
+          Tables.golden(s, n).agg(
+            count(col("resourceType")).as("n_checked"),
+            (count(lit(1)) - count(col("resourceType")) +
+              when(countDistinct(col("resourceType")) === 1, 0L).otherwise(1L)).as("n_bad"))
+            .select(lit(n).as("tbl"), lit("resourceType").as("field"),
+              lit("uniform").as("fhir_type"), col("n_checked"), col("n_bad"))
+        } ++ FhirConformance.checks.map { case (tbl, field, typ) =>
+          val re = FhirConformance.regex(typ)
+          Tables.golden(s, tbl).select(expr(field).as("v")).agg(
+            count(col("v")).as("n_checked"),
+            count(when(!col("v").rlike(s"^($re)$$"), 1)).as("n_bad"))
+            .select(lit(tbl).as("tbl"), lit(field).as("field"),
+              lit(typ).as("fhir_type"), col("n_checked"), col("n_bad"))
+        }).reduce(_ union _).orderBy("tbl", "field")),
 
     // A6 — date-range annotation columns. Golden data has date-precision
     // birthDate and second-precision offset dateTimes; partial-precision
@@ -143,6 +155,38 @@ object FhirQueries {
           expr("fhir_dt_start(deceasedDateTime)").as("dd_start"),
           expr("fhir_dt_end(deceasedDateTime)").as("dd_end"))
           .orderBy("id")
+      }),
+
+    // A6 (nested paths) — the spec places an annotation INSIDE the group
+    // that owns the annotated element (README.md:304-306, 702-703). Exercise
+    // both nested shapes over ExplanationOfBenefit: a struct path
+    // (billablePeriod.start) and a LIST path (item[].servicedPeriod.start,
+    // rebuilt per element via transform), then read the typed annotation
+    // columns back flattened for the oracle compare.
+    QueryDef(
+      "fhir_annotate_nested_range",
+      Some(
+        "SELECT e.id AS id, CAST(it.sequence AS BIGINT) AS seq, " +
+          "timezone('UTC', CAST(e.billablePeriod.start AS TIMESTAMPTZ)) AS bp_start, " +
+          "timezone('UTC', CAST(e.billablePeriod.start AS TIMESTAMPTZ)) + INTERVAL 999 MILLISECOND AS bp_end, " +
+          "timezone('UTC', CAST(it.servicedPeriod.start AS TIMESTAMPTZ)) AS sp_start, " +
+          "timezone('UTC', CAST(it.servicedPeriod.start AS TIMESTAMPTZ)) + INTERVAL 999 MILLISECOND AS sp_end " +
+          s"FROM read_parquet('$G/ExplanationOfBenefit.parquet') e, unnest(e.item) AS t(it) " +
+          "ORDER BY id, seq"),
+      (s, d) => {
+        val a = FhirAnnotations.annotateRange(
+          FhirAnnotations.annotateRange(
+            Tables.golden(s, "ExplanationOfBenefit"), "billablePeriod.start"),
+          "item.servicedPeriod.start")
+        a.select(col("id"),
+            col("billablePeriod.__start_start").as("bp_start"),
+            col("billablePeriod.__start_end").as("bp_end"),
+            explode(col("item")).as("it"))
+          .select(col("id"), col("it.sequence").cast("long").as("seq"),
+            col("bp_start"), col("bp_end"),
+            col("it.servicedPeriod.__start_start").as("sp_start"),
+            col("it.servicedPeriod.__start_end").as("sp_end"))
+          .orderBy("id", "seq")
       }),
 
     // A7 — decimal numeric annotation vs the golden files' own
@@ -175,19 +219,17 @@ object FhirQueries {
           "CAST(CAST(valueQuantity.value AS DECIMAL(18,6)) * ucum.factor + ucum.off AS DECIMAL(38,6))::DOUBLE AS canon_value " +
           s"FROM read_parquet('$G/Observation.parquet') LEFT JOIN ${FhirAnnotations.ucumValuesSql} " +
           "ON valueQuantity.code = ucum.code WHERE valueQuantity.value IS NOT NULL ORDER BY id"),
-      (s, d) => {
-        val o = Tables.golden(s, "Observation").where(col("valueQuantity.value").isNotNull)
-        val u = FhirAnnotations.ucumDf(s)
-        o.join(broadcast(u), o("valueQuantity.code") === u("code"), "left")
+      (s, d) =>
+        // the materialized sibling group (README.md:711-717), read back flat
+        FhirAnnotations.canonicalize(Tables.golden(s, "Observation"), "valueQuantity")
+          .where(col("valueQuantity.value").isNotNull)
           .select(
-            o("id"),
-            o("valueQuantity.code").as("code"),
-            o("valueQuantity.value").as("val_str"),
-            u("canon").as("canon_code"),
-            FhirAnnotations.canonicalValue(o("valueQuantity.value"), u("factor"), u("off"))
-              .cast("double").as("canon_value"))
-          .orderBy("id")
-      }),
+            col("id"),
+            col("valueQuantity.code").as("code"),
+            col("valueQuantity.value").as("val_str"),
+            col("__valueQuantity_canonical.code").as("canon_code"),
+            col("__valueQuantity_canonical.__value_numeric").cast("double").as("canon_value"))
+          .orderBy("id")),
 
     // §4 — the AnnotationRewrite optimizer rule, observable end-to-end: the
     // filter is written against the raw string date (cast to timestamp);

@@ -88,6 +88,74 @@ class FhirSpec extends AnyFunSuite {
     assert(vq("__value_numeric").dataType == DecimalType(38, 6)) // README.md:352-353
   }
 
+  test("annotateRange: nested struct and LIST paths place siblings in-group (README.md:304-306,702-703)") {
+    val eob = spark.read.parquet("/root/reference/examples/ExplanationOfBenefit.parquet")
+    val a = FhirAnnotations.annotateRange(
+      FhirAnnotations.annotateRange(eob, "billablePeriod.start"), "item.servicedPeriod.start")
+    val bp = a.schema("billablePeriod").dataType.asInstanceOf[StructType]
+    assert(bp.fieldNames.contains("start") && bp.fieldNames.contains("__start_start"))
+    assert(bp("__start_start").dataType == TimestampType)
+    val item = a.schema("item").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val sp = item("servicedPeriod").dataType.asInstanceOf[StructType]
+    assert(sp.fieldNames.toSet.intersect(Set("start", "__start_start", "__start_end")).size == 3)
+    assert(sp("__start_end").dataType == TimestampType)
+  }
+
+  test("canonicalize: __<q>_canonical sibling group mirrors the Quantity shape (README.md:367-381,711-717)") {
+    val obs = spark.read.parquet("/root/reference/examples/Observation.parquet")
+    val c = FhirAnnotations.canonicalize(obs, "valueQuantity")
+    val g = c.schema("__valueQuantity_canonical").dataType.asInstanceOf[StructType]
+    assert(g.fieldNames.toSeq == Seq("code", "system", "unit", "value", "__value_numeric"))
+    assert(g("value").dataType == StringType)
+    assert(g("__value_numeric").dataType == DecimalType(38, 6))
+    // spec example (README.md:368-374): Celsius canonicalizes to Kelvin
+    val cel = c.where(col("valueQuantity.code") === "Cel")
+      .select(col("valueQuantity.value").cast("double").as("v"),
+        col("__valueQuantity_canonical.code").as("cc"),
+        col("__valueQuantity_canonical.__value_numeric").cast("double").as("cv"))
+      .collect()
+    cel.foreach { r =>
+      assert(r.getString(1) == "K")
+      assert(math.abs(r.getDouble(2) - (r.getDouble(0) + 273.15)) < 1e-6)
+    }
+  }
+
+  test("range bounds: fractional seconds keep µs-precise starts") {
+    val Some((lo, hi)) = FhirAnnotations.bounds("2014-06-01T12:05:30.0005Z")
+    val base = java.time.Instant.parse("2014-06-01T12:05:30Z").toEpochMilli * 1000
+    assert(lo == base + 500) // 0.0005s = 500µs, NOT floored to the ms
+    assert(hi == base + 599) // 4-digit fraction spans 100µs, inclusive end
+    val Some((l3, h3)) = FhirAnnotations.bounds("2014-06-01T12:05:30.123Z")
+    assert(l3 == base + 123000 && h3 == base + 123999)
+  }
+
+  test("FhirWriter: strictParquetTypes emits int96 annotation timestamps (README.md:329-330), both modes round-trip") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_strict_${ProcessHandle.current().pid()}"
+    val p = FhirAnnotations.annotateRange(
+      spark.read.parquet("/root/reference/examples/Patient.parquet"), "birthDate")
+      .select("id", "birthDate", "__birthDate_start", "__birthDate_end")
+    for ((strict, dir) <- Seq((true, s"$base/strict"), (false, s"$base/native"))) {
+      FhirWriter.write(p, dir, strictParquetTypes = strict)
+      // physical type per the parquet footer
+      val file = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getPath), spark.sessionState.newHadoopConf()))
+      val schema = footer.getFooter.getFileMetaData.getSchema
+      val prim = schema.getType(Array("__birthDate_start"): _*)
+        .asPrimitiveType().getPrimitiveTypeName.toString
+      footer.close()
+      assert(prim == (if (strict) "INT96" else "INT64"), s"strict=$strict")
+      // values survive either physical encoding
+      val back = spark.read.parquet(dir)
+      assert(back.count() == p.count())
+      assert(back.select("id", "__birthDate_start").except(
+        p.select("id", "__birthDate_start")).count() == 0)
+    }
+  }
+
   // --- A6 range annotation: worked vector + partial precision ---
 
   test("range bounds: spec vector 2014-06-01T12:05Z (README.md:325-327)") {
