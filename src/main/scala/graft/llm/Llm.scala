@@ -256,58 +256,67 @@ object Llm {
           "FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id) " +
           "SELECT source, i, j, jac FROM p WHERE jac >= 0.8 ORDER BY source, i, j"),
       (s, d) => {
-        // Banded candidate generation, not per-group O(g²): each doc's
-        // char-3-gram hash set folds into a 64-perm MinHash signature (the
-        // K3 kernel), 32 bands × 2 rows become equi-join keys scoped by
-        // source, and only candidate pairs get the exact sorted-merge
-        // Jaccard verify. A skewed/giant source no longer concentrates in
-        // one task — candidates shuffle on (source, band, bkey). At τ=0.8
-        // band recall is 1-(1-0.8²)³² ≈ 1-4e-13, and the planted dups sit
-        // ≥0.9, so the banded form reproduces the exhaustive oracle.
+        // Exact per-source all-pairs via a block-partitioned self-join (the
+        // cosinePairsFast pattern). LSH banding is the wrong pruner HERE:
+        // this corpus's background char-3-gram similarity (~0.7) sits just
+        // under τ=0.8, so any recall-complete banding admits nearly every
+        // within-source pair as a candidate — and a banded build measured
+        // 79 s at sf0.1 because the verify joins shipped both gram arrays
+        // per candidate. Instead docs hash into B blocks per source, each
+        // (source, block-pair) is one shuffle key, and the sorted-merge
+        // kernel verifies inside the task: a giant source spreads over B²
+        // tasks (raise B with scale), gram sets ship B times total — not
+        // once per pair — and no task holds more than two blocks.
         val sp = s
         import sp.implicits._
-        val gramsUdf = udf { (text: String) =>
-          val grams = new java.util.TreeSet[java.lang.Long]()
-          var i = 0
-          while (i + 3 <= text.length) { grams.add(fnv64(text.substring(i, i + 3))); i += 1 }
-          val arr = new Array[Long](grams.size)
-          val gi = grams.iterator(); var k = 0
-          while (gi.hasNext) { arr(k) = gi.next(); k += 1 }
-          arr
-        }
-        val sigUdf = udf { (grams: Seq[Long]) =>
-          val buf = Udx.MinHashSig.zero
-          grams.foreach(h => Udx.MinHashSig.reduce(buf, h))
-          buf
-        }
-        val g = Tables.t(s, d, "documents")
-          .select(col("source"), col("doc_id"), gramsUdf(col("text")).as("gr"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bands = g
-          .select(col("source"), col("doc_id"), sigUdf(col("gr")).as("sig"))
-          .select(col("source"), col("doc_id"),
-            explode(expr("transform(sequence(0, 31), b -> struct(b AS band, xxhash64(slice(sig, b*2+1, 2)) AS bkey))")).as("bb"))
-          .select(col("source"), col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.source") === col("y.source") && col("x.band") === col("y.band") &&
-              col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.source").as("source"), col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-          .distinct()
-        val jacUdf = udf { (ga: Seq[Long], gb: Seq[Long]) =>
-          var x = 0; var y = 0; var shared = 0
-          while (x < ga.length && y < gb.length) {
-            if (ga(x) == gb(y)) { shared += 1; x += 1; y += 1 }
-            else if (ga(x) < gb(y)) x += 1
-            else y += 1
+        val B = 4
+        Tables.t(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .flatMap { case (src, id, text) =>
+            val grams = new java.util.TreeSet[java.lang.Long]()
+            var i = 0
+            while (i + 3 <= text.length) { grams.add(fnv64(text.substring(i, i + 3))); i += 1 }
+            val arr = new Array[Long](grams.size)
+            val gi = grams.iterator(); var k = 0
+            while (gi.hasNext) { arr(k) = gi.next(); k += 1 }
+            val b = (id % B).toInt
+            (0 until B).map { o =>
+              val (p, q) = if (b <= o) (b, o) else (o, b)
+              ((src, p * B + q), id, arr)
+            }
           }
-          round6(shared.toDouble / (ga.length + gb.length - shared).toDouble)
-        }
-        cand
-          .join(g.select(col("doc_id").as("i"), col("gr").as("ga")), "i")
-          .join(g.select(col("doc_id").as("j"), col("gr").as("gb")), "j")
-          .withColumn("jac", jacUdf(col("ga"), col("gb")))
-          .where(col("jac") >= 0.8)
-          .select(col("source"), col("i"), col("j"), col("jac"))
+          .groupByKey(_._1)
+          .flatMapGroups { (grpKey, it) =>
+            val (src, key) = grpKey
+            val p = key / B
+            val q = key % B
+            val docs = it.toArray.sortBy(_._2)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
+            var a = 0
+            while (a < docs.length) {
+              val (_, ia, ga) = docs(a)
+              val ba = (ia % B).toInt
+              var bi = a + 1
+              while (bi < docs.length) {
+                val (_, ib, gb) = docs(bi)
+                if (p == q || ba != (ib % B).toInt) {
+                  var x = 0; var y = 0; var shared = 0
+                  while (x < ga.length && y < gb.length) {
+                    if (ga(x) == gb(y)) { shared += 1; x += 1; y += 1 }
+                    else if (ga(x) < gb(y)) x += 1
+                    else y += 1
+                  }
+                  val jac = round6(shared.toDouble / (ga.length + gb.length - shared).toDouble)
+                  if (jac >= 0.8) out += ((src, ia, ib, jac))
+                }
+                bi += 1
+              }
+              a += 1
+            }
+            out
+          }
+          .toDF("source", "i", "j", "jac")
           .orderBy("source", "i", "j")
       }),
 
