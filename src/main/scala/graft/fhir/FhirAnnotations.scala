@@ -83,14 +83,29 @@ object FhirAnnotations {
     */
   def annotateRange(df: DataFrame, path: String): DataFrame = {
     FhirDateTimeExpr.register(df.sparkSession)
-    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
     def start(c: Column) = call_function("fhir_dt_start", c)
     def end(c: Column) = call_function("fhir_dt_end", c)
-    def rebuild(owner: Column, dt: DataType, rest: List[String]): Column = (dt, rest) match {
-      case (_: StructType, leaf :: Nil) =>
+    annotatePath(df, path)(
+      leaf =>
+        df.withColumn(s"__${leaf}_start", start(col(leaf)))
+          .withColumn(s"__${leaf}_end", end(col(leaf))),
+      (owner, leaf) =>
         owner
           .withField(s"__${leaf}_start", start(owner.getField(leaf)))
-          .withField(s"__${leaf}_end", end(owner.getField(leaf)))
+          .withField(s"__${leaf}_end", end(owner.getField(leaf))))
+  }
+
+  /** Shared nested-path rebuild for annotation writers: applies `top` for a
+    * single-segment path (annotation lands beside a top-level column) or
+    * `group(owner, leaf)` at the owning struct for dotted paths, descending
+    * structs directly and LIST elements via `transform`.
+    */
+  private def annotatePath(df: DataFrame, path: String)(
+      top: String => DataFrame,
+      group: (Column, String) => Column): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    def rebuild(owner: Column, dt: DataType, rest: List[String]): Column = (dt, rest) match {
+      case (_: StructType, leaf :: Nil) => group(owner, leaf)
       case (st: StructType, head :: tail) =>
         st(head).dataType match {
           case at: ArrayType =>
@@ -102,9 +117,7 @@ object FhirAnnotations {
         throw new IllegalArgumentException(s"path $path does not descend structs at $rest")
     }
     path.split('.').toList match {
-      case leaf :: Nil =>
-        df.withColumn(s"__${leaf}_start", start(col(leaf)))
-          .withColumn(s"__${leaf}_end", end(col(leaf)))
+      case leaf :: Nil => top(leaf)
       case head :: tail =>
         df.schema(head).dataType match {
           case at: ArrayType =>
@@ -121,25 +134,15 @@ object FhirAnnotations {
 
   def numeric(c: Column): Column = c.cast(DecimalType(38, 6))
 
-  /** Add `__<leaf>_numeric` inside the struct at `parentPath` beside `leaf`.
-    * Paths through structs only; array elements are handled with transform
-    * at the call site.
+  /** Add `__<leaf>_numeric` beside the decimal element at `path`, inside
+    * its owning group — same placement rule and path semantics as
+    * annotateRange (structs and LIST elements both descend).
     */
-  def annotateNumeric(df: DataFrame, parentPath: String, leaf: String): DataFrame = {
-    val parts = parentPath.split('.')
-    val parent = parts.foldLeft(null: Column)((acc, p) => if (acc == null) col(p) else acc.getField(p))
-    val updated = parent.withField(s"__${leaf}_numeric", numeric(parent.getField(leaf)))
-    if (parts.length == 1) df.withColumn(parts.head, updated)
-    else {
-      // rebuild nested parents outer-to-inner
-      def rebuild(path: List[String], base: Column): Column = path match {
-        case last :: Nil => base.withField(last, updated)
-        case head :: tail => base.withField(head, rebuild(tail, base.getField(head)))
-        case Nil => base
-      }
-      df.withColumn(parts.head, rebuild(parts.tail.toList, col(parts.head)))
-    }
-  }
+  def annotateNumeric(df: DataFrame, path: String): DataFrame =
+    annotatePath(df, path)(
+      leaf => df.withColumn(s"__${leaf}_numeric", numeric(col(leaf))),
+      (owner, leaf) =>
+        owner.withField(s"__${leaf}_numeric", numeric(owner.getField(leaf))))
 
   // ---------------------------------------------------------------- A8
   // UCUM canonicalization (README.md:367-381): a broadcast conversion table

@@ -81,6 +81,38 @@ class FhirSpec extends AnyFunSuite {
     }
   }
 
+  test("primitive extensions: _field sibling groups round-trip (README.md:252-297)") {
+    // the spec's own worked example: birthDate with an id + birthTime extension
+    val json = """{"resourceType":"Patient","birthDate":"1970-01-01","_birthDate":{"id":"1","extension":[{"url":"http://hl7.org/fhir/StructureDefinition/patient-birthTime","valueDateTime":"1970-01-01T00:00:00Z"}]}}"""
+    val schema = FhirSchema.deriveSchema(spark, ds(json))
+    val g = schema("_birthDate").dataType.asInstanceOf[StructType]
+    assert(g.fieldNames.contains("id") && g.fieldNames.contains("extension"))
+    val df = FhirCodec.encode(spark, ds(json), schema)
+    assert(df.select(col("_birthDate.id")).head().getString(0) == "1")
+    assert(df.select(expr("_birthDate.extension[0].valueDateTime")).head()
+      .getString(0) == "1970-01-01T00:00:00Z")
+    val back = FhirCodec.decode(df).collect()
+    assert(back.length == 1)
+    // decode emits the _birthDate group intact (fixpoint through a 2nd pass)
+    assert(back.head.contains("\"_birthDate\""))
+    val again = FhirCodec.decode(FhirCodec.encode(spark,
+      spark.createDataset(back.toSeq)(org.apache.spark.sql.Encoders.STRING), schema)).collect()
+    assert(again.sameElements(back))
+  }
+
+  test("primitive extensions: parallel-array _given keeps null alignment (README.md:252-297)") {
+    // index alignment is semantically significant: _given[0] must stay null
+    val json = """{"resourceType":"Patient","name":[{"given":["Jane","J"],"_given":[null,{"id":"g2"}]}]}"""
+    val schema = FhirSchema.deriveSchema(spark, ds(json))
+    val df = FhirCodec.encode(spark, ds(json), schema)
+    val decoded = FhirCodec.decode(df).head()
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(decoded)
+    val ug = tree.at("/name/0/_given")
+    assert(ug.size() == 2, s"parallel array length: $decoded")
+    assert(ug.get(0).isNull, s"leading null must survive: $decoded")
+    assert(ug.get(1).at("/id").asText() == "g2")
+  }
+
   test("golden files: annotation placement is sibling-in-group (README.md:304-306)") {
     val obs = spark.read.parquet("/root/reference/examples/Observation.parquet")
     val vq = obs.schema("valueQuantity").dataType.asInstanceOf[StructType]
@@ -100,6 +132,26 @@ class FhirSpec extends AnyFunSuite {
     val sp = item("servicedPeriod").dataType.asInstanceOf[StructType]
     assert(sp.fieldNames.toSet.intersect(Set("start", "__start_start", "__start_end")).size == 3)
     assert(sp("__start_end").dataType == TimestampType)
+  }
+
+  test("annotateNumeric: LIST path places __value_numeric beside each element's decimal (README.md:347-353)") {
+    val eob = spark.read.parquet("/root/reference/examples/ExplanationOfBenefit.parquet")
+    // golden EOB already carries total[].amount.__value_numeric — recompute
+    // under a fresh name impossible (fixed annotation name), so strip via a
+    // reduced frame: rebuild from the raw string values only
+    val raw = eob.select(col("id"),
+      expr("transform(total, t -> named_struct('amount', named_struct('value', t.amount.value)))").as("total"))
+    val a = FhirAnnotations.annotateNumeric(raw, "total.amount.value")
+    val amt = a.schema("total").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("amount").dataType.asInstanceOf[StructType]
+    assert(amt.fieldNames.toSeq == Seq("value", "__value_numeric"))
+    assert(amt("__value_numeric").dataType == DecimalType(38, 6))
+    // values agree with the golden files' own annotation
+    val mismatch = a.select(col("id"), expr("transform(total, t -> t.amount.__value_numeric)").as("mine"))
+      .join(eob.select(col("id"), expr("transform(total, t -> t.amount.__value_numeric)").as("golden")), "id")
+      .where(expr("NOT (mine <=> golden)"))
+      .count()
+    assert(mismatch == 0)
   }
 
   test("canonicalize: __<q>_canonical sibling group mirrors the Quantity shape (README.md:367-381,711-717)") {
