@@ -369,12 +369,16 @@ object Llm {
           .select(col("label"), col("i"), col("j"), col("sim"))
           .orderBy("label", "i", "j")),
 
-    // LSH-bucketed ANN: 8 fixed pseudo-random hyperplanes → 8-bit bucket;
-    // query probes only its own bucket. No oracle (approximate); OpsSpec
-    // measures recall vs brute force. Note: on this corpus true neighbours
-    // sit near cosine 0.45 (~63°), where sign-hyperplane sketches carry
-    // little signal — recall is poor by construction and sim_ann_ivf
-    // (k-means inverted file, recall ≈0.93) is the preferred scale path.
+    // LSH-bucketed ANN: 8 fixed pseudo-random hyperplanes → 8-bit bucket,
+    // MULTI-PROBE on the query side: the probe radius is the recall/cost
+    // knob. At this corpus's weak-signal angles (true neighbours near
+    // cosine 0.45 ≈ 63°, each plane sign flips with p ≈ θ/π ≈ 0.35),
+    // same-bucket recall is 0.65⁸ ≈ 0.03 — so probe all buckets within
+    // Hamming ≤ 2 (37/256 of the space, candidate-recall ≈ 0.43 in theory;
+    // measured end-to-end top-k recall ≈ 0.16 because near-tie background
+    // sims crowd the top-3 cut). sign-LSH fundamentally tops out here;
+    // sim_ann_ivf (k-means inverted file, recall ≈ 0.93) is the preferred
+    // scale path. No oracle (approximate); OpsSpec measures recall.
     QueryDef(
       "sim_ann_lsh",
       None,
@@ -389,8 +393,11 @@ object Llm {
               "aggregate(zip_with(embedding, hp[p], (x, h) -> CAST(x AS DOUBLE) * h), CAST(0 AS DOUBLE), (a2, v) -> a2 + v) >= 0 " +
               "THEN CAST(shiftleft(1, p) AS INT) ELSE 0 END)"))
           .drop("hp")
+        val probeMasks = (0 until 256).filter(m => Integer.bitCount(m) <= 2)
         val q = e.where(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            explode(expr(s"transform(array(${probeMasks.mkString(",")}), " +
+              "m -> CAST(bucket ^ m AS INT))")).as("bucket"))
         val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
         val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
         c.join(broadcast(q), "bucket")
