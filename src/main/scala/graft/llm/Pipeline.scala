@@ -129,6 +129,37 @@ object Pipeline {
           .groupBy("doc_id")
           .agg(countDistinct(col("gram")).as("n_shared"))
           .orderBy("doc_id")
+      }),
+
+    // Sequence packing: concatenate documents (per language, in doc_id
+    // order) into fixed 512-token training sequences — bin id = which
+    // budget window the document's first token falls in. Deterministic
+    // greedy packing as a pure window computation: partitions by lang, so
+    // at 100 TB each language packs independently and in parallel; no
+    // global order, no driver state. (Real packers also split oversize
+    // docs — doc_chunk_overlap above is that half of the pipeline.)
+    QueryDef(
+      "pack_sequences",
+      Some(
+        // integer division spelled explicitly (// and div): CAST(double)
+        // rounds in DuckDB but truncates in Spark
+        "SELECT lang, doc_id, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS bin FROM (" +
+          "SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+          "sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER " +
+          "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+          "FROM documents) ORDER BY lang, doc_id"),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.t(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .select(col("lang"), col("doc_id"), col("n_tok"),
+            expr("(cum - n_tok) div 512").cast("long").as("bin"))
+          .orderBy("lang", "doc_id")
       })
   )
 }
