@@ -131,6 +131,30 @@ object Pipeline {
           .orderBy("doc_id")
       }),
 
+    // Stratified sampling: per-language keep rates (upsample rare
+    // languages, downsample dominant ones) decided by a hash of the doc id
+    // — reproducible across runs, engines, and repartitioning, unlike
+    // sampleBy(seed), and a pure narrow pass at any scale. Rates are in
+    // 1/16 steps via the first hex char of md5 (same trick as the split).
+    QueryDef(
+      "sample_stratified",
+      Some(
+        "SELECT doc_id, lang FROM documents WHERE " +
+          "CASE WHEN lang = 'zh' THEN TRUE " +
+          "WHEN lang = 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < '8' " +
+          "ELSE substr(md5(CAST(doc_id AS VARCHAR)),1,1) < '4' END " +
+          "ORDER BY doc_id"),
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+        Tables.t(s, d, "documents")
+          .where(
+            when(col("lang") === "zh", lit(true))
+              .when(col("lang") === "de", h < "8")
+              .otherwise(h < "4"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      }),
+
     // Sequence packing: concatenate documents (per language, in doc_id
     // order) into fixed 512-token training sequences — bin id = which
     // budget window the document's first token falls in. Deterministic
