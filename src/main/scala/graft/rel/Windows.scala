@@ -111,6 +111,38 @@ object Windows {
           .orderBy("c_mktsegment", "c_custkey")
       }),
 
+    // F6 — batch sessionization (gap > 30 min starts a new session): the
+    // batch analog of the streaming session window, composed from two
+    // per-user windows — lag() marks session starts, a running sum numbers
+    // them. Partitions by user_id, so sessions build independently per key
+    // at any scale (the classic sessionization shape).
+    QueryDef(
+      "sessionize_events",
+      Some(
+        "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, " +
+          "CAST(min(epoch_ms(ts)) AS BIGINT) AS start_ms, CAST(max(epoch_ms(ts)) AS BIGINT) AS end_ms FROM (" +
+          "SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (" +
+          "SELECT user_id, event_id, ts, CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1, epoch_ms(ts) - 1800001) " +
+          "OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000 THEN 1 ELSE 0 END AS is_new " +
+          "FROM events)) GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("ts_ms"))
+          .withColumn("is_new",
+            when(col("ts_ms") - lag(col("ts_ms"), 1, null).over(wOrd) > 1800000L, 1)
+              .when(lag(col("ts_ms"), 1, null).over(wOrd).isNull, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("is_new")).over(wRun))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_ms")).as("start_ms"),
+            max(col("ts_ms")).as("end_ms"))
+          .orderBy("user_id", "session_id")
+      }),
+
     // G1 — multi-key total sort, mixed asc/desc + a nulls-first key.
     QueryDef(
       "sort_multi_key",
