@@ -408,6 +408,30 @@ object Llm {
           .orderBy("qid", "rn")
       }),
 
+    // int8 symmetric quantization of the embedding column — the standard 4×
+    // storage/bandwidth shrink before ANN serving. Per-vector absmax scale,
+    // q_i = round(x_i·127/absmax) ∈ [-127,127]; a pure narrow HOF pass
+    // (codegen, no shuffle) at any scale. Quantized codes serialize to CSV
+    // for the driver's hasher; absmax stays double (bit-identical in both
+    // engines: float→double widening and elementwise IEEE ops only).
+    QueryDef(
+      "embed_quantize_int8",
+      Some(
+        "SELECT vec_id, amax, array_to_string(list_transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 127 / amax) AS BIGINT)), ',') AS q FROM (" +
+          "SELECT vec_id, list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS amax, embedding " +
+          "FROM embeddings) WHERE amax > 0 ORDER BY vec_id"),
+      (s, d) =>
+        Tables.t(s, d, "embeddings")
+          .select(col("vec_id"),
+            expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("amax"),
+            col("embedding"))
+          .where(col("amax") > 0)
+          .select(col("vec_id"), col("amax"),
+            expr("array_join(transform(embedding, " +
+              "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127 / amax) AS BIGINT) AS STRING)), ',')").as("q"))
+          .orderBy("vec_id")),
+
     // L5 — majority label among the 5 nearest neighbours (ties → min label).
     QueryDef(
       "knn_label_vote",
