@@ -432,6 +432,38 @@ object Llm {
               "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127 / amax) AS BIGINT) AS STRING)), ',')").as("q"))
           .orderBy("vec_id")),
 
+    // Quantized retrieval: top-5 by int8×int8 dot product — the serving-side
+    // pairing of embed_quantize_int8. Integer products (≤127²·64 ≈ 10⁶) are
+    // exact in both engines, so unlike float cosine this ranking needs no
+    // rounding discipline at all. Same broadcast-query shape as L3.
+    QueryDef(
+      "sim_topk_int8",
+      Some(
+        "WITH q8 AS (SELECT vec_id, list_transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 127 / " +
+          "list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max')) AS BIGINT)) AS q " +
+          "FROM embeddings), " +
+          "sims AS (SELECT a.vec_id AS qid, b.vec_id AS cid, " +
+          "CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot " +
+          "FROM q8 a JOIN q8 b ON a.vec_id < 5 AND b.vec_id != a.vec_id) " +
+          "SELECT qid, cid, dot, CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS BIGINT) AS rn " +
+          "FROM sims QUALIFY rn <= 5 ORDER BY qid, rn"),
+      (s, d) => {
+        val q8 = Tables.t(s, d, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 / " +
+              "array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS BIGINT))").as("q"))
+        val q = q8.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("q").as("qq"))
+        val c = q8.select(col("vec_id").as("cid"), col("q").as("cq"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+        c.join(broadcast(q), col("qid") =!= col("cid"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(qq, cq, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .select(col("qid"), col("cid"), col("dot"), row_number().over(w).cast("long").as("rn"))
+          .where(col("rn") <= 5)
+          .orderBy("qid", "rn")
+      }),
+
     // L5 — majority label among the 5 nearest neighbours (ties → min label).
     QueryDef(
       "knn_label_vote",

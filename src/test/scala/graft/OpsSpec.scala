@@ -117,6 +117,16 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == brute, s"missing=${brute -- lsh} extra=${lsh -- brute}")
   }
 
+  test("sim_topk_int8: quantized retrieval preserves most of the float top-5") {
+    val int8 = run("sim_topk_int8").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val float = run("sim_cosine_topk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree = (int8 & float).size.toDouble / float.size
+    info(f"int8 vs float top-5 agreement: $agree%.2f")
+    // absmax int8 on 64-dim vectors loses <1% dot-product precision; the
+    // ranking should agree on the clear majority of neighbour slots
+    assert(agree >= 0.6, f"quantized retrieval agreement $agree%.2f too low")
+  }
+
   test("sim_ann_lsh is a subset-recall approximation of brute-force top-k") {
     val ann = run("sim_ann_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = run("sim_cosine_topk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
