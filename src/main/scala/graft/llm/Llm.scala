@@ -432,34 +432,44 @@ object Llm {
               "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127 / amax) AS BIGINT) AS STRING)), ',')").as("q"))
           .orderBy("vec_id")),
 
-    // Quantized retrieval: top-5 by int8×int8 dot product — the serving-side
-    // pairing of embed_quantize_int8. Integer products (≤127²·64 ≈ 10⁶) are
-    // exact in both engines, so unlike float cosine this ranking needs no
-    // rounding discipline at all. Same broadcast-query shape as L3.
+    // Quantized retrieval: top-5 by DEQUANTIZED cosine — the serving-side
+    // pairing of embed_quantize_int8, done the way real vector stores do
+    // it: quantize the L2-normalized vector (absmax int8 per vector), rank
+    // by dot_int8 · scaleA · scaleB ≈ cosine. The integer dot is exact in
+    // both engines and the per-vector scales are elementwise-IEEE doubles,
+    // so scores are bit-identical cross-engine. Same broadcast-query shape
+    // as L3; int codes cut candidate-side bandwidth 4×.
     QueryDef(
       "sim_topk_int8",
       Some(
-        "WITH q8 AS (SELECT vec_id, list_transform(embedding, " +
-          "x -> CAST(round(CAST(x AS DOUBLE) * 127 / " +
-          "list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max')) AS BIGINT)) AS q " +
+        "WITH n AS (SELECT vec_id, list_transform(embedding, " +
+          "x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS nv " +
           "FROM embeddings), " +
+          "q8 AS (SELECT vec_id, list_transform(nv, v -> CAST(round(v * 127 / amax) AS BIGINT)) AS q, amax / 127 AS scale " +
+          "FROM (SELECT vec_id, nv, list_aggregate(list_transform(nv, v -> abs(v)), 'max') AS amax FROM n)), " +
           "sims AS (SELECT a.vec_id AS qid, b.vec_id AS cid, " +
-          "CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot " +
+          "round(CAST(list_dot_product(a.q, b.q) AS BIGINT) * a.scale * b.scale, 6) AS score " +
           "FROM q8 a JOIN q8 b ON a.vec_id < 5 AND b.vec_id != a.vec_id) " +
-          "SELECT qid, cid, dot, CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS BIGINT) AS rn " +
+          "SELECT qid, cid, score, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rn " +
           "FROM sims QUALIFY rn <= 5 ORDER BY qid, rn"),
       (s, d) => {
         val q8 = Tables.t(s, d, "embeddings")
           .select(col("vec_id"),
-            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 / " +
-              "array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS BIGINT))").as("q"))
-        val q = q8.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("q").as("qq"))
-        val c = q8.select(col("vec_id").as("cid"), col("q").as("cq"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+            expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
+              "sqrt(aggregate(zip_with(embedding, embedding, (p, r) -> CAST(p AS DOUBLE) * CAST(r AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))").as("nv"))
+          .withColumn("amax", expr("array_max(transform(nv, v -> abs(v)))"))
+          .select(col("vec_id"),
+            expr("transform(nv, v -> CAST(round(v * 127 / amax) AS BIGINT))").as("q"),
+            (col("amax") / 127).as("scale"))
+        val q = q8.select(col("vec_id").as("qid"), col("q").as("qq"), col("scale").as("qs"))
+          .where(col("qid") < 5)
+        val c = q8.select(col("vec_id").as("cid"), col("q").as("cq"), col("scale").as("cs"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
         c.join(broadcast(q), col("qid") =!= col("cid"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(qq, cq, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-          .select(col("qid"), col("cid"), col("dot"), row_number().over(w).cast("long").as("rn"))
+          .withColumn("score", round(
+            expr("aggregate(zip_with(qq, cq, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+              * col("qs") * col("cs"), 6))
+          .select(col("qid"), col("cid"), col("score"), row_number().over(w).cast("long").as("rn"))
           .where(col("rn") <= 5)
           .orderBy("qid", "rn")
       }),

@@ -122,9 +122,9 @@ class OpsSpec extends AnyFunSuite {
     val float = run("sim_cosine_topk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val agree = (int8 & float).size.toDouble / float.size
     info(f"int8 vs float top-5 agreement: $agree%.2f")
-    // absmax int8 on 64-dim vectors loses <1% dot-product precision; the
-    // ranking should agree on the clear majority of neighbour slots
-    assert(agree >= 0.6, f"quantized retrieval agreement $agree%.2f too low")
+    // dequantized-cosine ranking (normalized absmax int8, scales multiplied
+    // back) loses <1% precision on 64-dim vectors; measured 0.96 here
+    assert(agree >= 0.8, f"quantized retrieval agreement $agree%.2f too low")
   }
 
   test("sim_ann_lsh is a subset-recall approximation of brute-force top-k") {
