@@ -23,7 +23,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // brute-force similarity baselines: the broadcast side is the FIXED
     // 5-row query set, so candidate×query NLJ is the intended plan — every
     // candidate partition streams once past an O(1) broadcast table
-    "sim_cosine_topk", "knn_label_vote")
+    "sim_cosine_topk", "knn_label_vote", "sim_topk_int8")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin anywhere") {
     val skip = (k: String) => k.startsWith("stream_") ||
