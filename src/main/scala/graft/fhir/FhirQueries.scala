@@ -255,6 +255,27 @@ object FhirQueries {
           .orderBy("id")
       }),
 
+    // §4 — the numeric half of AnnotationRewrite: a predicate on
+    // CAST(valueQuantity.value AS DOUBLE) gains an implied, margin-relaxed
+    // conjunct on the typed __value_numeric sibling (sketch-prune +
+    // exact-verify; PlanSpec asserts the typed field reaches the filter).
+    // Results must equal the plain string-cast oracle exactly.
+    QueryDef(
+      "opt_numeric_rewrite",
+      Some(
+        "SELECT id, valueQuantity.value AS val_str " +
+          s"FROM read_parquet('$G/Observation.parquet') " +
+          "WHERE CAST(valueQuantity.value AS DOUBLE) >= 40.0 " +
+          "AND CAST(valueQuantity.value AS DOUBLE) < 80.0 ORDER BY id"),
+      (s, d) => {
+        graft.opt.AnnotationRewrite.install(s)
+        Tables.golden(s, "Observation")
+          .where(col("valueQuantity.value").cast("double") >= 40.0 &&
+            col("valueQuantity.value").cast("double") < 80.0)
+          .select(col("id"), col("valueQuantity.value").as("val_str"))
+          .orderBy("id")
+      }),
+
     // A9 — choice-type coalesce over the live multipleBirth[x] siblings
     // (README.md:141-172; both populated in the golden Patient).
     QueryDef(

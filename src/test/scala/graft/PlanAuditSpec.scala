@@ -27,7 +27,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin anywhere") {
     val skip = (k: String) => k.startsWith("stream_") ||
-      k == "opt_annotation_rewrite" || // installs a session rule + writes a temp table
+      k == "opt_annotation_rewrite" || k == "opt_numeric_rewrite" || // install a session rule (+ temp table)
       k == "sink_partitioned_write" || k == "sink_parquet_roundtrip" ||
       k == "join_bucketed_colocated" // saveAsTable side effects; plan asserted in PlanSpec
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { k =>

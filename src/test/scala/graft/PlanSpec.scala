@@ -90,15 +90,44 @@ class PlanSpec extends AnyFunSuite {
     val optimized = q.queryExecution.optimizedPlan.toString
     assert(optimized.contains("__birthDate_start"), optimized)
     assert(!optimized.toLowerCase.contains("cast(birthdate"), optimized)
-    // the typed predicate is pushable to the parquet scan
+    // the typed predicate is pushable to the parquet scan; since round 2
+    // the rewrite runs at analysis (resolution rule), so the raw string
+    // column is pruned from the scan entirely and even the inferred
+    // IsNotNull lands on the typed annotation column
     val physical = q.queryExecution.executedPlan.toString
-    assert(physical.contains("PushedFilters: [IsNotNull(birthDate), GreaterThanOrEqual(__birthDate_start"),
+    assert(physical.contains("PushedFilters: [IsNotNull(__birthDate_start), GreaterThanOrEqual(__birthDate_start"),
       physical)
+    assert(!physical.contains("ReadSchema: struct<id:string,birthDate"), physical)
     // and the rewrite preserves results
     val expected = table
       .where(col("birthDate") >= "1990-01-01") // string-compare ground truth
       .select("id").collect().map(_.getString(0)).sorted
     val got = q.collect().map(_.getString(0)).sorted
     assert(got.sameElements(expected))
+  }
+
+  test("AnnotationRewrite: decimal-string predicate gains a typed __value_numeric pruning conjunct") {
+    opt.AnnotationRewrite.install(spark)
+    val obs = spark.read.parquet("/root/reference/examples/Observation.parquet")
+    val q = obs
+      .where(col("valueQuantity.value").cast("double") >= 40.0)
+      .select("id")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    // the exact string predicate SURVIVES (the 6-dp twin can only prune,
+    // never replace) and the relaxed typed conjunct appears beside it
+    assert(optimized.contains("__value_numeric"), optimized)
+    assert(optimized.contains("39.999999"), optimized)
+    assert(optimized.toLowerCase.contains("cast(valuequantity"), optimized)
+    // a comparison inside OR must NOT spawn a conjunct (not implied)
+    val orQ = obs.where(
+      col("valueQuantity.value").cast("double") >= 40.0 ||
+        col("status") === "amended")
+    assert(!orQ.queryExecution.optimizedPlan.toString.contains("__value_numeric"))
+    // results equal the rule-free string-cast semantics
+    val expected = obs.where(col("valueQuantity.__value_numeric") >= 40.0 ||
+        (col("valueQuantity.value").cast("double") >= 40.0))
+      .where(col("valueQuantity.value").cast("double") >= 40.0)
+      .select("id").collect().map(_.getString(0)).sorted
+    assert(q.collect().map(_.getString(0)).sorted.sameElements(expected))
   }
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
 object SparkTestBase {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(graft.opt.AnnotationRewrite.inject)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
