@@ -127,6 +127,55 @@ object Llm {
     "SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS sh " +
       "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 5"
 
+  /** DuckDB near-dup pair CTE body (brute-force oracle of L2). */
+  private val duckNearPairs =
+    s"s AS ($duckShingles), " +
+      "p AS (SELECT a.doc_id AS i, b.doc_id AS j, " +
+      "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jac " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id)"
+
+  /** L2's banded near-dup pairs (i < j, exact Jaccard ≥ 0.5), shared by the
+    * pair query and the component-clustering step.
+    */
+  private def minhashNearPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.t(s, d, "documents")
+    // The shingle table is consumed three times (signature pass + both
+    // sides of the verification join); without persist the plan forks
+    // recompute the interpreted shingling HOF 3× over every document.
+    // Space cost is ~the token count of the corpus; the ContextCleaner
+    // drops the blocks once the query's references are collected. At
+    // 100 TB this is the same call with a disk-backed level — or
+    // recompute, if shingling is cheaper than the I/O.
+    val sh = docs.where(size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-document single-pass signature kernel: same affine
+    // permutations as the K3 group aggregator, but no explode/shuffle —
+    // a row's signature never needs to leave its partition
+    val sigUdf = udf { (grams: Seq[String]) =>
+      val buf = Udx.MinHashSig.zero
+      grams.foreach(g => Udx.MinHashSig.reduce(buf, fnv64(g)))
+      buf
+    }
+    val sigs = sh.select(col("doc_id"), sigUdf(col("sh")).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+      explode(expr("transform(sequence(0, 31), b -> struct(b AS band, xxhash64(slice(sig, b*2+1, 2)) AS bkey))")).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
+      .withColumn("jac", round(
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"), 6))
+      .where(col("jac") >= 0.5)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // L1 — exact dedup: keep min doc_id per content hash.
     QueryDef(
@@ -148,49 +197,50 @@ object Llm {
     QueryDef(
       "dedup_minhash_near",
       Some(
-        s"WITH s AS ($duckShingles), " +
-          "p AS (SELECT a.doc_id AS i, b.doc_id AS j, " +
-          "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-          "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jac " +
-          "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+        s"WITH $duckNearPairs " +
           "SELECT i, j, jac FROM p WHERE jac >= 0.5 ORDER BY i, j"),
+      (s, d) => minhashNearPairs(s, d).orderBy("i", "j")),
+
+    // Near-dup pairs → connected components: the step between "pairs" and
+    // "keep one per cluster" in a production dedup pipeline (A~B, B~C must
+    // collapse to ONE kept doc, which pairwise drops alone cannot do).
+    // Spark-native union-find: iterative min-label propagation — each round
+    // is one shuffle join on the node key; rounds ≈ component diameter
+    // (near-dup clusters are tiny, 2-3 rounds); the driver holds only the
+    // convergence flag. The oracle computes the same components via a
+    // recursive transitive-closure CTE (viable at oracle scale only).
+    QueryDef(
+      "dedup_cluster_components",
+      Some(
+        s"WITH RECURSIVE $duckNearPairs, " +
+          "pe AS (SELECT i, j FROM p WHERE jac >= 0.5), " +
+          "e AS (SELECT i, j FROM pe UNION SELECT j, i FROM pe), " +
+          "reach(a, b) AS (SELECT i, j FROM e UNION " +
+          "SELECT r.a, e.j FROM reach r JOIN e ON r.b = e.i) " +
+          "SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_rep " +
+          "FROM reach GROUP BY a ORDER BY doc_id"),
       (s, d) => {
-        val docs = Tables.t(s, d, "documents")
-        // The shingle table is consumed three times (signature pass + both
-        // sides of the verification join); without persist the plan forks
-        // recompute the interpreted shingling HOF 3× over every document.
-        // Space cost is ~the token count of the corpus; the ContextCleaner
-        // drops the blocks once the query's references are collected. At
-        // 100 TB this is the same call with a disk-backed level — or
-        // recompute, if shingling is cheaper than the I/O.
-        val sh = docs.where(size(split(col("text"), " ")) >= 5)
-          .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+        val pairs = minhashNearPairs(s, d).select("i", "j")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // per-document single-pass signature kernel: same affine
-        // permutations as the K3 group aggregator, but no explode/shuffle —
-        // a row's signature never needs to leave its partition
-        val sigUdf = udf { (grams: Seq[String]) =>
-          val buf = Udx.MinHashSig.zero
-          grams.foreach(g => Udx.MinHashSig.reduce(buf, fnv64(g)))
-          buf
+        val edges = pairs.union(pairs.select(col("j").as("i"), col("i").as("j")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var labels = edges.select(col("i").as("node")).distinct()
+          .withColumn("label", col("node"))
+        var changed = 1L
+        while (changed > 0) {
+          val neighborMin = edges.join(labels, edges("j") === labels("node"))
+            .groupBy(edges("i").as("n2")).agg(min(col("label")).as("nlabel"))
+          val updated = labels.join(neighborMin, labels("node") === neighborMin("n2"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          changed = updated.as("u")
+            .join(labels.as("l"), col("u.node") === col("l.node"))
+            .where(col("u.label") < col("l.label")).count()
+          labels = updated
         }
-        val sigs = sh.select(col("doc_id"), sigUdf(col("sh")).as("sig"))
-        val bands = sigs.select(col("doc_id"),
-          explode(expr("transform(sequence(0, 31), b -> struct(b AS band, xxhash64(slice(sig, b*2+1, 2)) AS bkey))")).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
-        cand
-          .join(sh.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
-          .join(sh.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
-          .withColumn("jac", round(
-            size(array_intersect(col("sa"), col("sb"))).cast("double") /
-              size(array_union(col("sa"), col("sb"))).cast("double"), 6))
-          .where(col("jac") >= 0.5)
-          .select(col("i"), col("j"), col("jac"))
-          .orderBy("i", "j")
+        labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+          .orderBy("doc_id")
       }),
 
     // SimHash near-dup: 64-bit signature from token hashes, 4×16-bit band
