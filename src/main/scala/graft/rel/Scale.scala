@@ -96,6 +96,32 @@ object Scale {
           .orderBy("o_orderpriority")
       }),
 
+    // Small-files compaction: fragment the documents table into 64 tiny
+    // parquet files, then rewrite to 2 — the maintenance pass every large
+    // parquet lake needs (footer/listing overhead grows per file, and
+    // 100 TB lakes compact by target size via maxRecordsPerFile or AQE
+    // coalesce; fixed counts here keep the oracle deterministic). The
+    // output asserts the physically observed file counts, not intentions.
+    QueryDef(
+      "sink_compaction",
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(64 AS BIGINT) AS files_small, " +
+          "CAST(2 AS BIGINT) AS files_compacted FROM documents"),
+      (s, d) => {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_compact_${Integer.toHexString(d.hashCode)}"
+        def nFiles(p: String): Long =
+          new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet")).toLong
+        Tables.t(s, d, "documents")
+          .repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+        val small = nFiles(s"$tmp/small")
+        s.read.parquet(s"$tmp/small")
+          .coalesce(2).write.mode("overwrite").parquet(s"$tmp/compact")
+        val compacted = nFiles(s"$tmp/compact")
+        s.read.parquet(s"$tmp/compact")
+          .agg(count(lit(1)).as("n_rows"))
+          .select(col("n_rows"), lit(small).as("files_small"), lit(compacted).as("files_compacted"))
+      }),
+
     // Bucketed co-located join: both sides written bucketBy(8, key) as
     // catalog tables; the join requires no Exchange (asserted in PlanSpec
     // via bucketedJoinFrame below).

@@ -143,6 +143,46 @@ object Windows {
           .orderBy("user_id", "session_id")
       }),
 
+    // F7 — time-series resample + forward fill: each user's events snap to
+    // a 1-hour grid (last observation per bucket wins, keyed by
+    // ts_ms·10⁶+event_id so both engines break ties identically), gaps
+    // carry the previous value forward via last(...ignoreNulls) — the
+    // standard LOCF resample. Grid generation and both windows partition
+    // by user_id, so the operator scales with the key space.
+    QueryDef(
+      "resample_ffill",
+      Some(
+        "WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value, " +
+          "epoch_ms(ts) // 3600000 AS bucket FROM events), " +
+          "pb AS (SELECT user_id, bucket, arg_max(value, ts_ms * 1000000 + event_id) AS obs, " +
+          "CAST(count(*) AS BIGINT) AS n_obs FROM ev GROUP BY 1, 2), " +
+          "grid AS (SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket " +
+          "FROM ev GROUP BY user_id) " +
+          "SELECT g.user_id AS user_id, CAST(g.bucket * 3600000 AS BIGINT) AS bucket_ms, " +
+          "last_value(pb.obs IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.bucket " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value, " +
+          "CAST(coalesce(pb.n_obs, 0) AS BIGINT) AS n_obs " +
+          "FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket " +
+          "ORDER BY user_id, bucket_ms"),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+          .withColumn("bucket", expr("ts_ms div 3600000"))
+        val perBucket = ev.groupBy("user_id", "bucket")
+          .agg(expr("max_by(value, ts_ms * 1000000 + event_id)").as("obs"),
+            count(lit(1)).as("n_obs"))
+        val grid = ev.groupBy("user_id")
+          .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+          .select(col("user_id"), explode(expr("sequence(b0, b1)")).as("bucket"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(perBucket, Seq("user_id", "bucket"), "left")
+          .select(col("user_id"), (col("bucket") * 3600000).as("bucket_ms"),
+            last(col("obs"), ignoreNulls = true).over(w).as("value"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+          .orderBy("user_id", "bucket_ms")
+      }),
+
     // G1 — multi-key total sort, mixed asc/desc + a nulls-first key.
     QueryDef(
       "sort_multi_key",
