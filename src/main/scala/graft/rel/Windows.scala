@@ -183,6 +183,26 @@ object Windows {
           .orderBy("user_id", "bucket_ms")
       }),
 
+    // F8 — CDC-style latest-record compaction: keep the newest event per
+    // (user, event_type) — the batch twin of stream_stateful_dedup and the
+    // standard "upsert log → current state" collapse. One per-key window,
+    // no global sort until presentation.
+    QueryDef(
+      "batch_dedup_latest",
+      Some(
+        "SELECT user_id, event_type, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value " +
+          "FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type " +
+          "ORDER BY ts DESC, event_id DESC) = 1 ORDER BY user_id, event_type"),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+          .orderBy("user_id", "event_type")
+      }),
+
     // G1 — multi-key total sort, mixed asc/desc + a nulls-first key.
     QueryDef(
       "sort_multi_key",
