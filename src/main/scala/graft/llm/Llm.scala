@@ -136,9 +136,20 @@ object Llm {
       "FROM s a JOIN s b ON a.doc_id < b.doc_id)"
 
   /** L2's banded near-dup pairs (i < j, exact Jaccard ≥ 0.5), shared by the
-    * pair query and the component-clustering step.
+    * pair query and the component-clustering step. The (tiny) result is
+    * persisted and memoized per (session, dataset) so the clustering query
+    * doesn't recompute the whole shingle→signature→band pipeline.
     */
-  private def minhashNearPairs(s: SparkSession, d: String): DataFrame = {
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def minhashNearPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.computeIfAbsent((s, d), { case (ss, dd) =>
+      minhashNearPairsUncached(ss, dd)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def minhashNearPairsUncached(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.t(s, d, "documents")
     // The shingle table is consumed three times (signature pass + both
     // sides of the verification join); without persist the plan forks
