@@ -241,14 +241,14 @@ object Llm {
         while (changed > 0) {
           val neighborMin = edges.join(labels, edges("j") === labels("node"))
             .groupBy(edges("i").as("n2")).agg(min(col("label")).as("nlabel"))
+          // carry the previous label through the update so convergence is
+          // read off the SAME materialization — one action per round
           val updated = labels.join(neighborMin, labels("node") === neighborMin("n2"), "left")
-            .select(col("node"),
+            .select(col("node"), col("label").as("prev"),
               least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          changed = updated.as("u")
-            .join(labels.as("l"), col("u.node") === col("l.node"))
-            .where(col("u.label") < col("l.label")).count()
-          labels = updated
+          changed = updated.where(col("label") < col("prev")).count()
+          labels = updated.select(col("node"), col("label"))
         }
         labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
           .orderBy("doc_id")
