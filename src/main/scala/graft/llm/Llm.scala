@@ -717,6 +717,42 @@ object Llm {
           .orderBy("doc_id")
       }),
 
+    // Repetition filter (Gopher/RefinedWeb-style quality rule): fraction of
+    // duplicated tokens and duplicated word-5-grams per document, in exact
+    // integer micro-units (float ratios don't hash-match across engines).
+    // A narrow HOF pass; thresholds flag boilerplate/looped text.
+    QueryDef(
+      "text_repetition_filter",
+      Some(
+        "SELECT doc_id, n_toks, " +
+          "CASE WHEN n_toks > 0 THEN (n_toks - nd_toks) * 1000000 // n_toks ELSE 0 END AS dup_tok_micro, " +
+          "CASE WHEN n_grams > 0 THEN (n_grams - nd_grams) * 1000000 // n_grams ELSE 0 END AS dup_gram_micro, " +
+          "n_grams > 0 AND (n_grams - nd_grams) * 1000000 // n_grams > 300000 AS is_repetitive FROM " +
+          "(SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks, " +
+          "CAST(len(list_distinct(w)) AS BIGINT) AS nd_toks, " +
+          "CAST(len(g) AS BIGINT) AS n_grams, CAST(len(list_distinct(g)) AS BIGINT) AS nd_grams FROM " +
+          "(SELECT doc_id, w, [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS g " +
+          "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))) " +
+          "ORDER BY doc_id"),
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), toks.as("w"),
+            expr("CASE WHEN size(split(text, ' ')) >= 5 THEN " +
+              "transform(sequence(1, size(split(text, ' ')) - 4), i -> concat_ws(' ', slice(split(text, ' '), i, 5))) " +
+              "ELSE array() END").as("g"))
+          .select(col("doc_id"),
+            size(col("w")).cast("long").as("n_toks"),
+            size(array_distinct(col("w"))).cast("long").as("nd_toks"),
+            size(col("g")).cast("long").as("n_grams"),
+            size(array_distinct(col("g"))).cast("long").as("nd_grams"))
+          .select(col("doc_id"), col("n_toks"),
+            expr("CASE WHEN n_toks > 0 THEN (n_toks - nd_toks) * 1000000 DIV n_toks ELSE 0 END").as("dup_tok_micro"),
+            expr("CASE WHEN n_grams > 0 THEN (n_grams - nd_grams) * 1000000 DIV n_grams ELSE 0 END").as("dup_gram_micro"),
+            expr("n_grams > 0 AND (n_grams - nd_grams) * 1000000 DIV n_grams > 300000").as("is_repetitive"))
+          .orderBy("doc_id")
+      }),
+
     // Token counting: whitespace split vs BPE-ish regex vs chars/4 estimate.
     QueryDef(
       "text_token_count",
