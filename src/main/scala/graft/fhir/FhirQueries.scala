@@ -276,6 +276,27 @@ object FhirQueries {
           .orderBy("id")
       }),
 
+    // A13 — coding-targeted retrieval: the canonical FHIR analytics entry
+    // point ("all body-weight observations") — filter by (system, code)
+    // inside the nested coding LIST, then read the value + its numeric
+    // annotation. exists() over the array is a codegen HOF; no unnest
+    // blow-up of the non-matching rows.
+    QueryDef(
+      "fhir_filter_by_coding",
+      Some(
+        "SELECT id, code.text AS code_text, valueQuantity.value AS val_str, " +
+          "valueQuantity.__value_numeric::DOUBLE AS val_num " +
+          s"FROM read_parquet('$G/Observation.parquet') " +
+          "WHERE len(list_filter(code.coding, c -> c.\"system\" = 'http://loinc.org' AND c.code = '29463-7')) > 0 " +
+          "ORDER BY id"),
+      (s, d) =>
+        Tables.golden(s, "Observation")
+          .where(expr("exists(code.coding, c -> c.system = 'http://loinc.org' AND c.code = '29463-7')"))
+          .select(col("id"), col("code.text").as("code_text"),
+            col("valueQuantity.value").as("val_str"),
+            col("valueQuantity.__value_numeric").cast("double").as("val_num"))
+          .orderBy("id")),
+
     // A9 — choice-type coalesce over the live multipleBirth[x] siblings
     // (README.md:141-172; both populated in the golden Patient).
     QueryDef(
