@@ -110,6 +110,34 @@ object Aggs {
           .selectExpr("CAST(est_total AS BIGINT) AS est_total", "n_rows")
       }),
 
+    // Mergeable QUANTILE sketch re-aggregation — the percentile twin of the
+    // HLL pattern above: per-nation bottom-k sketches of account balances
+    // (hash-ranked uniform samples, deterministic) merge to global quantile
+    // estimates WITHOUT touching the base table again; only K pairs per
+    // group shuffle. No oracle (sketch-specific); OpsSpec asserts
+    // merged ≡ direct and bounds the rank error.
+    QueryDef(
+      "agg_quantile_merge",
+      None,
+      (s, d) => {
+        import graft.udx.Udx
+        val c = Tables.t(s, d, "customer")
+          .select(col("c_nationkey"), xxhash64(col("c_custkey")).as("h"),
+            col("c_acctbal").cast("double").as("v"))
+        val perNation = c.groupBy("c_nationkey")
+          .agg(Udx.bottomk(col("h"), col("v")).as("sk"), count(lit(1)).as("n"))
+        perNation
+          // posexplode so each group's row count enters the sum exactly once
+          .select(posexplode(col("sk")).as(Seq("pos", "p")), col("n"))
+          .agg(Udx.bottomk(col("p._1"), col("p._2")).as("sk"),
+            sum(when(col("pos") === 0, col("n"))).as("n_rows"))
+          .select(col("n_rows"),
+            expr("array_sort(transform(sk, x -> x._2))").as("vals"))
+          .select(col("n_rows"),
+            expr("element_at(vals, CAST(ceil(0.5 * size(vals)) AS INT))").as("est_p50"),
+            expr("element_at(vals, CAST(ceil(0.9 * size(vals)) AS INT))").as("est_p90"))
+      }),
+
     // E5 — GROUPING SETS ((n_name),(c_mktsegment),()) with grouping_id.
     QueryDef(
       "agg_grouping_sets",

@@ -65,8 +65,34 @@ object Udx {
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** Mergeable bottom-k quantile sketch: keep the K (hash, value) pairs
+    * with the smallest deterministic row hashes — a hash-ranked uniform
+    * sample, so quantiles of the kept values estimate population quantiles
+    * with ~1/√K rank error. Deterministic (no RNG: the hash IS the rank),
+    * and exactly re-aggregable: bottom-k of a union equals bottom-k over
+    * the per-group bottom-k's, so per-partition sketches merge losslessly —
+    * the same property that makes HLL rollups cheap at 100 TB (only K
+    * pairs ever shuffle on re-aggregation).
+    */
+  final val SketchK = 256
+  object BottomK extends Aggregator[(Long, Double), Array[(Long, Double)], Array[(Long, Double)]] {
+    private def compact(b: Array[(Long, Double)]): Array[(Long, Double)] =
+      if (b.length <= SketchK) b else b.sortBy(_._1).take(SketchK)
+    def zero: Array[(Long, Double)] = Array.empty
+    def reduce(b: Array[(Long, Double)], x: (Long, Double)): Array[(Long, Double)] = {
+      val appended = b :+ x
+      if (appended.length >= 2 * SketchK) compact(appended) else appended
+    }
+    def merge(a: Array[(Long, Double)], b: Array[(Long, Double)]): Array[(Long, Double)] =
+      compact(a ++ b)
+    def finish(r: Array[(Long, Double)]): Array[(Long, Double)] = compact(r).sortBy(_._1)
+    def bufferEncoder: Encoder[Array[(Long, Double)]] = ExpressionEncoder[Array[(Long, Double)]]()
+    def outputEncoder: Encoder[Array[(Long, Double)]] = ExpressionEncoder[Array[(Long, Double)]]()
+  }
+
   val geomean = udaf(GeoMean, Encoders.scalaDouble)
   val minhash = udaf(MinHashSig, Encoders.scalaLong)
+  val bottomk = udaf(BottomK, Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
 
   /** K1 — registered scalar UDF (haversine km). Deterministic; the oracle
     * mirrors the identical IEEE formula, rounded to 3 dp to absorb libm ulps.

@@ -22,7 +22,7 @@ class OpsSpec extends AnyFunSuite {
     val noOracle = q -- o
     val covered = Set("agg_approx_distinct", "udaf_imperative_minhash",
       "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "fhir_schema_derive",
-      "agg_sketch_merge")
+      "agg_sketch_merge", "agg_quantile_merge")
     assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
   }
 
@@ -115,6 +115,32 @@ class OpsSpec extends AnyFunSuite {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = run("dedup_minhash_near").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == brute, s"missing=${brute -- lsh} extra=${lsh -- brute}")
+  }
+
+  test("agg_quantile_merge: merged sketch equals direct sketch; rank error bounded") {
+    val row = run("agg_quantile_merge").collect().head
+    val (n, p50, p90) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    val exact = Tables.t(spark, sf, "customer")
+      .select(col("c_acctbal").cast("double").as("v")).collect().map(_.getDouble(0)).sorted
+    assert(n == exact.length)
+    // rank of the estimate in the exact data must sit near its quantile
+    // (bottom-k with K=256: rank se ≈ √(q(1-q)/K) ≈ 0.031; allow 4 se)
+    def rankOf(v: Double) = exact.count(_ <= v).toDouble / exact.length
+    assert(math.abs(rankOf(p50) - 0.5) < 0.125, s"p50 est $p50 rank ${rankOf(p50)}")
+    assert(math.abs(rankOf(p90) - 0.9) < 0.125, s"p90 est $p90 rank ${rankOf(p90)}")
+    // merge path ≡ direct path: same kept (hash, value) pairs exactly
+    import graft.udx.Udx
+    val direct = Tables.t(spark, sf, "customer")
+      .select(xxhash64(col("c_custkey")).as("h"), col("c_acctbal").cast("double").as("v"))
+      .agg(Udx.bottomk(col("h"), col("v")).as("sk"))
+      .selectExpr("transform(sk, x -> x._1) AS hs").collect().head.getSeq[Long](0)
+    val merged = Tables.t(spark, sf, "customer")
+      .select(col("c_nationkey"), xxhash64(col("c_custkey")).as("h"), col("c_acctbal").cast("double").as("v"))
+      .groupBy("c_nationkey").agg(Udx.bottomk(col("h"), col("v")).as("sk"))
+      .select(explode(col("sk")).as("p"))
+      .agg(Udx.bottomk(col("p._1"), col("p._2")).as("sk"))
+      .selectExpr("transform(sk, x -> x._1) AS hs").collect().head.getSeq[Long](0)
+    assert(direct == merged, "bottom-k merge must be lossless")
   }
 
   test("sim_topk_int8: quantized retrieval preserves most of the float top-5") {
