@@ -262,6 +262,48 @@ object Streams {
           }
           .toDF("user_id", "n", "sum_e4")
         runToTable(updated, "graft_j6", "append").orderBy("user_id")
+      }),
+
+    // J7 — foreachBatch upsert sink: the production pattern for
+    // exactly-once-ish materialized state over an append stream. Each
+    // micro-batch merges into a VERSIONED parquet state (read v(n-1) ∪
+    // batch → latest-per-key → write v(n)): versioning makes replays
+    // idempotent (a re-run of batch n rewrites v(n) identically) — the
+    // same shape as a Delta/Iceberg MERGE without a table format. The
+    // final state must equal the batch latest-per-key collapse.
+    QueryDef(
+      "stream_foreach_batch_upsert",
+      Some(
+        "SELECT user_id, event_type, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value " +
+          "FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type " +
+          "ORDER BY ts DESC, event_id DESC) = 1 ORDER BY user_id, event_type"),
+      (s, d) => {
+        val stateBase = s"${sys.props("java.io.tmpdir")}/graft_upsert_${Integer.toHexString(d.hashCode)}_${ProcessHandle.current().pid()}"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateBase))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val q = streamEvents(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+            expr("ts div 1000000").as("ts_ms"), col("value"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val prev = new java.io.File(s"$stateBase/v${batchId - 1}")
+            val base =
+              if (prev.exists()) batch.sparkSession.read.parquet(prev.getPath).unionByName(batch)
+              else batch
+            base
+              .withColumn("rn", row_number().over(w))
+              .where(col("rn") === 1).drop("rn")
+              .write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val latest = new java.io.File(stateBase).listFiles()
+          .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong).max
+        s.read.parquet(s"$stateBase/v$latest")
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+          .orderBy("user_id", "event_type")
       })
   )
 }
