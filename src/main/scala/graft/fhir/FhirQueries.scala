@@ -1,6 +1,7 @@
 package graft.fhir
 
 import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -296,6 +297,40 @@ object FhirQueries {
             col("valueQuantity.value").as("val_str"),
             col("valueQuantity.__value_numeric").cast("double").as("val_num"))
           .orderBy("id")),
+
+    // A14 — longitudinal patient timeline: the query the format exists FOR —
+    // clinical events from multiple resource types (Observation effective
+    // instants, EOB billing-period starts) resolved to their patient and
+    // sequenced per patient. Broadcast the patient dimension; event rows
+    // never shuffle except for the per-patient sequencing window.
+    QueryDef(
+      "fhir_patient_timeline",
+      Some(
+        "WITH t AS (" +
+          "SELECT subject.reference AS ref, 'observation' AS kind, " +
+          s"timezone('UTC', CAST(effectiveDateTime AS TIMESTAMPTZ)) AS at FROM read_parquet('$G/Observation.parquet') " +
+          "UNION ALL SELECT patient.reference, 'claim', " +
+          s"timezone('UTC', CAST(billablePeriod.start AS TIMESTAMPTZ)) FROM read_parquet('$G/ExplanationOfBenefit.parquet')) " +
+          "SELECT p.id AS patient_id, t.kind AS kind, t.at AS at, " +
+          "CAST(row_number() OVER (PARTITION BY p.id ORDER BY t.at, t.kind) AS BIGINT) AS seq " +
+          s"FROM t JOIN read_parquet('$G/Patient.parquet') p ON t.ref = 'Patient/' || p.id " +
+          "ORDER BY patient_id, seq"),
+      (s, d) => {
+        FhirDateTimeExpr.register(s)
+        val obs = Tables.golden(s, "Observation")
+          .select(col("subject.reference").as("ref"), lit("observation").as("kind"),
+            expr("fhir_dt_start(effectiveDateTime)").as("at"))
+        val eob = Tables.golden(s, "ExplanationOfBenefit")
+          .select(col("patient.reference").as("ref"), lit("claim").as("kind"),
+            expr("fhir_dt_start(billablePeriod.start)").as("at"))
+        val p = Tables.golden(s, "Patient")
+        val t = obs.unionByName(eob)
+        val w = Window.partitionBy(col("patient_id")).orderBy(col("at"), col("kind"))
+        t.join(broadcast(p), t("ref") === concat(lit("Patient/"), p("id")))
+          .select(p("id").as("patient_id"), t("kind"), t("at"))
+          .withColumn("seq", row_number().over(w).cast("long"))
+          .orderBy("patient_id", "seq")
+      }),
 
     // A9 — choice-type coalesce over the live multipleBirth[x] siblings
     // (README.md:141-172; both populated in the golden Patient).
