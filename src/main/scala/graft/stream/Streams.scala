@@ -33,6 +33,75 @@ object Streams {
     }
   }
 
+  /** Streaming-scoped shuffle-partition cap: every stateful operator keeps
+    * one state-store instance per shuffle partition per micro-batch, so at
+    * harness scale 32 partitions means 32 store open/commit cycles for a few
+    * thousand rows — pure fixed overhead (the round-2 bench regression). At
+    * real scale this number is sized to state volume; here it is scoped down
+    * for the duration of one bounded query and restored after.
+    */
+  private val StreamShufflePartitions = "4"
+  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Sentinel timestamps (2090-01-01 / +1 day, as int64 nanos) used to push
+    * the watermark past every real window in a bounded append-mode run.
+    */
+  private val SentinelNanos1 = 3786825600L * 1000000000L
+  private val SentinelNanos2 = SentinelNanos1 + 86400L * 1000000000L
+  private val SentinelType = "__wm__"
+
+  /** Bounded append-mode run of a windowed aggregation — the SAME plan you
+    * would run unbounded (watermark evicts window state; the full result is
+    * never re-emitted), unlike `complete` mode where state grows forever.
+    *
+    * Append mode only emits a window once the watermark passes its end, and
+    * under Trigger.AvailableNow the watermark committed by batch N only
+    * takes effect in batch N+1. So: run 1 processes events plus a far-future
+    * sentinel row (committing a watermark past every real window); a second
+    * sentinel file then forces run 2's batch, which evicts and emits every
+    * real window to the parquet sink. Sentinel groups are filtered by their
+    * marker key (`event_type='__wm__'` / `user_id=-1`).
+    */
+  private def runBoundedAppend(
+      s: SparkSession, dir: String, name: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_append_${name}_" +
+      s"${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val inDir = Paths.get(base, "in")
+    Files.createDirectories(inDir)
+    Files.createSymbolicLink(
+      inDir.resolve("events.parquet"), Paths.get(s"$dir/events.parquet"))
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    def writeSentinel(tsNanos: Long, sub: String): Unit = {
+      import org.apache.spark.sql.Row
+      val row = Row(-1L, tsNanos, -1L, SentinelType, 0.0, "{}")
+      s.createDataFrame(s.sparkContext.parallelize(Seq(row), 1), sch)
+        .write.parquet(s"$base/in/$sub")
+    }
+    def runOnce(): Unit = {
+      val src = s.readStream.schema(sch).parquet(s"$base/in/*")
+        .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+      val q = agg(src).writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeSentinel(SentinelNanos1, "s1")
+    runOnce() // batch 1: events + s1 → watermark commits past all real windows
+    writeSentinel(SentinelNanos2, "s2")
+    runOnce() // batch 2: s2 arrives; prior watermark evicts + emits all real windows
+    s.read.parquet(s"$base/out")
+  }
+
   private def streamEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
@@ -68,13 +137,14 @@ object Streams {
           s"CAST(sum(CAST(value AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_val " +
           "FROM (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ws, " +
           "event_type, value FROM events) GROUP BY ws, event_type ORDER BY ws, event_type"),
-      (s, d) => {
-        val agg = streamEvents(s, d)
-          .withWatermark("ts_ts", "10 minutes")
-          .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"), Q.out6(sum(Q.dec4(col("value")))).as("sum_val"))
-        runToTable(agg, "graft_j1", "complete")
-          .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_val"))
+      (s, d) => withStreamShuffle(s) {
+        runBoundedAppend(s, d, "j1") { src =>
+          src.withWatermark("ts_ts", "10 minutes")
+            .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"), Q.out6(sum(Q.dec4(col("value")))).as("sum_val"))
+            .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_val"))
+        }
+          .where(col("event_type") =!= SentinelType)
           .orderBy("ws", "event_type")
       }),
 
@@ -86,13 +156,14 @@ object Streams {
           "(SELECT event_type, unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)), " +
           "time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE]) AS ws " +
           "FROM events) GROUP BY ws, event_type ORDER BY ws, event_type"),
-      (s, d) => {
-        val agg = streamEvents(s, d)
-          .withWatermark("ts_ts", "10 minutes")
-          .groupBy(window(col("ts_ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-        runToTable(agg, "graft_j2", "complete")
-          .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      (s, d) => withStreamShuffle(s) {
+        runBoundedAppend(s, d, "j2") { src =>
+          src.withWatermark("ts_ts", "10 minutes")
+            .groupBy(window(col("ts_ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("w.start").as("ws"), col("event_type"), col("n"))
+        }
+          .where(col("event_type") =!= SentinelType)
           .orderBy("ws", "event_type")
       }),
 
@@ -110,13 +181,15 @@ object Streams {
           "SELECT user_id, min(t) AS s_start, max(t) + INTERVAL 5 MINUTE AS s_end, " +
           "CAST(count(*) AS BIGINT) AS n FROM g GROUP BY user_id, sess " +
           "ORDER BY user_id, s_start"),
-      (s, d) => {
-        val agg = streamEvents(s, d)
-          .withWatermark("ts_ts", "10 minutes")
-          .groupBy(session_window(col("ts_ts"), "5 minutes").as("w"), col("user_id"))
-          .agg(count(lit(1)).as("n"))
-        runToTable(agg, "graft_j3", "complete")
-          .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"), col("n"))
+      (s, d) => withStreamShuffle(s) {
+        runBoundedAppend(s, d, "j3") { src =>
+          src.withWatermark("ts_ts", "10 minutes")
+            .groupBy(session_window(col("ts_ts"), "5 minutes").as("w"), col("user_id"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("user_id"), col("w.start").as("s_start"),
+              col("w.end").as("s_end"), col("n"))
+        }
+          .where(col("user_id") >= 0)
           .orderBy("user_id", "s_start")
       }),
 
@@ -127,7 +200,7 @@ object Streams {
       Some(
         "SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, value " +
           "FROM events ORDER BY event_id"),
-      (s, d) => {
+      (s, d) => withStreamShuffle(s) {
         val once = streamEvents(s, d)
         val twice = once.union(streamEvents(s, d))
           .withWatermark("ts_ts", "10 minutes")
@@ -190,7 +263,7 @@ object Streams {
           "FROM events p JOIN events c ON p.event_type = 'purchase' AND c.event_type = 'click' " +
           "AND c.user_id = p.user_id AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts " +
           "ORDER BY p_id, c_id"),
-      (s, d) => {
+      (s, d) => withStreamShuffle(s) {
         val purchases = streamEvents(s, d).where(col("event_type") === "purchase")
           .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
             col("ts_ts").as("p_ts"), expr("ts div 1000000").as("p_ms"))
@@ -213,7 +286,7 @@ object Streams {
       "stream_transform_with_state",
       Some(
         "SELECT user_id, max(value) AS max_val FROM events GROUP BY user_id ORDER BY user_id"),
-      (s, d) => {
+      (s, d) => withStreamShuffle(s) {
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(key)
         s.conf.set(key,
@@ -243,7 +316,7 @@ object Streams {
         "SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
           "CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_e4 " +
           "FROM events GROUP BY user_id ORDER BY user_id"),
-      (s, d) => {
+      (s, d) => withStreamShuffle(s) {
         val sp = s
         import sp.implicits._
         val updated = streamEvents(s, d)
