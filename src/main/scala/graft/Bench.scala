@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Single-shot timings on a shared box swing ±30-60% with ambient load
+    // (BENCH_r01→r02 drift). Per-query MEDIAN over N repeats stabilizes the
+    // number; repeat=1 remains available for quick local iteration.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .withExtensions(graft.opt.AnnotationRewrite.inject)
       .master(s"local[$cpus]")
@@ -19,25 +23,28 @@ object Bench {
     // and parquet-footer cost so per-query timings reflect steady state.
     try SparkEntry.queries("agg_hash_group")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    // 3-dp rounding keeps the JSON line compact (~1.5 KB for 101 queries):
-    // BENCH_r01's stdout capture was truncated mid-JSON, so every byte of
-    // slack lowers the risk the driver's parse fails.
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val samples = Seq.fill(repeat)(time(fn)).sorted
+      name -> samples(samples.size / 2) // median (upper for even n)
+    }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // BENCH_r01 lesson: stdout alone is fragile (sbt [success] noise after
-    // the JSON line / truncation broke the driver's parse). Persist to a
-    // file too, stop Spark BEFORE printing so no further log lines follow,
-    // and make the JSON the final stdout line.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), json)
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeat":$repeat,"queries":$qs,"sf":"$sfDir"}"""
+    // Driver-parse posture (BENCH_r01/r02 lesson): the driver's stdout tail
+    // capture truncates long lines from the HEAD, so the ~3 KB per-query map
+    // must never be the last line. Persist the full detail to a file, print
+    // it as a penultimate line (best-effort), stop Spark so no log lines
+    // follow, and make a <=120-byte total-only JSON the absolute last line.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), full)
     spark.stop()
-    println(json)
+    println(full)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
   }
 }
