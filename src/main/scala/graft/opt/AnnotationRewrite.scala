@@ -66,6 +66,17 @@ object AnnotationRewrite extends Rule[LogicalPlan] {
 
   private val Margin = BigDecimal("0.000001")
 
+  /** Magnitude-aware relaxation. The fixed 1e-6 covers the annotation's
+    * half-up 6-dp rounding (≤ 5e-7), but the ORIGINAL predicate compares
+    * `CAST(x AS DOUBLE)`, whose binary rounding error is ulp(|x|)/2 — above
+    * |x| ≈ 4e9 that exceeds 5e-7, and a row passing the double predicate
+    * could land outside the fixed-margin decimal bound. In the binding
+    * region x is within one ulp of the literal, so ulp(x) ≤ 2·ulp(|v|) and
+    * relaxing by Margin + 2·ulp(|v|) is sound at every magnitude.
+    */
+  private def relax(v: BigDecimal): BigDecimal =
+    Margin + BigDecimal(2.0 * Math.ulp(v.abs.toDouble))
+
   private def numericTwin(e: Expression): Option[Expression] = e match {
     case Cast(gsf: GetStructField, DoubleType | _: DecimalType, _, _) if gsf.dataType == StringType =>
       gsf.child.dataType match {
@@ -81,8 +92,12 @@ object AnnotationRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def decLit(v: BigDecimal): Literal =
-    Literal(Decimal(v.setScale(6, BigDecimal.RoundingMode.HALF_UP)), DecimalType(38, 6))
+  /** 6-dp literal rounded OUTWARD (floor for lower bounds, ceiling for
+    * upper) so quantizing the relaxed bound can never eat back into the
+    * margin.
+    */
+  private def decLit(v: BigDecimal, mode: BigDecimal.RoundingMode.Value): Literal =
+    Literal(Decimal(v.setScale(6, mode)), DecimalType(38, 6))
 
   private def litValue(r: Expression): Option[BigDecimal] = r match {
     case lit: Literal if lit.foldable && lit.value != null =>
@@ -114,8 +129,8 @@ object AnnotationRewrite extends Rule[LogicalPlan] {
       case _ => (None, None, "")
     }.collect { case (Some(twin), Some(v), dir) =>
       val cmp =
-        if (dir == "ge") GreaterThanOrEqual(twin, decLit(v - Margin))
-        else LessThanOrEqual(twin, decLit(v + Margin))
+        if (dir == "ge") GreaterThanOrEqual(twin, decLit(v - relax(v), BigDecimal.RoundingMode.FLOOR))
+        else LessThanOrEqual(twin, decLit(v + relax(v), BigDecimal.RoundingMode.CEILING))
       Or(IsNull(twin), cmp)
     }
     conjuncts.foldLeft(cond)(And(_, _))

@@ -48,24 +48,22 @@ object Streams {
     try body finally s.conf.set(key, prev)
   }
 
-  /** Sentinel timestamps (2090-01-01 / +1 day, as int64 nanos) used to push
-    * the watermark past every real window in a bounded append-mode run.
+  /** Sentinel timestamp (2090-01-01 as int64 nanos) used to push the
+    * watermark past every real window in a bounded append-mode run.
     */
   private val SentinelNanos1 = 3786825600L * 1000000000L
-  private val SentinelNanos2 = SentinelNanos1 + 86400L * 1000000000L
   private val SentinelType = "__wm__"
 
   /** Bounded append-mode run of a windowed aggregation — the SAME plan you
     * would run unbounded (watermark evicts window state; the full result is
     * never re-emitted), unlike `complete` mode where state grows forever.
     *
-    * Append mode only emits a window once the watermark passes its end, and
-    * under Trigger.AvailableNow the watermark committed by batch N only
-    * takes effect in batch N+1. So: run 1 processes events plus a far-future
-    * sentinel row (committing a watermark past every real window); a second
-    * sentinel file then forces run 2's batch, which evicts and emits every
-    * real window to the parquet sink. Sentinel groups are filtered by their
-    * marker key (`event_type='__wm__'` / `user_id=-1`).
+    * Append mode only emits a window once the watermark passes its end, so a
+    * far-future sentinel row rides along with the bounded input to push the
+    * watermark past every real window; the trigger's closing no-data
+    * micro-batch then evicts and emits them all to the parquet sink.
+    * Sentinel groups are filtered by their marker key
+    * (`event_type='__wm__'` / `user_id=-1`).
     */
   private def runBoundedAppend(
       s: SparkSession, dir: String, name: String)(
@@ -96,9 +94,12 @@ object Streams {
       q.awaitTermination()
     }
     writeSentinel(SentinelNanos1, "s1")
-    runOnce() // batch 1: events + s1 → watermark commits past all real windows
-    writeSentinel(SentinelNanos2, "s2")
-    runOnce() // batch 2: s2 arrives; prior watermark evicts + emits all real windows
+    // One AvailableNow run: the data batch advances the watermark past every
+    // real window (thanks to the sentinel), and Spark's no-data micro-batch
+    // (spark.sql.streaming.noDataMicroBatches.enabled, default on) then
+    // evicts + emits the closed windows before the trigger terminates —
+    // verified empirically, so no second run is needed.
+    runOnce()
     s.read.parquet(s"$base/out")
   }
 
