@@ -1,0 +1,258 @@
+package graft.fhir
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** SURVEY §2 A1 (second half) — DEFINITION-driven schema derivation: the
+  * spec's opening sentence derives the schema "from a resource definition"
+  * (reference README.md:8-9), i.e. a FHIR StructureDefinition, not from data.
+  * Types come from the §1.2 element-type table (README.md:61-82) even for
+  * fields absent in any sample; repeating elements (max ≠ 0..1) become LISTs
+  * (README.md:110-111); choice elements (`value[x]`) resolve per requested
+  * concrete name; complex datatypes expand through a registry of core R4
+  * type definitions. Expansion is driven by the REQUESTED field paths — the
+  * spec's field-optionality clause (README.md:16-18) means a deployment
+  * derives exactly the fields its data set uses, which also makes the
+  * recursive Extension type terminate naturally.
+  *
+  * Everything here is driver-side metadata work on a few-KB JSON document;
+  * nothing touches executors.
+  */
+object FhirDefinitions {
+
+  /** One snapshot element: relative dotted path (choice paths keep `[x]`),
+    * type codes, repeated flag.
+    */
+  final case class ElementDef(path: String, types: Seq[String], repeated: Boolean)
+
+  final case class Definition(resourceType: String, elements: Map[String, ElementDef])
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse a StructureDefinition JSON (snapshot preferred, differential
+    * fallback) into a relative-path element table.
+    */
+  def parseStructureDefinition(json: String): Definition = {
+    val root = mapper.readTree(json)
+    val rt = root.path("type").asText()
+    require(rt.nonEmpty, "StructureDefinition has no type")
+    val elems = Option(root.path("snapshot").path("element"))
+      .filter(_.isArray).filter(_.size > 0)
+      .getOrElse(root.path("differential").path("element"))
+    val defs = elems.elements().asScala.flatMap { e =>
+      val full = e.path("path").asText()
+      if (full == rt || !full.startsWith(s"$rt.")) None
+      else {
+        val rel = full.stripPrefix(s"$rt.")
+        val max = Option(e.path("max").asText(null)).getOrElse("1")
+        val types = e.path("type").elements().asScala
+          .map(t => normalizeTypeCode(t.path("code").asText())).toSeq.distinct
+        Some(rel -> ElementDef(rel, types, max == "*" || (max != "" && max != "0" && max != "1")))
+      }
+    }.toMap
+    Definition(rt, defs)
+  }
+
+  /** Real R4 snapshots carry FHIRPath system codes for primitive shadows
+    * (`http://hl7.org/fhirpath/System.String`); normalize them to FHIR
+    * primitive names so authored and published definitions both parse.
+    */
+  private def normalizeTypeCode(code: String): String =
+    if (code.startsWith("http://hl7.org/fhirpath/System.")) {
+      val n = code.stripPrefix("http://hl7.org/fhirpath/System.")
+      n.substring(0, 1).toLowerCase + n.substring(1)
+    } else code
+
+  /** README.md:61-82 primitive table (+ xhtml from Narrative.div; documented
+    * deviations per SURVEY §7.5: signed int32 for positiveInt/unsignedInt).
+    * FHIR decimal keeps original text (StringType) with the decimal marker
+    * metadata so the codec re-emits raw JSON numbers.
+    */
+  private def primitiveType(code: String): Option[DataType] = code match {
+    case "boolean" => Some(BooleanType)
+    case "integer" | "positiveInt" | "unsignedInt" => Some(IntegerType)
+    case "integer64" => Some(LongType)
+    case "base64Binary" => Some(BinaryType)
+    case "decimal" | "canonical" | "code" | "date" | "dateTime" | "id" | "instant" |
+        "markdown" | "oid" | "string" | "time" | "uri" | "url" | "uuid" | "xhtml" =>
+      Some(StringType)
+    case _ => None
+  }
+
+  private def isDecimal(code: String) = code == "decimal"
+
+  /** Core R4 complex-datatype element tables (field → (type, repeated)),
+    * transcribed from the published FHIR R4 datatypes page. Every complex
+    * type additionally inherits Element: `id` (string) and `extension`
+    * (Extension, repeated) — resolved as a fallback below.
+    */
+  private val complexTypes: Map[String, Map[String, (String, Boolean)]] = Map(
+    "Meta" -> Map(
+      "versionId" -> ("id", false), "lastUpdated" -> ("instant", false),
+      "source" -> ("uri", false), "profile" -> ("canonical", true),
+      "security" -> ("Coding", true), "tag" -> ("Coding", true)),
+    "Narrative" -> Map(
+      "status" -> ("code", false), "div" -> ("xhtml", false)),
+    "Extension" -> Map(
+      "url" -> ("uri", false), "extension" -> ("Extension", true),
+      "value[x]" -> ("CHOICE:string,code,decimal,integer,boolean,dateTime,date,time,instant,uri,canonical,base64Binary,positiveInt,unsignedInt,markdown,id,oid,uuid,Coding,CodeableConcept,Address,Quantity,Reference,Period,Identifier,HumanName,ContactPoint,Annotation,Range,Ratio", false)),
+    "Identifier" -> Map(
+      "use" -> ("code", false), "type" -> ("CodeableConcept", false),
+      "system" -> ("uri", false), "value" -> ("string", false),
+      "period" -> ("Period", false), "assigner" -> ("Reference", false)),
+    "HumanName" -> Map(
+      "use" -> ("code", false), "text" -> ("string", false),
+      "family" -> ("string", false), "given" -> ("string", true),
+      "prefix" -> ("string", true), "suffix" -> ("string", true),
+      "period" -> ("Period", false)),
+    "ContactPoint" -> Map(
+      "system" -> ("code", false), "value" -> ("string", false),
+      "use" -> ("code", false), "rank" -> ("positiveInt", false),
+      "period" -> ("Period", false)),
+    "Address" -> Map(
+      "use" -> ("code", false), "type" -> ("code", false),
+      "text" -> ("string", false), "line" -> ("string", true),
+      "city" -> ("string", false), "district" -> ("string", false),
+      "state" -> ("string", false), "postalCode" -> ("string", false),
+      "country" -> ("string", false), "period" -> ("Period", false)),
+    "CodeableConcept" -> Map(
+      "coding" -> ("Coding", true), "text" -> ("string", false)),
+    "Coding" -> Map(
+      "system" -> ("uri", false), "version" -> ("string", false),
+      "code" -> ("code", false), "display" -> ("string", false),
+      "userSelected" -> ("boolean", false)),
+    "Period" -> Map(
+      "start" -> ("dateTime", false), "end" -> ("dateTime", false)),
+    "Quantity" -> Map(
+      "value" -> ("decimal", false), "comparator" -> ("code", false),
+      "unit" -> ("string", false), "system" -> ("uri", false),
+      "code" -> ("code", false)),
+    "Money" -> Map(
+      "value" -> ("decimal", false), "currency" -> ("code", false)),
+    "Reference" -> Map(
+      "reference" -> ("string", false), "type" -> ("uri", false),
+      "identifier" -> ("Identifier", false), "display" -> ("string", false)),
+    "Range" -> Map(
+      "low" -> ("Quantity", false), "high" -> ("Quantity", false)),
+    "Ratio" -> Map(
+      "numerator" -> ("Quantity", false), "denominator" -> ("Quantity", false)),
+    "Annotation" -> Map(
+      "author[x]" -> ("CHOICE:Reference,string", false),
+      "time" -> ("dateTime", false), "text" -> ("markdown", false)),
+    "SampledData" -> Map(
+      "origin" -> ("Quantity", false), "period" -> ("decimal", false),
+      "factor" -> ("decimal", false), "lowerLimit" -> ("decimal", false),
+      "upperLimit" -> ("decimal", false), "dimensions" -> ("positiveInt", false),
+      "data" -> ("string", false)),
+    "Attachment" -> Map(
+      "contentType" -> ("code", false), "language" -> ("code", false),
+      "data" -> ("base64Binary", false), "url" -> ("url", false),
+      "size" -> ("unsignedInt", false), "hash" -> ("base64Binary", false),
+      "title" -> ("string", false), "creation" -> ("dateTime", false)),
+    "Timing" -> Map(
+      "event" -> ("dateTime", true), "code" -> ("CodeableConcept", false)))
+
+  /** Derive the spec StructType for `fields` (dotted, concrete choice names)
+    * from a StructureDefinition JSON. `resourceType` (required STRING) is
+    * always present; all other fields optional; alphabetical order.
+    */
+  def deriveFromDefinition(sdJson: String, fields: Seq[String]): StructType = {
+    val d = parseStructureDefinition(sdJson)
+    val tree = buildTree(fields.map(_.split('.').toList).filter(_.nonEmpty), ResourceCtx(d))
+    val withRt = StructField("resourceType", StringType, nullable = false) +:
+      tree.filterNot(_.name == "resourceType")
+    StructType(withRt.sortBy(_.name))
+  }
+
+  /** Load one of the bundled definitions (classpath: /fhir/). */
+  def bundled(resource: String): String = {
+    val in = getClass.getResourceAsStream(s"/fhir/StructureDefinition-$resource.json")
+    require(in != null, s"no bundled StructureDefinition for $resource")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  // ------------------------------------------------------------ resolution
+
+  /** Lookup context: a resource SD's element table walks dotted Backbone
+    * paths; a complex datatype uses the registry table.
+    */
+  private sealed trait Ctx
+  private final case class ResourceCtx(d: Definition, prefix: String = "") extends Ctx
+  private final case class TypeCtx(name: String) extends Ctx
+
+  /** (resolved type code, repeated) for field `name` in `ctx`, handling
+    * choice elements: `valueQuantity` matches element `value[x]` when one of
+    * its type codes capitalizes to the `Quantity` suffix.
+    */
+  private def resolveField(ctx: Ctx, name: String): (String, Boolean, Ctx) = {
+    def choiceMatch(base: String, codes: Seq[String]): Option[String] =
+      if (!name.startsWith(base) || name.length == base.length) None
+      else {
+        val suffix = name.drop(base.length)
+        codes.find(c => c.substring(0, 1).toUpperCase + c.substring(1) == suffix)
+      }
+    ctx match {
+      case ResourceCtx(d, prefix) =>
+        val rel = if (prefix.isEmpty) name else s"$prefix.$name"
+        d.elements.get(rel) match {
+          case Some(e) =>
+            val code = e.types.headOption.getOrElse("BackboneElement")
+            (code, e.repeated, if (code == "BackboneElement") ResourceCtx(d, rel) else TypeCtx(code))
+          case None =>
+            // choice elements: a direct-child `<base>[x]` whose type list
+            // covers the requested concrete suffix
+            val pfx = if (prefix.isEmpty) "" else s"$prefix."
+            val hit = d.elements.values.iterator
+              .filter(e => e.path.startsWith(pfx) && e.path.endsWith("[x]"))
+              .map(e => (e.path.drop(pfx.length).dropRight(3), e))
+              .filter { case (local, _) => !local.contains('.') }
+              .flatMap { case (base, e) =>
+                choiceMatch(base, e.types).map(code => (code, e.repeated))
+              }
+              .nextOption()
+            hit match {
+              case Some((code, rep)) => (code, rep, TypeCtx(code))
+              case None => elementFallback(name)
+            }
+        }
+      case TypeCtx(t) =>
+        complexTypes.get(t).flatMap { table =>
+          table.get(name).map { case (code, rep) => (code, rep, TypeCtx(code)) }
+            .orElse(table.collectFirst {
+              case (p, (spec, rep)) if p.endsWith("[x]") && spec.startsWith("CHOICE:") &&
+                  choiceMatch(p.stripSuffix("[x]"), spec.stripPrefix("CHOICE:").split(',').toSeq).isDefined =>
+                (choiceMatch(p.stripSuffix("[x]"), spec.stripPrefix("CHOICE:").split(',').toSeq).get, rep, null)
+            }.map { case (code, rep, _) => (code, rep, TypeCtx(code)) })
+        }.getOrElse(elementFallback(name))
+    }
+  }
+
+  /** Element base-class fields every FHIR type inherits. */
+  private def elementFallback(name: String): (String, Boolean, Ctx) = name match {
+    case "extension" | "modifierExtension" => ("Extension", true, TypeCtx("Extension"))
+    case "id" => ("string", false, TypeCtx("string"))
+    case other => throw new IllegalArgumentException(s"unknown element $other")
+  }
+
+  /** Recursive grouped build: requested paths → alphabetical StructFields. */
+  private def buildTree(paths: Seq[List[String]], ctx: Ctx): Seq[StructField] =
+    paths.filter(_.nonEmpty).groupBy(_.head).toSeq.sortBy(_._1).map { case (name, group) =>
+      val (code, repeated, childCtx) = resolveField(ctx, name)
+      val rest = group.map(_.tail).filter(_.nonEmpty)
+      val base: DataType = primitiveType(code) match {
+        case Some(p) =>
+          require(rest.isEmpty, s"primitive $name has child paths ${rest.map(_.mkString("."))}")
+          p
+        case None =>
+          require(rest.nonEmpty, s"complex element $name requested without any child field")
+          StructType(buildTree(rest, childCtx))
+      }
+      val dt = if (repeated) ArrayType(base, containsNull = true) else base
+      val meta =
+        if (isDecimal(code)) FhirSchema.DecimalMeta
+        else Metadata.empty
+      StructField(name, dt, nullable = true, metadata = meta)
+    }
+}

@@ -28,6 +28,40 @@ object FhirQueries {
         FhirSchema.leaves(schema).toDF("path", "dtype").orderBy("path")
       }),
 
+    // A1b — DEFINITION-driven derivation (README.md:8-9: the schema comes
+    // "from a resource definition"): a bundled R4 Patient StructureDefinition
+    // + a requested field set → spec StructType with §1.2 types for fields
+    // regardless of any sample data (multipleBirthInteger is int32 with no
+    // row carrying it), choice resolution, LIST cardinality from max, and
+    // numeric-annotation twins. Oracle pins the exact (path, type) table;
+    // FhirSpec separately proves golden-file-schema equality for the full
+    // Patient/Observation field sets.
+    QueryDef(
+      "fhir_schema_from_definition",
+      Some(
+        "SELECT * FROM (VALUES " +
+          "('address[].city', 'string'), ('address[].line[]', 'string'), " +
+          "('birthDate', 'string'), ('deceasedDateTime', 'string'), " +
+          "('extension[].__valueDecimal_numeric', 'decimal(38,6)'), " +
+          "('extension[].url', 'string'), ('extension[].valueDecimal', 'string'), " +
+          "('gender', 'string'), ('id', 'string'), " +
+          "('maritalStatus.coding[].code', 'string'), ('maritalStatus.text', 'string'), " +
+          "('meta.profile[]', 'string'), ('multipleBirthBoolean', 'boolean'), " +
+          "('multipleBirthInteger', 'int'), ('name[].family', 'string'), " +
+          "('name[].given[]', 'string'), ('resourceType', 'string'), " +
+          "('telecom[].rank', 'int')) AS t(path, dtype) ORDER BY path"),
+      (s, d) => {
+        val fields = Seq(
+          "id", "birthDate", "gender", "deceasedDateTime", "multipleBirthBoolean",
+          "multipleBirthInteger", "name.family", "name.given", "maritalStatus.coding.code",
+          "maritalStatus.text", "address.line", "address.city", "meta.profile",
+          "extension.url", "extension.valueDecimal", "telecom.rank")
+        val st = FhirSchema.withNumericTwins(
+          FhirDefinitions.deriveFromDefinition(FhirDefinitions.bundled("Patient"), fields))
+        import s.implicits._
+        FhirSchema.leaves(st).toDF("path", "dtype").orderBy("path")
+      }),
+
     // A2 — encode: spec worked examples (README.md:90-96,150-163) as NDJSON
     // through the Jackson encoder; the oracle is the literal expected rows.
     QueryDef(

@@ -93,6 +93,23 @@ object FhirSchema {
         s"FHIR schema merge conflict: ${x.simpleString} vs ${y.simpleString}")
   }
 
+  /** Insert the `__<name>_numeric` DECIMAL(38,6) annotation twin immediately
+    * after every FHIR-decimal string field (README.md:347-353; golden files
+    * place the twin right after its base, not in alphabetical position).
+    * Used to complete a definition-derived schema into the on-disk shape.
+    */
+  def withNumericTwins(st: StructType): StructType =
+    StructType(st.fields.flatMap { f =>
+      val rewritten = f.dataType match {
+        case s: StructType => f.copy(dataType = withNumericTwins(s))
+        case ArrayType(s: StructType, n) => f.copy(dataType = ArrayType(withNumericTwins(s), n))
+        case _ => f
+      }
+      if (isDecimalField(f) && f.dataType == StringType)
+        Seq(rewritten, StructField(s"__${f.name}_numeric", DecimalType(38, 6)))
+      else Seq(rewritten)
+    })
+
   /** Flatten a schema to (path, type) rows — used by the fhir_schema_derive
     * query and the golden-schema tests.
     */

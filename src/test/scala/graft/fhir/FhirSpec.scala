@@ -228,6 +228,36 @@ class FhirSpec extends AnyFunSuite {
     assert(FhirAnnotations.bounds("not-a-date").isEmpty)
   }
 
+  // --- A1b definition-driven derivation (README.md:8-9) ---
+
+  test("definition derive: golden Patient/Observation schemas reproduce from StructureDefinitions") {
+    for (r <- Seq("Patient", "Observation")) {
+      val golden = graft.Tables.golden(spark, r).schema
+      val requested = FhirSchema.leaves(golden)
+        .map(_._1.replace("[]", ""))
+        .filterNot(p => p.split('.').exists(_.startsWith("__")))
+        .filterNot(_ == "resourceType")
+      val derived = FhirSchema.withNumericTwins(
+        FhirDefinitions.deriveFromDefinition(FhirDefinitions.bundled(r), requested))
+      assert(FhirSchema.leaves(derived) == FhirSchema.leaves(golden), s"for $r")
+    }
+  }
+
+  test("definition derive: types come from the definition, not the data (README.md:61-82)") {
+    val sd = FhirDefinitions.bundled("Patient")
+    val st = FhirDefinitions.deriveFromDefinition(sd,
+      Seq("multipleBirthInteger", "active", "telecom.rank", "deceasedBoolean", "deceasedDateTime"))
+    assert(st("multipleBirthInteger").dataType == IntegerType) // no sample needed
+    assert(st("active").dataType == BooleanType)
+    assert(st("telecom").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("rank").dataType == IntegerType) // positiveInt
+    assert(st("deceasedBoolean").dataType == BooleanType)      // choice, two arms
+    assert(st("deceasedDateTime").dataType == StringType)
+    assert(!st("resourceType").nullable)
+    intercept[IllegalArgumentException](
+      FhirDefinitions.deriveFromDefinition(sd, Seq("noSuchField")))
+  }
+
   // --- A4 merge soundness ---
 
   test("merge: union of fields, conflict raises") {
