@@ -150,19 +150,38 @@ object FhirAnnotations {
   // value * factor + offset in exact decimal arithmetic.
   // Non-terminating factors (°F) are fixed at 6 dp — documented approximation.
 
-  /** (code, factor, offset, canonicalCode) */
+  /** (code, factor, offset, canonicalCode). Beyond the spec's worked
+    * examples (mass/length/temperature/time), the common clinical units a
+    * real deployment hits: pressure (mm[Hg]/kPa → Pa), concentration
+    * (mg/dL, g/dL → g/L), rates (/min, /h → /s), percent (→ unity),
+    * volume (mL → L), micro-mass, day/week. Factors non-terminating in
+    * decimal are fixed at 6 dp — documented approximation.
+    */
   val ucumTable: Seq[(String, String, String, String)] = Seq(
     ("kg", "1000", "0", "g"),
     ("g", "1", "0", "g"),
     ("mg", "0.001", "0", "g"),
+    ("ug", "0.000001", "0", "g"),
     ("cm", "0.01", "0", "m"),
     ("mm", "0.001", "0", "m"),
     ("m", "1", "0", "m"),
     ("mm[Hg]", "133.322387", "0", "Pa"),
+    ("kPa", "1000", "0", "Pa"),
+    ("Pa", "1", "0", "Pa"),
     ("Cel", "1", "273.15", "K"),
     ("[degF]", "0.555556", "255.372222", "K"),
     ("min", "60", "0", "s"),
-    ("h", "3600", "0", "s"))
+    ("h", "3600", "0", "s"),
+    ("d", "86400", "0", "s"),
+    ("wk", "604800", "0", "s"),
+    ("mg/dL", "0.01", "0", "g/L"),
+    ("g/dL", "10", "0", "g/L"),
+    ("g/L", "1", "0", "g/L"),
+    ("/min", "0.016667", "0", "/s"),
+    ("/h", "0.000278", "0", "/s"),
+    ("%", "0.01", "0", "1"),
+    ("mL", "0.001", "0", "L"),
+    ("L", "1", "0", "L"))
 
   /** DuckDB VALUES literal mirroring ucumTable, for oracle SQL. */
   def ucumValuesSql: String =

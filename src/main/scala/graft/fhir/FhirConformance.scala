@@ -14,13 +14,17 @@ object FhirConformance {
     ("Patient", "birthDate", "date"),
     ("Patient", "deceasedDateTime", "dateTime"),
     ("Patient", "id", "id"),
+    ("Patient", "gender", "code"),
     ("Observation", "effectiveDateTime", "dateTime"),
     ("Observation", "issued", "instant"),
     ("Observation", "valueQuantity.value", "decimal"),
+    ("Observation", "valueQuantity.system", "uri"),
     ("Observation", "id", "id"),
+    ("Observation", "status", "code"),
     ("ExplanationOfBenefit", "created", "dateTime"),
     ("ExplanationOfBenefit", "billablePeriod.start", "dateTime"),
-    ("ExplanationOfBenefit", "id", "id"))
+    ("ExplanationOfBenefit", "id", "id"),
+    ("ExplanationOfBenefit", "status", "code"))
 
   private val year = "([0-9]([0-9]([0-9][1-9]|[1-9]0)|[1-9]00)|[1-9]000)"
   private val tz = "(Z|(\\+|-)((0[0-9]|1[0-3]):[0-5][0-9]|14:00))"
@@ -39,6 +43,24 @@ object FhirConformance {
       "-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?"
     case "id" =>
       "[A-Za-z0-9\\-\\.]{1,64}"
+    case "oid" =>
+      "urn:oid:[0-2](\\.(0|[1-9][0-9]*))+"
+    case "uuid" =>
+      "urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    // R4's published base64Binary pattern omits '/', an acknowledged erratum
+    // (R5 includes it); kept here so real base64 payloads validate.
+    case "base64Binary" =>
+      "(\\s*[0-9a-zA-Z\\+/=]{4}\\s*)+"
+    case "code" =>
+      "[^\\s]+(\\s[^\\s]+)*"
+    case "uri" | "url" | "canonical" =>
+      "\\S*"
+    case "integer" =>
+      "[0]|[-+]?[1-9][0-9]*"
+    case "positiveInt" =>
+      "[1-9][0-9]*"
+    case "unsignedInt" =>
+      "0|[1-9][0-9]*"
     case other =>
       throw new IllegalArgumentException(s"no format rule for FHIR type $other")
   }

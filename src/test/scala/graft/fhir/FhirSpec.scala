@@ -208,6 +208,23 @@ class FhirSpec extends AnyFunSuite {
     }
   }
 
+  test("FhirWriter: strict mode floors sub-ms annotation bounds to MILLIS (README.md:325-330)") {
+    import spark.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_strictms_${ProcessHandle.current().pid()}"
+    val df = FhirAnnotations.annotateRange(
+      Seq(("a", "2014-06-01T12:05:00.123456Z")).toDF("id", "t"), "t")
+    FhirWriter.write(df, s"$base/strict", strictParquetTypes = true)
+    FhirWriter.write(df, s"$base/native", strictParquetTypes = false)
+    def us(dir: String, c: String): Long =
+      spark.read.parquet(dir).select(expr(s"unix_micros($c)")).head().getLong(0)
+    // native keeps full µs (AnnotationRewrite equivalence)…
+    assert(us(s"$base/native", "__t_start") % 1000 == 456)
+    // …strict floors both bounds onto the declared MILLIS grid
+    assert(us(s"$base/strict", "__t_start") % 1000 == 0)
+    assert(us(s"$base/strict", "__t_end") % 1000 == 0)
+    assert(us(s"$base/strict", "__t_start") == us(s"$base/native", "__t_start") - 456)
+  }
+
   // --- A6 range annotation: worked vector + partial precision ---
 
   test("range bounds: spec vector 2014-06-01T12:05Z (README.md:325-327)") {
@@ -256,6 +273,48 @@ class FhirSpec extends AnyFunSuite {
     assert(!st("resourceType").nullable)
     intercept[IllegalArgumentException](
       FhirDefinitions.deriveFromDefinition(sd, Seq("noSuchField")))
+  }
+
+  // --- A5/A8 widened coverage: primitive regex + clinical UCUM vectors ---
+
+  test("conformance regexes: oid/uuid/base64Binary/code/uri/integer families") {
+    def ok(t: String, v: String) = v.matches(s"^(${FhirConformance.regex(t)})$$")
+    assert(ok("oid", "urn:oid:1.2.840.10008.1.2"))
+    assert(!ok("oid", "urn:oid:3.2"))          // first arc must be 0-2
+    assert(!ok("oid", "1.2.840"))              // urn prefix required
+    assert(ok("uuid", "urn:uuid:c757873d-ec9a-4326-a141-556f43239520"))
+    assert(!ok("uuid", "c757873d-ec9a-4326-a141-556f43239520"))
+    assert(!ok("uuid", "urn:uuid:C757873D-EC9A-4326-A141-556F43239520")) // lowercase only
+    assert(ok("base64Binary", "QmFzZTY0IQ=="))
+    assert(!ok("base64Binary", "abc!"))
+    assert(ok("code", "final"))
+    assert(ok("code", "two words"))
+    assert(!ok("code", " leading-space"))
+    assert(ok("uri", "http://loinc.org"))
+    assert(ok("canonical", "http://hl7.org/fhir/StructureDefinition/Patient|4.0.1"))
+    assert(ok("positiveInt", "12")); assert(!ok("positiveInt", "0"))
+    assert(ok("unsignedInt", "0")); assert(!ok("unsignedInt", "01"))
+    assert(ok("integer", "-5")); assert(ok("integer", "0")); assert(!ok("integer", "007"))
+  }
+
+  test("UCUM canonicalization: clinical units (mm[Hg], kPa, mg/dL, /min, %)") {
+    import spark.implicits._
+    val q = Seq(
+      ("a", "mm[Hg]", "120"), ("b", "kPa", "5.3"), ("c", "mg/dL", "90"),
+      ("d", "/min", "60"), ("e", "%", "12.5"), ("f", "wk", "2"))
+      .toDF("id", "code", "value")
+      .select(col("id"), struct(col("code"), lit("http://unitsofmeasure.org").as("system"),
+        col("code").as("unit"), col("value")).as("vq"))
+    val out = FhirAnnotations.canonicalize(q, "vq")
+      .select(col("id"), col("__vq_canonical.code").as("canon"),
+        col("__vq_canonical.__value_numeric").cast("double").as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out("a") == ("Pa", 15998.68644))   // 120 mmHg
+    assert(out("b") == ("Pa", 5300.0))
+    assert(out("c") == ("g/L", 0.9))
+    assert(out("d") == ("/s", 1.00002))       // 6-dp factor approximation
+    assert(out("e") == ("1", 0.125))
+    assert(out("f") == ("s", 1209600.0))
   }
 
   // --- A4 merge soundness ---
