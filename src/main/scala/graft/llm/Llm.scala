@@ -682,10 +682,11 @@ object Llm {
           .orderBy("doc_id")),
 
     // Multimodal decode plumbing: opaque binary payload + typed metadata,
-    // "decoded" per partition through a typed mapPartitions. The real
-    // image/audio decoder is STUBBED (no codec libs in this container) with
-    // a deterministic fake derived from the byte length — the Spark-side
-    // schema, batching, and partition flow are real and oracle-checked.
+    // decoded per partition through a typed mapPartitions. PNG/JPEG payloads
+    // decode FOR REAL (ImageKernel / javax.imageio, single-frame); other
+    // payloads fall back to a deterministic stub derived from the byte
+    // length (no video/audio demuxers in this container) — the corpus is
+    // text, so the oracle computes the stub formulas.
     QueryDef(
       "multimodal_decode_stub",
       Some(
@@ -701,9 +702,12 @@ object Llm {
           .as[(Long, Array[Byte])]
           .mapPartitions { it =>
             it.map { case (id, bytes) =>
-              // ??? real decoder goes here (e.g. javax.imageio / ffmpeg)
-              val n = bytes.length.toLong
-              (id, 64L + n % 577, 64L + (n * 31) % 417, 1L + n % 7)
+              ImageKernel.dims(bytes) match {
+                case Some((w, h)) => (id, w, h, 1L) // real still image: 1 frame
+                case None =>
+                  val n = bytes.length.toLong
+                  (id, 64L + n % 577, 64L + (n * 31) % 417, 1L + n % 7)
+              }
             }
           }
           .toDF("doc_id", "width", "height", "n_frames")

@@ -3,14 +3,15 @@ package graft.llm
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column operators beyond the decode stub (driver mandate:
-  * decode / feature-extract / resize / frame-sample over opaque binary
-  * columns). The actual media codecs are STUBBED — this container has no
-  * image/audio libraries — with deterministic fakes derived from the
-  * payload bytes; everything Spark-side is real: `binary` columns flow
-  * through typed `mapPartitions` batch kernels (the JVM analog of
-  * `mapInPandas`: one iterator per partition, no per-row UDF dispatch),
-  * output schemas are typed, and results are oracle-checked.
+/** Multimodal column operators (driver mandate: decode / feature-extract /
+  * resize / frame-sample over opaque binary columns). Image payloads decode
+  * FOR REAL through `ImageKernel` (JDK javax.imageio — PNG/JPEG sniffed by
+  * magic bytes); non-image payloads fall back to the deterministic stub
+  * formulas (video/audio demuxers are not in this container). Everything
+  * Spark-side is real either way: `binary` columns flow through typed
+  * `mapPartitions` batch kernels (the JVM analog of `mapInPandas`: one
+  * iterator per partition, no per-row UDF dispatch), output schemas are
+  * typed, and results are oracle-checked.
   *
   * Scale posture (100 TB): all three are narrow per-row transforms — no
   * shuffle except the presentation sort; payloads never leave their input
@@ -77,8 +78,12 @@ object Multimodal {
           .as[(Long, Array[Byte])]
           .mapPartitions { it =>
             it.map { case (id, bytes) =>
-              // ??? real pixel decode + resample goes here
-              val (w, h, _) = stubDims(bytes.length.toLong)
+              // real decode for PNG/JPEG payloads; stub dims otherwise
+              // (test corpus payloads are text, so the oracle sees stubs)
+              val (w, h) = ImageKernel.dims(bytes).getOrElse {
+                val (sw, sh, _) = stubDims(bytes.length.toLong)
+                (sw, sh)
+              }
               val (nw, nh) =
                 if (w >= h) (224L, (h * 224 + w / 2) / w)
                 else ((w * 224 + h / 2) / h, 224L)
@@ -103,14 +108,21 @@ object Multimodal {
         val sp = s
         import sp.implicits._
         Tables.t(s, d, "documents")
-          .select(col("doc_id"), col("text"))
-          .as[(Long, String)]
+          .select(col("doc_id"), col("text"), col("text").cast("binary").as("payload"))
+          .as[(Long, String, Array[Byte])]
           .mapPartitions { it =>
-            it.map { case (id, text) =>
-              // ??? real feature model goes here (e.g. ONNX runtime batch)
-              val feat = new Array[Long](8)
-              text.split(" ").foreach { t =>
-                if (t.nonEmpty) feat(t.charAt(0).toInt % 8) += 1
+            it.map { case (id, text, bytes) =>
+              // image payloads get a REAL pixel-luminance histogram; text
+              // payloads the deterministic token-initial stub (what the
+              // oracle computes — the corpus has no image rows)
+              val feat = ImageKernel.decode(bytes) match {
+                case Some(img) => ImageKernel.lumaHistogram(img)
+                case None =>
+                  val f = new Array[Long](8)
+                  text.split(" ").foreach { t =>
+                    if (t.nonEmpty) f(t.charAt(0).toInt % 8) += 1
+                  }
+                  f
               }
               (id, feat.mkString(","))
             }

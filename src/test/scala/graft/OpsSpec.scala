@@ -175,6 +175,26 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"IVF recall $recall%.2f no better than random clusters")
   }
 
+  test("ImageKernel decodes a real PNG: dims, magic sniff, luma histogram") {
+    import graft.llm.ImageKernel
+    // 2×2 PNG: black, white / red, blue — written through the same JDK
+    // codec the kernel reads with
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(ImageKernel.isPng(png) && ImageKernel.isImage(png))
+    assert(!ImageKernel.isImage("just text".getBytes))
+    assert(ImageKernel.dims(png).contains((2L, 2L)))
+    assert(ImageKernel.dims("just text".getBytes).isEmpty)
+    // luminance: black 0 → bucket 0, blue 29 → bucket 0, red 76 → bucket 2,
+    // white 255 → bucket 7
+    val hist = ImageKernel.lumaHistogram(ImageKernel.decode(png).get)
+    assert(hist.toSeq == Seq(2L, 0L, 1L, 0L, 0L, 0L, 0L, 1L))
+  }
+
   test("dedup_simhash is deterministic and overlaps minhash ground truth") {
     val s1 = run("dedup_simhash").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val s2 = run("dedup_simhash").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
