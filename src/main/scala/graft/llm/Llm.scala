@@ -309,6 +309,11 @@ object Llm {
           prevPersisted = updated
           labels = updated.select(col("node"), col("label"))
         }
+        // the converged round is fully materialized by its count, so the
+        // inputs can be released too — only ONE persisted artifact (the
+        // final labels) outlives the query
+        pairs.unpersist(false)
+        edges.unpersist(false)
         labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
           .orderBy("doc_id")
       }),

@@ -110,8 +110,16 @@ object AnnotationRewrite extends Rule[LogicalPlan] {
   }
 
   private def addNumericPruning(cond: Expression): Expression = {
+    // resolve the field name through the child's schema, NOT the node's
+    // optional name tag — optimizer rules can rebuild GetStructField with
+    // name=None, and a name-based guard then re-adds the conjunct when the
+    // rule also runs via experimental.extraOptimizations
     val already = cond.exists {
-      case GetStructField(_, _, Some(n)) => n.startsWith("__") && n.endsWith("_numeric")
+      case GetStructField(child, ord, _) => child.dataType match {
+        case st: StructType =>
+          st(ord).name.startsWith("__") && st(ord).name.endsWith("_numeric")
+        case _ => false
+      }
       case _ => false
     }
     if (already) return cond

@@ -175,6 +175,20 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"IVF recall $recall%.2f no better than random clusters")
   }
 
+  test("cache hygiene: repeated dedup runs do not accumulate persisted blocks") {
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    run("dedup_minhash_near").count()
+    run("dedup_cluster_components").count()
+    val afterFirst = persisted
+    run("dedup_minhash_near").count()
+    run("dedup_cluster_components").count()
+    val afterSecond = persisted
+    // per-round label-propagation state and the signature/gram base are
+    // unpersisted as superseded; only the final labels + swapped pair cache
+    // may linger, so a repeat adds at most 2 entries, not O(rounds)
+    assert(afterSecond - afterFirst <= 2, s"$afterFirst -> $afterSecond persisted RDDs")
+  }
+
   test("ImageKernel decodes a real PNG: dims, magic sniff, luma histogram") {
     import graft.llm.ImageKernel
     // 2×2 PNG: black, white / red, blue — written through the same JDK

@@ -116,7 +116,12 @@ class PlanSpec extends AnyFunSuite {
     // the exact string predicate SURVIVES (the 6-dp twin can only prune,
     // never replace) and the relaxed typed conjunct appears beside it
     assert(optimized.contains("__value_numeric"), optimized)
-    assert(optimized.contains("39.999999"), optimized)
+    // margin = 1e-6 + 2*ulp(40), quantized outward (floor) at 6 dp
+    assert(optimized.contains("39.999998"), optimized)
+    // …and exactly once: the rule is installed BOTH as a resolution rule and
+    // in extraOptimizations here, and the schema-based guard must stop the
+    // second pass from re-adding the conjunct
+    assert(optimized.sliding("39.999998".length).count(_ == "39.999998") == 1, optimized)
     assert(optimized.toLowerCase.contains("cast(valuequantity"), optimized)
     // a comparison inside OR must NOT spawn a conjunct (not implied)
     val orQ = obs.where(
