@@ -146,7 +146,11 @@ object Llm {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def minhashNearPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.computeIfAbsent((s, d), { case (ss, dd) => minhashNearPairsFresh(ss, dd) })
+    // plain get-or-compute, NOT computeIfAbsent: the compute path itself
+    // puts into the cache (swap + unpersist), and a computeIfAbsent mapping
+    // function must not modify the map (ConcurrentHashMap "Recursive
+    // update" error). A benign race can at worst compute twice.
+    Option(pairsCache.get((s, d))).getOrElse(minhashNearPairsFresh(s, d))
 
   private def minhashNearPairsFresh(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashNearPairsUncached(s, d)
@@ -240,6 +244,48 @@ object Llm {
       }
   }
 
+  /** Connected components over the near-dup pair graph (shared by
+    * dedup_cluster_components and dedup_corpus_filter): Spark-native
+    * union-find via iterative min-label propagation — one shuffle join on
+    * the node key per round, rounds ≈ component diameter, driver holds only
+    * the convergence flag. Returns (node, label), label = min reachable
+    * doc_id including self. Superseded rounds and the edge/pair inputs are
+    * unpersisted once the converged round is materialized.
+    */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashNearPairs(s, d).select("i", "j")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select(col("j").as("i"), col("i").as("j")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("i").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var prevPersisted: DataFrame = null
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, edges("j") === labels("node"))
+        .groupBy(edges("i").as("n2")).agg(min(col("label")).as("nlabel"))
+      // carry the previous label through the update so convergence is
+      // read off the SAME materialization — one action per round
+      val updated = labels.join(neighborMin, labels("node") === neighborMin("n2"), "left")
+        .select(col("node"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = updated.where(col("label") < col("prev")).count()
+      // `updated` is materialized by the count, so the superseded round's
+      // cached blocks can go — without this, persisted state grows with
+      // the component diameter (round-2 advisor finding).
+      if (prevPersisted != null) prevPersisted.unpersist(false)
+      prevPersisted = updated
+      labels = updated.select(col("node"), col("label"))
+    }
+    // the converged round is fully materialized by its count, so the
+    // inputs can be released too — only ONE persisted artifact (the
+    // final labels) outlives the call
+    pairs.unpersist(false)
+    edges.unpersist(false)
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // L1 — exact dedup: keep min doc_id per content hash.
     QueryDef(
@@ -283,38 +329,34 @@ object Llm {
           "SELECT r.a, e.j FROM reach r JOIN e ON r.b = e.i) " +
           "SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_rep " +
           "FROM reach GROUP BY a ORDER BY doc_id"),
+      (s, d) =>
+        clusterLabels(s, d)
+          .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+          .orderBy("doc_id")),
+
+    // End-to-end dedup corpus filter — the operator a training pipeline
+    // actually runs: pairs → components → drop every cluster member except
+    // its representative (min doc_id), keep all non-duplicated docs. One
+    // left-anti join against the (tiny) non-representative set.
+    QueryDef(
+      "dedup_corpus_filter",
+      Some(
+        s"WITH RECURSIVE $duckNearPairs, " +
+          "pe AS (SELECT i, j FROM p WHERE jac >= 0.5), " +
+          "e AS (SELECT i, j FROM pe UNION SELECT j, i FROM pe), " +
+          "reach(a, b) AS (SELECT i, j FROM e UNION " +
+          "SELECT r.a, e.j FROM reach r JOIN e ON r.b = e.i), " +
+          "nonrep AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) < a) " +
+          "SELECT doc_id, source FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM nonrep) " +
+          "ORDER BY doc_id"),
       (s, d) => {
-        val pairs = minhashNearPairs(s, d).select("i", "j")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val edges = pairs.union(pairs.select(col("j").as("i"), col("i").as("j")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var labels = edges.select(col("i").as("node")).distinct()
-          .withColumn("label", col("node"))
-        var prevPersisted: DataFrame = null
-        var changed = 1L
-        while (changed > 0) {
-          val neighborMin = edges.join(labels, edges("j") === labels("node"))
-            .groupBy(edges("i").as("n2")).agg(min(col("label")).as("nlabel"))
-          // carry the previous label through the update so convergence is
-          // read off the SAME materialization — one action per round
-          val updated = labels.join(neighborMin, labels("node") === neighborMin("n2"), "left")
-            .select(col("node"), col("label").as("prev"),
-              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          changed = updated.where(col("label") < col("prev")).count()
-          // `updated` is materialized by the count, so the superseded round's
-          // cached blocks can go — without this, persisted state grows with
-          // the component diameter (round-2 advisor finding).
-          if (prevPersisted != null) prevPersisted.unpersist(false)
-          prevPersisted = updated
-          labels = updated.select(col("node"), col("label"))
-        }
-        // the converged round is fully materialized by its count, so the
-        // inputs can be released too — only ONE persisted artifact (the
-        // final labels) outlives the query
-        pairs.unpersist(false)
-        edges.unpersist(false)
-        labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+        // label = min reachable doc_id (incl. self), so non-representative
+        // ⟺ label < node
+        val nonRep = clusterLabels(s, d).where(col("label") < col("node"))
+          .select(col("node").as("doc_id"))
+        Tables.t(s, d, "documents")
+          .join(broadcast(nonRep), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"))
           .orderBy("doc_id")
       }),
 
@@ -532,6 +574,32 @@ object Llm {
           .where(col("rn") <= 3)
           .orderBy("qid", "rn")
       }),
+
+    // Per-label embedding centroid — the elementwise-mean building block of
+    // SemDeDup-style semantic dedup and k-means seeding. posexplode splits
+    // vector components so the mean is a plain (label, pos) hash aggregate
+    // with map-side partials (shuffles only the 2-key partial sums, never
+    // vectors); component sums run in exact decimal so shuffle merge order
+    // can't perturb the double result.
+    QueryDef(
+      "embed_label_centroid",
+      Some(
+        "SELECT label, CAST(i - 1 AS INT) AS pos, " +
+          "CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c " +
+          "FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i) " +
+          "GROUP BY label, pos ORDER BY label, pos"),
+      (s, d) =>
+        Tables.t(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          // exact decimal sum (order-independent) → correctly-rounded double
+          // → one IEEE division by n; no re-quantization afterwards, so both
+          // engines produce bit-identical doubles (a post-division 6-dp
+          // round would tie-break differently on *.5 boundaries)
+          .agg((sum(col("v").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double") /
+            count(lit(1))).as("c"))
+          .orderBy("label", "pos")),
 
     // int8 symmetric quantization of the embedding column — the standard 4×
     // storage/bandwidth shrink before ANN serving. Per-vector absmax scale,

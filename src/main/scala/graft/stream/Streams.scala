@@ -219,7 +219,7 @@ object Streams {
     QueryDef(
       "stream_late_data_drop",
       Some("SELECT TIMESTAMP '2024-01-01 09:00:00' AS ws, CAST(1 AS BIGINT) AS n"),
-      (s, d) => {
+      (s, d) => withStreamShuffle(s) {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
         val base = s"${sys.props("java.io.tmpdir")}/graft_late_${ProcessHandle.current().pid()}"
