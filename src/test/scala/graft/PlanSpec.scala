@@ -39,6 +39,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("topk_order_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("embed_label_centroid: partial map-side aggregation; vectors never shuffle whole") {
+    val p = plan("embed_label_centroid")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    // plans print top-down, so shuffle-before-explode would put the Exchange
+    // line BELOW posexplode; the scale posture needs explode → partial agg
+    // → exchange of (label,pos) partials, i.e. Exchange printed above
+    assert(p.indexOf("Exchange hashpartitioning") < p.indexOf("Generate posexplode"),
+      "vectors shuffle before the partial aggregate")
+  }
+
+  test("dedup_corpus_filter: anti-join against the non-representative set broadcasts") {
+    val p = plan("dedup_corpus_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.linesIterator.take(8).mkString("\n"))
+  }
+
   test("decontaminate: benchmark gram side broadcasts, documents never shuffle grams pairwise") {
     val p = plan("decontaminate_ngram")
     assert(p.contains("BroadcastHashJoin"), p)
