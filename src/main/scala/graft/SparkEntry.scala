@@ -17,11 +17,13 @@ object SparkEntry {
       rel.Windows.defs ++
       rel.Funcs.defs ++
       rel.Scale.defs ++
+      rel.Formats.defs ++
       udx.Udx.defs ++
       udx.TypedOps.defs ++
       llm.Llm.defs ++
       llm.Ivf.defs ++
       llm.Pipeline.defs ++
+      llm.Corpus.defs ++
       llm.Multimodal.defs ++
       fhir.FhirQueries.defs ++
       stream.Streams.defs

@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Corpus-level curation operators (SURVEY §2.L addendum): statistics that
+  * look across the whole documents table rather than within one row —
+  * boilerplate span detection, per-document salient terms, and the composed
+  * keep/drop quality gate a pre-training pipeline applies before tokenizing.
+  *
+  * Scale notes:
+  *   - Everything aggregates with map-side partials; the only broadcast is
+  *     vocabulary-sized (distinct words / distinct grams after the count),
+  *     which stays millions of rows at 100 TB — far under the fact side.
+  *   - Scores are exact integers (micro-units, floor division) so ranking is
+  *     bit-identical in Spark and DuckDB; no IEEE log/division ordering
+  *     hazards (graft-round2 lesson).
+  */
+object Corpus {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Corpus boilerplate detection: the word-5-grams shared by the most
+    // documents. `array_distinct` runs inside the per-row HOF (no
+    // per-(doc,gram) dedup shuffle), then one hash aggregate + a global
+    // top-20 under a total order (df DESC, gram ASC) — TakeOrdered, no full
+    // sort. At 100 TB this is the standard "find template text" pass; the
+    // gram table is the only shuffle and it combines map-side.
+    QueryDef(
+      "corpus_ngram_topk",
+      Some(
+        "WITH s AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS sh " +
+          "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 5), " +
+          "g AS (SELECT doc_id, unnest(sh) AS gram FROM s) " +
+          "SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram " +
+          "ORDER BY df DESC, gram LIMIT 20"),
+      (s, d) => {
+        Tables.t(s, d, "documents")
+          .where(size(split(col("text"), " ")) >= 5)
+          .select(explode(expr(Llm.shinglesExpr)).as("gram"))
+          .groupBy("gram")
+          .agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("gram"))
+          .limit(20)
+      }),
+
+    // Per-document salient terms: top-3 words by an exact-integer tf-idf
+    // proxy, score = tf * ((1e6 * N) DIV df) — monotone in tf·N/df, and
+    // floor division keeps the ranking engine-independent where
+    // tf*ln(N/df) would tie-break on IEEE rounding. df and N are
+    // vocabulary/scalar-sized, so both join sides of the fact table are
+    // broadcasts; the per-doc window partitions by doc_id only.
+    QueryDef(
+      "doc_tfidf_topk",
+      Some(
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+          "tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, word), " +
+          "df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY word), " +
+          "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), " +
+          "scored AS (SELECT doc_id, word, tf, tf * ((1000000 * n_docs) // df) AS score, " +
+          "row_number() OVER (PARTITION BY doc_id ORDER BY tf * ((1000000 * n_docs) // df) DESC, word) AS rn " +
+          "FROM tf JOIN df USING (word) CROSS JOIN n) " +
+          "SELECT doc_id, word, tf, score FROM scored WHERE rn <= 3 ORDER BY doc_id, score DESC, word"),
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf
+          .join(broadcast(df), "word")
+          .crossJoin(broadcast(n))
+          .withColumn("score", expr("tf * ((1000000 * n_docs) DIV df)"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select("doc_id", "word", "tf", "score")
+          .orderBy(col("doc_id"), col("score").desc, col("word"))
+      }),
+
+    // Composed quality gate: the keep/drop decision a pre-training pipeline
+    // makes per document — min length, distinct-token ratio, duplicate-5-gram
+    // fraction, stopword presence — all in exact integer micro-units (same
+    // formulas as text_quality / text_repetition_filter). One narrow HOF
+    // pass, zero shuffles before the final per-lang summary aggregate.
+    QueryDef(
+      "quality_ensemble_filter",
+      Some(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep, " +
+          "CAST(sum(n_toks) FILTER (WHERE keep) AS BIGINT) AS kept_toks FROM " +
+          "(SELECT lang, n_toks, n_toks >= 20 " +
+          "AND (nd_toks * 1000000) // n_toks >= 100000 " +
+          "AND (CASE WHEN n_grams > 0 THEN (n_grams - nd_grams) * 1000000 // n_grams ELSE 0 END) <= 300000 " +
+          "AND n_stop > 0 AS keep FROM " +
+          "(SELECT lang, CAST(len(w) AS BIGINT) AS n_toks, " +
+          "CAST(len(list_distinct(w)) AS BIGINT) AS nd_toks, " +
+          "CAST(len(g) AS BIGINT) AS n_grams, CAST(len(list_distinct(g)) AS BIGINT) AS nd_grams, " +
+          "CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop FROM " +
+          "(SELECT lang, w, [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS g " +
+          "FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)))) " +
+          "GROUP BY lang ORDER BY lang"),
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.t(s, d, "documents")
+          .select(col("lang"), toks.as("w"),
+            expr("CASE WHEN size(split(text, ' ')) >= 5 THEN " +
+              "transform(sequence(1, size(split(text, ' ')) - 4), i -> concat_ws(' ', slice(split(text, ' '), i, 5))) " +
+              "ELSE array() END").as("g"))
+          .select(col("lang"),
+            size(col("w")).cast("long").as("n_toks"),
+            size(array_distinct(col("w"))).cast("long").as("nd_toks"),
+            size(col("g")).cast("long").as("n_grams"),
+            size(array_distinct(col("g"))).cast("long").as("nd_grams"),
+            size(filter(col("w"), x => x.isin("the", "a", "of", "and", "to", "in"))).cast("long").as("n_stop"))
+          .withColumn("keep",
+            expr("n_toks >= 20 AND (nd_toks * 1000000) DIV n_toks >= 100000 " +
+              "AND (CASE WHEN n_grams > 0 THEN (n_grams - nd_grams) * 1000000 DIV n_grams ELSE 0 END) <= 300000 " +
+              "AND n_stop > 0"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("keep"), lit(1))).as("n_keep"),
+            sum(when(col("keep"), col("n_toks"))).as("kept_toks"))
+          .orderBy("lang")
+      }))
+}

@@ -1,0 +1,160 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, QueryDef, Tables}
+
+/** Interchange formats beyond parquet (SURVEY §2.B addendum): CSV and ORC
+  * round-trips. A lake ingests CSV drops and legacy ORC partitions before
+  * standardizing on parquet; these keys prove the source plumbing and that
+  * values survive the trip exactly.
+  *
+  * Determinism notes (SURVEY §7.4):
+  *   - CSV doubles: Spark writes `Double.toString` shortest-repr text, which
+  *     parses back to the identical bits — so a double survives
+  *     parquet→CSV→DataFrame exactly and the oracle can aggregate the
+  *     original parquet.
+  *   - Reads use an explicit schema. At 100 TB, `inferSchema` is a full
+  *     extra pass over the data before the real one; a declared schema makes
+  *     the CSV scan single-pass (and keeps types engine-independent).
+  *   - ORC is a binary columnar format — doubles/longs round-trip trivially;
+  *     the point is exercising the second columnar source Spark ships.
+  */
+object Formats {
+
+  private def scratch(tag: String, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(d.hashCode)}"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // CSV source round-trip: project lineitem to (bigint, string, double),
+    // write headered CSV, re-read with a declared schema, aggregate. The
+    // oracle aggregates the original parquet — equality proves the text
+    // round-trip lost nothing.
+    QueryDef(
+      "scan_csv_roundtrip",
+      Some(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_qty, " +
+          s"CAST(CAST(sum(CAST(l_extendedprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_price " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, d) => {
+        val tmp = scratch("csv", d)
+        Tables.t(s, d, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        val schema = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_returnflag", StringType),
+          StructField("l_quantity", DoubleType),
+          StructField("l_extendedprice", DoubleType)))
+        s.read.schema(schema).option("header", "true").csv(tmp)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            Q.out6(sum(Q.dec4(col("l_quantity")))).as("sum_qty"),
+            Q.out6(sum(Q.dec4(col("l_extendedprice")))).as("sum_price"))
+          .orderBy("l_returnflag")
+      }),
+
+    // ORC source round-trip: orders through ORC, then the same aggregate on
+    // both sides. DuckDB cannot read ORC, so the oracle runs over the
+    // original parquet — valid because ORC preserves binary doubles exactly.
+    QueryDef(
+      "scan_orc_roundtrip",
+      Some(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_price " +
+          "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, d) => {
+        val tmp = scratch("orc", d)
+        Tables.t(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            Q.out6(sum(Q.dec4(col("o_totalprice")))).as("sum_price"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Unpivot/melt: wide measure columns to long (measure, value) rows —
+    // the reshape every metrics pipeline needs before a generic per-measure
+    // aggregation. Spark's native `unpivot` is a narrow Expand (no shuffle,
+    // no UDF); the only shuffle is the final per-measure aggregate.
+    QueryDef(
+      "unpivot_melt",
+      Some(
+        "SELECT measure, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(value AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_val " +
+          "FROM (SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem " +
+          "UNION ALL SELECT 'l_discount', l_discount FROM lineitem " +
+          "UNION ALL SELECT 'l_tax', l_tax FROM lineitem) " +
+          "GROUP BY measure ORDER BY measure"),
+      (s, d) => {
+        Tables.t(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "measure",
+            "value")
+          .groupBy("measure")
+          .agg(
+            count(lit(1)).as("n"),
+            Q.out6(sum(Q.dec4(col("value")))).as("sum_val"))
+          .orderBy("measure")
+      }),
+
+    // Equi-width histogram: integer bucket arithmetic (floor of an IEEE
+    // division by an exact power-of-ten-ish constant — bit-identical cross
+    // engine), one hash aggregate with map-side partials. The profile query
+    // run before choosing partition bounds on any new 100 TB column.
+    QueryDef(
+      "agg_histogram",
+      Some(
+        "SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(min(o_totalprice) AS ${Q.D4}) AS DOUBLE) AS lo, " +
+          s"CAST(CAST(max(o_totalprice) AS ${Q.D4}) AS DOUBLE) AS hi " +
+          "FROM orders GROUP BY bucket ORDER BY bucket"),
+      (s, d) => {
+        Tables.t(s, d, "orders")
+          .groupBy(floor(col("o_totalprice") / lit(50000.0)).cast(LongType).as("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            Q.out4(min(col("o_totalprice"))).as("lo"),
+            Q.out4(max(col("o_totalprice"))).as("hi"))
+          .orderBy("bucket")
+      }),
+
+    // Deterministic mode: most frequent order priority per market segment.
+    // Built from groupBy-count + row_number with a total tie-break
+    // (count DESC, priority ASC) instead of the built-in `mode()` whose tie
+    // choice is engine/partitioning-dependent. The counted table is
+    // (segments × priorities) — tiny — so the window costs nothing; the real
+    // work is the broadcast dim join + one hash aggregate.
+    QueryDef(
+      "agg_mode",
+      Some(
+        "SELECT c_mktsegment, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n FROM " +
+          "(SELECT c_mktsegment, o_orderpriority, count(*) AS n, " +
+          "row_number() OVER (PARTITION BY c_mktsegment ORDER BY count(*) DESC, o_orderpriority) AS rn " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment, o_orderpriority) WHERE rn = 1 ORDER BY c_mktsegment"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counted = Tables.t(s, d, "orders")
+          .join(broadcast(Tables.t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("n").desc, col("o_orderpriority"))
+        counted
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"), col("n"))
+          .orderBy("c_mktsegment")
+      }))
+}

@@ -60,6 +60,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "gram join fell back to a full shuffle")
   }
 
+  test("corpus_ngram_topk: top-k fuses into TakeOrdered; gram agg combines map-side") {
+    val p = plan("corpus_ngram_topk")
+    assert(p.contains("TakeOrderedAndProject"), "global top-20 is a full sort")
+    assert(p.contains("partial_count"), "gram counts have no map-side combine")
+  }
+
+  test("doc_tfidf_topk: df and N sides broadcast; fact table never shuffles for the joins") {
+    val p = plan("doc_tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"), "df join is not broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin"), "scalar N cross-join is not broadcast")
+    assert(!p.contains("SortMergeJoin"), "a join fell back to a full shuffle")
+  }
+
+  test("unpivot_melt: melt is a narrow Expand, no shuffle before the final agg") {
+    val p = plan("unpivot_melt")
+    assert(p.contains("Expand"), "unpivot did not plan as Expand")
+    assert(p.indexOf("Exchange hashpartitioning") < p.indexOf("Expand"),
+      "rows shuffle before the per-measure partial aggregate")
+  }
+
   test("E1: aggregation is partial (map-side) then final") {
     val p = plan("agg_hash_group")
     assert(p.contains("HashAggregate"))
