@@ -18,6 +18,7 @@ object SparkEntry {
       rel.Funcs.defs ++
       rel.Scale.defs ++
       rel.Formats.defs ++
+      rel.Behavior.defs ++
       udx.Udx.defs ++
       udx.TypedOps.defs ++
       llm.Llm.defs ++
