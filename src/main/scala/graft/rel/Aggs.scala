@@ -138,6 +138,35 @@ object Aggs {
             expr("element_at(vals, CAST(ceil(0.9 * size(vals)) AS INT))").as("est_p90"))
       }),
 
+    // Mergeable heavy hitters: per-language Misra-Gries word sketches
+    // union-merged to the global top-10 — the frequent-items member of the
+    // sketch trio (HLL distinct, bottom-k quantiles, MG frequencies). Only
+    // ≤FreqK-entry summaries cross the second shuffle. The oracle compares
+    // against EXACT counts, valid because the corpus vocabulary (31) is
+    // under FreqK=64, where Misra-Gries is provably exact (zero decrements);
+    // on an open vocabulary the same query degrades gracefully to ±n/(K+1)
+    // estimates and the oracle would move to an OpsSpec bound instead.
+    QueryDef(
+      "agg_freq_topk",
+      Some(
+        "SELECT word, CAST(count(*) AS BIGINT) AS est_cnt FROM " +
+          "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+          "GROUP BY word ORDER BY est_cnt DESC, word LIMIT 10"),
+      (s, d) => {
+        import graft.udx.Udx
+        val perLang = Tables.t(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .groupBy("lang")
+          .agg(Udx.freqitems(col("word")).as("sk"))
+        perLang
+          .select(explode(col("sk")).as("kv"))
+          .agg(Udx.freqmerge(col("kv._1"), col("kv._2")).as("merged"))
+          .select(explode(col("merged")).as("kv"))
+          .select(col("kv._1").as("word"), col("kv._2").as("est_cnt"))
+          .orderBy(col("est_cnt").desc, col("word"))
+          .limit(10)
+      }),
+
     // E5 — GROUPING SETS ((n_name),(c_mktsegment),()) with grouping_id.
     QueryDef(
       "agg_grouping_sets",

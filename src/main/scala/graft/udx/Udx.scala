@@ -90,9 +90,61 @@ object Udx {
     def outputEncoder: Encoder[Array[(Long, Double)]] = ExpressionEncoder[Array[(Long, Double)]]()
   }
 
+  /** Misra-Gries heavy-hitters summary (FreqK counters). Stream update:
+    * increment a present key, insert if room, else decrement every counter.
+    * Merge: sum counters pairwise, then subtract the (FreqK+1)-th largest
+    * count from all and drop non-positives — the mergeable-summaries
+    * construction (Agarwal et al., PODS'12). Estimates are EXACT whenever
+    * the distinct-key count ≤ FreqK (each count error is bounded by the
+    * total decrement amount, which is then zero); otherwise each estimate
+    * is within n/(FreqK+1) of truth. Buffers are ≤ FreqK entries, so
+    * re-aggregation shuffles sketch-sized rows only — the frequent-items
+    * twin of the HLL (agg_sketch_merge) and bottom-k (agg_quantile_merge)
+    * summaries.
+    */
+  final val FreqK = 64
+  private def mgTrim(m: Map[String, Long]): Map[String, Long] =
+    if (m.size <= FreqK) m
+    else {
+      val thresh = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(FreqK)
+      m.collect { case (k, v) if v > thresh => k -> (v - thresh) }
+    }
+  object FreqItems extends Aggregator[String, Map[String, Long], Array[(String, Long)]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      b.get(x) match {
+        case Some(v)                => b.updated(x, v + 1)
+        case None if b.size < FreqK => b.updated(x, 1L)
+        case None                   => b.collect { case (k, v) if v > 1 => k -> (v - 1) }
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mgTrim(b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) })
+    def finish(r: Map[String, Long]): Array[(String, Long)] =
+      r.toArray.sortBy { case (k, v) => (-v, k) }
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Array[(String, Long)]] = ExpressionEncoder[Array[(String, Long)]]()
+  }
+
+  /** Second-level merge of emitted (key, count) summary entries — the same
+    * Misra-Gries merge, consumed as pairs so partial sketches re-aggregate
+    * without re-reading data.
+    */
+  object FreqItemsMerge extends Aggregator[(String, Long), Map[String, Long], Array[(String, Long)]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], x: (String, Long)): Map[String, Long] =
+      mgTrim(b.updated(x._1, b.getOrElse(x._1, 0L) + x._2))
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      FreqItems.merge(a, b)
+    def finish(r: Map[String, Long]): Array[(String, Long)] = FreqItems.finish(r)
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Array[(String, Long)]] = ExpressionEncoder[Array[(String, Long)]]()
+  }
+
   val geomean = udaf(GeoMean, Encoders.scalaDouble)
   val minhash = udaf(MinHashSig, Encoders.scalaLong)
   val bottomk = udaf(BottomK, Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+  val freqitems = udaf(FreqItems, Encoders.STRING)
+  val freqmerge = udaf(FreqItemsMerge, Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
 
   /** K1 — registered scalar UDF (haversine km). Deterministic; the oracle
     * mirrors the identical IEEE formula, rounded to 3 dp to absorb libm ulps.

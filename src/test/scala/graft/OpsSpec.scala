@@ -143,6 +143,38 @@ class OpsSpec extends AnyFunSuite {
     assert(direct == merged, "bottom-k merge must be lossless")
   }
 
+  test("FreqItems Misra-Gries: exact under K keys; merge error bounded over K") {
+    import udx.Udx.{FreqItems, FreqItemsMerge, FreqK}
+    // Exact regime: distinct keys ≤ FreqK → counts are exact regardless of
+    // arrival order or how the stream is split across partial buffers.
+    val exactStream = (0 until 1000).map(i => s"k${i % 40}")
+    val (half1, half2) = exactStream.splitAt(537)
+    val merged = FreqItems.merge(
+      half1.foldLeft(FreqItems.zero)(FreqItems.reduce),
+      half2.foldLeft(FreqItems.zero)(FreqItems.reduce))
+    assert(FreqItems.finish(merged).toMap === exactStream.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    // Approximate regime: 500 distinct keys over FreqK=64, one heavy key.
+    // Every surviving estimate must be within n/(FreqK+1) of truth and the
+    // heavy hitter must survive the trim (its frequency exceeds the bound).
+    val skewed = Seq.fill(3000)("heavy") ++ (0 until 6000).map(i => s"t${i % 500}")
+    val (a, b) = scala.util.Random.javaRandomToRandom(new java.util.Random(7)).shuffle(skewed).splitAt(4321)
+    val sk = FreqItems.finish(FreqItems.merge(
+      a.foldLeft(FreqItems.zero)(FreqItems.reduce),
+      b.foldLeft(FreqItems.zero)(FreqItems.reduce))).toMap
+    val n = skewed.size
+    val truth = skewed.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(sk.size <= FreqK)
+    assert(sk.contains("heavy"), "heavy hitter evicted from the summary")
+    sk.foreach { case (k, est) =>
+      assert(est <= truth(k) && truth(k) - est <= n / (FreqK + 1),
+        s"$k estimate $est outside [truth-n/(K+1), truth] of ${truth(k)}")
+    }
+    // Pair-level merge (the second aggregation stage) agrees with item-level.
+    val viaPairs = FreqItemsMerge.finish(
+      sk.toSeq.foldLeft(FreqItemsMerge.zero)(FreqItemsMerge.reduce)).toMap
+    assert(viaPairs.keySet.subsetOf(sk.keySet))
+  }
+
   test("sim_topk_int8: quantized retrieval preserves most of the float top-5") {
     val int8 = run("sim_topk_int8").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val float = run("sim_cosine_topk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
