@@ -23,20 +23,30 @@ object Bench {
     // and parquet-footer cost so per-query timings reflect steady state.
     try SparkEntry.queries("agg_hash_group")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A throwing query must NOT contribute a plausible-looking median
+    // (round-3 advisor finding): record ok=false and report the key as -1
+    // plus an "errors" count so a broken query is visible in the JSON.
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val samples = Seq.fill(repeat)(time(fn)).sorted
-      name -> samples(samples.size / 2) // median (upper for even n)
+    // Optional CLI args = subset of query keys (local iteration only; the
+    // driver invokes with no args and gets the full set).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val results = selected.map { case (name, fn) =>
+      val samples = Seq.fill(repeat)(time(fn))
+      val med = { val ts = samples.map(_._1).sorted; ts(ts.size / 2) } // median (upper for even n)
+      name -> (if (samples.forall(_._2)) med else -1.0)
     }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeat":$repeat,"queries":$qs,"sf":"$sfDir"}"""
+    val errors = results.values.count(_ < 0)
+    val total = results.values.filter(_ >= 0).sum
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeat":$repeat,"errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
     // Driver-parse posture (BENCH_r01/r02 lesson): the driver's stdout tail
     // capture truncates long lines from the HEAD, so the ~3 KB per-query map
     // must never be the last line. Persist the full detail to a file, print
@@ -45,6 +55,6 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), full)
     spark.stop()
     println(full)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"errors":$errors,"sf":"$sfDir"}""")
   }
 }

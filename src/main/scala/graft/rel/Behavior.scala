@@ -50,9 +50,17 @@ object Behavior {
         val p = e.where(col("event_type") === "purchase")
           .join(c, "user_id").where(col("ts_ms") >= col("t2"))
           .groupBy("user_id").agg(min(col("ts_ms")).as("t3"))
-        v.agg(count(lit(1)).as("n_view"))
-          .crossJoin(c.agg(count(lit(1)).as("n_click")))
-          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        // One global aggregate over the union of per-stage user rows instead
+        // of joining three single-row counts: no join at all (the round-3
+        // form planned BroadcastNestedLoopJoin), and the stage indicator
+        // sums combine map-side. coalesce guards the empty-stage case where
+        // sum yields NULL but the oracle's count yields 0.
+        v.select(lit(1L).as("sv"), lit(0L).as("sc"), lit(0L).as("sp"))
+          .unionAll(c.select(lit(0L).as("sv"), lit(1L).as("sc"), lit(0L).as("sp")))
+          .unionAll(p.select(lit(0L).as("sv"), lit(0L).as("sc"), lit(1L).as("sp")))
+          .agg(coalesce(sum(col("sv")), lit(0L)).as("n_view"),
+            coalesce(sum(col("sc")), lit(0L)).as("n_click"),
+            coalesce(sum(col("sp")), lit(0L)).as("n_purchase"))
       }),
 
     // Cohort retention: users grouped by first-activity week, counted in
