@@ -45,14 +45,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errors = results.values.count(_ < 0)
-    val total = results.values.filter(_ >= 0).sum
+    // A crashing query must never make the headline total look BETTER than a
+    // working build (round-4 advisor finding): each errored key contributes a
+    // fixed 30 s penalty — larger than any single measured query — so a
+    // consumer comparing only "value" still fails a regressed build.
+    val total = results.values.filter(_ >= 0).sum + errors * 30.0
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeat":$repeat,"errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
     // Driver-parse posture (BENCH_r01/r02 lesson): the driver's stdout tail
     // capture truncates long lines from the HEAD, so the ~3 KB per-query map
     // must never be the last line. Persist the full detail to a file, print
     // it as a penultimate line (best-effort), stop Spark so no log lines
     // follow, and make a <=120-byte total-only JSON the absolute last line.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), full)
+    // Subset runs (CLI args given) must not clobber the full-run artifact
+    // (round-4 advisor finding): they go to BENCH_subset.json instead.
+    val outFile = if (args.isEmpty) "BENCH_local.json" else "BENCH_subset.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full)
     spark.stop()
     println(full)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"errors":$errors,"sf":"$sfDir"}""")

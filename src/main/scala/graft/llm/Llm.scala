@@ -258,7 +258,11 @@ object Llm {
 
   private def clusterLabelsFresh(s: SparkSession, d: String): DataFrame = {
     val labels = clusterLabelsUncached(s, d)
-    Option(labelsCache.put((s, d), labels)).foreach(_.unpersist(false))
+    // The superseded entry is localCheckpoint-backed, not CacheManager-backed,
+    // so unpersist() would be a no-op (round-4 advisor finding); dropping the
+    // map reference is enough — the ContextCleaner frees its checkpoint
+    // blocks once the RDD is GC'd.
+    labelsCache.put((s, d), labels)
     labels
   }
 
@@ -268,7 +272,10 @@ object Llm {
     * overhead (the round-3 bench regression). At real scale this tracks
     * edge volume; here it is scoped down for the loop and restored after.
     * The converged result is fully materialized inside the scope, so the
-    * returned DataFrame never replans under the restored conf.
+    * returned DataFrame never replans under the restored conf. Note the cap
+    * mutates shared session conf (fine for the serial driver/bench; a
+    * concurrently-planned query in the same session would see 4 — use a
+    * child session if suites ever parallelize).
     */
   private def withLoopShuffle[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"

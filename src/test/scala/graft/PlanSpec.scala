@@ -68,8 +68,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("doc_tfidf_topk: df and N sides broadcast; fact table never shuffles for the joins") {
     val p = plan("doc_tfidf_topk")
-    assert(p.contains("BroadcastHashJoin"), "df join is not broadcast")
-    assert(p.contains("BroadcastNestedLoopJoin"), "scalar N cross-join is not broadcast")
+    val p2 = p.replaceFirst("BroadcastHashJoin", "")
+    assert(p.contains("BroadcastHashJoin") && p2.contains("BroadcastHashJoin"),
+      "both the df join and the constant-key N join must plan as BroadcastHashJoin")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "scalar N join regressed to BNLJ")
     assert(!p.contains("SortMergeJoin"), "a join fell back to a full shuffle")
   }
 
