@@ -97,7 +97,8 @@ object FhirDefinitions {
       "status" -> ("code", false), "div" -> ("xhtml", false)),
     "Extension" -> Map(
       "url" -> ("uri", false), "extension" -> ("Extension", true),
-      "value[x]" -> ("CHOICE:string,code,decimal,integer,boolean,dateTime,date,time,instant,uri,canonical,base64Binary,positiveInt,unsignedInt,markdown,id,oid,uuid,Coding,CodeableConcept,Address,Quantity,Reference,Period,Identifier,HumanName,ContactPoint,Annotation,Range,Ratio", false)),
+      // full R4 value[x] arm list (datatypes the registry can now expand)
+      "value[x]" -> ("CHOICE:base64Binary,boolean,canonical,code,date,dateTime,decimal,id,instant,integer,markdown,oid,positiveInt,string,time,unsignedInt,uri,url,uuid,Address,Age,Annotation,Attachment,CodeableConcept,Coding,ContactPoint,Count,Distance,Duration,HumanName,Identifier,Money,Period,Quantity,Range,Ratio,Reference,SampledData,Signature,Timing,ContactDetail,Contributor,DataRequirement,Expression,ParameterDefinition,RelatedArtifact,TriggerDefinition,UsageContext,Dosage,Meta", false)),
     "Identifier" -> Map(
       "use" -> ("code", false), "type" -> ("CodeableConcept", false),
       "system" -> ("uri", false), "value" -> ("string", false),
@@ -152,7 +153,113 @@ object FhirDefinitions {
       "size" -> ("unsignedInt", false), "hash" -> ("base64Binary", false),
       "title" -> ("string", false), "creation" -> ("dateTime", false)),
     "Timing" -> Map(
-      "event" -> ("dateTime", true), "code" -> ("CodeableConcept", false)))
+      "event" -> ("dateTime", true), "repeat" -> ("Timing.repeat", false),
+      "code" -> ("CodeableConcept", false)),
+    // Backbone children INSIDE datatypes are registered as dotted
+    // pseudo-types ("Timing.repeat") — the resolver treats any
+    // non-primitive code as a registry key, so nesting terminates the same
+    // way top-level complex types do.
+    "Timing.repeat" -> Map(
+      "bounds[x]" -> ("CHOICE:Duration,Range,Period", false),
+      "count" -> ("positiveInt", false), "countMax" -> ("positiveInt", false),
+      "duration" -> ("decimal", false), "durationMax" -> ("decimal", false),
+      "durationUnit" -> ("code", false), "frequency" -> ("positiveInt", false),
+      "frequencyMax" -> ("positiveInt", false), "period" -> ("decimal", false),
+      "periodMax" -> ("decimal", false), "periodUnit" -> ("code", false),
+      "dayOfWeek" -> ("code", true), "timeOfDay" -> ("time", true),
+      "when" -> ("code", true), "offset" -> ("unsignedInt", false)),
+    "Signature" -> Map(
+      "type" -> ("Coding", true), "when" -> ("instant", false),
+      "who" -> ("Reference", false), "onBehalfOf" -> ("Reference", false),
+      "targetFormat" -> ("code", false), "sigFormat" -> ("code", false),
+      "data" -> ("base64Binary", false)),
+    // R4 metadata types (metadatatypes.html)
+    "ContactDetail" -> Map(
+      "name" -> ("string", false), "telecom" -> ("ContactPoint", true)),
+    "Contributor" -> Map(
+      "type" -> ("code", false), "name" -> ("string", false),
+      "contact" -> ("ContactDetail", true)),
+    "DataRequirement" -> Map(
+      "type" -> ("code", false), "profile" -> ("canonical", true),
+      "subject[x]" -> ("CHOICE:CodeableConcept,Reference", false),
+      "mustSupport" -> ("string", true),
+      "codeFilter" -> ("DataRequirement.codeFilter", true),
+      "dateFilter" -> ("DataRequirement.dateFilter", true),
+      "limit" -> ("positiveInt", false),
+      "sort" -> ("DataRequirement.sort", true)),
+    "DataRequirement.codeFilter" -> Map(
+      "path" -> ("string", false), "searchParam" -> ("string", false),
+      "valueSet" -> ("canonical", false), "code" -> ("Coding", true)),
+    "DataRequirement.dateFilter" -> Map(
+      "path" -> ("string", false), "searchParam" -> ("string", false),
+      "value[x]" -> ("CHOICE:dateTime,Period,Duration", false)),
+    "DataRequirement.sort" -> Map(
+      "path" -> ("string", false), "direction" -> ("code", false)),
+    "Expression" -> Map(
+      "description" -> ("string", false), "name" -> ("id", false),
+      "language" -> ("code", false), "expression" -> ("string", false),
+      "reference" -> ("uri", false)),
+    "ParameterDefinition" -> Map(
+      "name" -> ("code", false), "use" -> ("code", false),
+      "min" -> ("integer", false), "max" -> ("string", false),
+      "documentation" -> ("string", false), "type" -> ("code", false),
+      "profile" -> ("canonical", false)),
+    "RelatedArtifact" -> Map(
+      "type" -> ("code", false), "label" -> ("string", false),
+      "display" -> ("string", false), "citation" -> ("markdown", false),
+      "url" -> ("url", false), "document" -> ("Attachment", false),
+      "resource" -> ("canonical", false)),
+    "TriggerDefinition" -> Map(
+      "type" -> ("code", false), "name" -> ("string", false),
+      "timing[x]" -> ("CHOICE:Timing,Reference,date,dateTime", false),
+      "data" -> ("DataRequirement", true), "condition" -> ("Expression", false)),
+    "UsageContext" -> Map(
+      "code" -> ("Coding", false),
+      "value[x]" -> ("CHOICE:CodeableConcept,Quantity,Range,Reference", false)),
+    "Dosage" -> Map(
+      "sequence" -> ("integer", false), "text" -> ("string", false),
+      "additionalInstruction" -> ("CodeableConcept", true),
+      "patientInstruction" -> ("string", false), "timing" -> ("Timing", false),
+      "asNeeded[x]" -> ("CHOICE:boolean,CodeableConcept", false),
+      "site" -> ("CodeableConcept", false), "route" -> ("CodeableConcept", false),
+      "method" -> ("CodeableConcept", false),
+      "doseAndRate" -> ("Dosage.doseAndRate", true),
+      "maxDosePerPeriod" -> ("Ratio", false),
+      "maxDosePerAdministration" -> ("Quantity", false),
+      "maxDosePerLifetime" -> ("Quantity", false)),
+    "Dosage.doseAndRate" -> Map(
+      "type" -> ("CodeableConcept", false),
+      "dose[x]" -> ("CHOICE:Range,Quantity", false),
+      "rate[x]" -> ("CHOICE:Ratio,Range,Quantity", false)),
+    // special-purpose medicinal-product types
+    "MarketingStatus" -> Map(
+      "country" -> ("CodeableConcept", false), "jurisdiction" -> ("CodeableConcept", false),
+      "status" -> ("CodeableConcept", false), "dateRange" -> ("Period", false),
+      "restoreDate" -> ("dateTime", false)),
+    "Population" -> Map(
+      "age[x]" -> ("CHOICE:Range,CodeableConcept", false),
+      "gender" -> ("CodeableConcept", false), "race" -> ("CodeableConcept", false),
+      "physiologicalCondition" -> ("CodeableConcept", false)),
+    "ProductShelfLife" -> Map(
+      "type" -> ("CodeableConcept", false), "period" -> ("Quantity", false),
+      "specialPrecautionsForStorage" -> ("CodeableConcept", true)),
+    "ProdCharacteristic" -> Map(
+      "height" -> ("Quantity", false), "width" -> ("Quantity", false),
+      "depth" -> ("Quantity", false), "weight" -> ("Quantity", false),
+      "nominalVolume" -> ("Quantity", false), "externalDiameter" -> ("Quantity", false),
+      "shape" -> ("string", false), "color" -> ("string", true),
+      "imprint" -> ("string", true), "image" -> ("Attachment", true),
+      "scoring" -> ("CodeableConcept", false)))
+
+  /** Quantity specializations share Quantity's element table verbatim
+    * (R4 datatypes.html: Age, Count, Distance, Duration, SimpleQuantity,
+    * MoneyQuantity are profiles, not distinct structures).
+    */
+  private val quantityProfiles =
+    Set("Age", "Count", "Distance", "Duration", "SimpleQuantity", "MoneyQuantity")
+
+  private def typeTable(t: String): Option[Map[String, (String, Boolean)]] =
+    complexTypes.get(if (quantityProfiles(t)) "Quantity" else t)
 
   /** Derive the spec StructType for `fields` (dotted, concrete choice names)
     * from a StructureDefinition JSON. `resourceType` (required STRING) is
@@ -218,7 +325,7 @@ object FhirDefinitions {
             }
         }
       case TypeCtx(t) =>
-        complexTypes.get(t).flatMap { table =>
+        typeTable(t).flatMap { table =>
           table.get(name).map { case (code, rep) => (code, rep, TypeCtx(code)) }
             .orElse(table.collectFirst {
               case (p, (spec, rep)) if p.endsWith("[x]") && spec.startsWith("CHOICE:") &&

@@ -275,6 +275,46 @@ class FhirSpec extends AnyFunSuite {
       FhirDefinitions.deriveFromDefinition(sd, Seq("noSuchField")))
   }
 
+  test("definition derive: widened R4 registry — datatype backbones, Quantity profiles, metadata types") {
+    // authored differential SD for a resource OUTSIDE the golden three,
+    // exercising registry entries the corpus never touches: Dosage with its
+    // doseAndRate backbone, Timing.repeat, a Quantity profile (Duration via
+    // bounds[x]), and a metadata type (DataRequirement) through the full
+    // Extension value[x] arm list
+    val sd =
+      """{"resourceType":"StructureDefinition","type":"MedicationRequest","differential":{"element":[
+        |{"path":"MedicationRequest"},
+        |{"path":"MedicationRequest.dosageInstruction","max":"*","type":[{"code":"Dosage"}]}
+        |]}}""".stripMargin
+    val st = FhirDefinitions.deriveFromDefinition(sd, Seq(
+      "dosageInstruction.timing.repeat.frequency",
+      "dosageInstruction.timing.repeat.boundsDuration.value",
+      "dosageInstruction.doseAndRate.doseQuantity.value",
+      "dosageInstruction.maxDosePerLifetime.unit",
+      "extension.valueSignature.when",
+      "extension.valueDataRequirement.codeFilter.valueSet"))
+    val dosage = st("dosageInstruction").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    val repeat = dosage("timing").dataType.asInstanceOf[StructType]("repeat")
+      .dataType.asInstanceOf[StructType]
+    assert(repeat("frequency").dataType == IntegerType) // positiveInt
+    val bounds = repeat("boundsDuration").dataType.asInstanceOf[StructType]
+    assert(bounds("value").dataType == StringType) // FHIR decimal keeps raw text
+    assert(bounds("value").metadata == FhirSchema.DecimalMeta)
+    val dar = dosage("doseAndRate").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(dar("doseQuantity").dataType.asInstanceOf[StructType]("value").dataType == StringType)
+    assert(dosage("maxDosePerLifetime").dataType
+      .asInstanceOf[StructType]("unit").dataType == StringType)
+    val ext = st("extension").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(ext("valueSignature").dataType
+      .asInstanceOf[StructType]("when").dataType == StringType) // instant
+    val cf = ext("valueDataRequirement").dataType.asInstanceOf[StructType]("codeFilter")
+      .dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(cf("valueSet").dataType == StringType) // canonical
+  }
+
   // --- A5/A8 widened coverage: primitive regex + clinical UCUM vectors ---
 
   test("conformance regexes: oid/uuid/base64Binary/code/uri/integer families") {
