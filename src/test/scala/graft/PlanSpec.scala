@@ -100,7 +100,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("partitioned sink: partition predicate prunes directories") {
     SparkEntry.queries("sink_partitioned_write")(spark, sf).count() // materialize layout
-    val pruned = spark.read.parquet(s"${sys.props("java.io.tmpdir")}/graft_part_orders")
+    val pruned = spark.read
+      .parquet(s"${sys.props("java.io.tmpdir")}/graft_part_orders_${Integer.toHexString(sf.hashCode)}")
       .where(col("yr") === 1998)
     val p = pruned.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters: [isnotnull(yr"), p)
