@@ -19,6 +19,7 @@ object SparkEntry {
       rel.Scale.defs ++
       rel.Formats.defs ++
       rel.Behavior.defs ++
+      rel.Advanced.defs ++
       udx.Udx.defs ++
       udx.TypedOps.defs ++
       llm.Llm.defs ++

@@ -46,6 +46,33 @@ object Corpus {
           .limit(20)
       }),
 
+    // Tokenizer bootstrap: corpus-wide adjacent-token pair frequencies —
+    // the statistic behind a BPE merge step (each merge round picks the
+    // most frequent pair). Counts ALL occurrences (no per-doc dedup: merge
+    // frequency is occurrence-weighted), so the only shuffle is one
+    // combinable hash agg over pair strings, then a TakeOrdered top-20
+    // under a total order. At 100 TB this is the canonical "one narrow
+    // explode + one agg" pass — the pair table is vocabulary², not corpus,
+    // sized.
+    QueryDef(
+      "tokenizer_pair_counts",
+      Some(
+        "WITH w AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+          "p AS (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS pair " +
+          "FROM w WHERE len(t) >= 2) " +
+          "SELECT pair, CAST(count(*) AS BIGINT) AS freq FROM p " +
+          "GROUP BY pair ORDER BY freq DESC, pair LIMIT 20"),
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .where(size(split(col("text"), " ")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1), " +
+              "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")).as("pair"))
+          .groupBy("pair")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("pair"))
+          .limit(20)),
+
     // Per-document salient terms: top-3 words by an exact-integer tf-idf
     // proxy, score = tf * ((1e6 * N) DIV df) — monotone in tf·N/df, and
     // floor division keeps the ranking engine-independent where

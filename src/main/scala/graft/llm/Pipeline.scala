@@ -155,6 +155,51 @@ object Pipeline {
           .orderBy("doc_id")
       }),
 
+    // Mixture-weighted sampling: hit a TARGET source mixture, not the
+    // crawl's natural one — the data-mixture step of a training run. Each
+    // source gets weight w∈1..4 (derived from its index so the weights are
+    // data-independent), a keep budget of half the corpus is split across
+    // sources by weight, and each source's keep rate (in 2^-20 units) is
+    // budget_s/count_s capped at 1. Rows keep deterministically via a
+    // multiplicative integer hash of doc_id — engine- and
+    // partitioning-reproducible, all integer math. At 100 TB the rate table
+    // is sources-cardinality (broadcast) and the keep pass is narrow.
+    QueryDef(
+      "sample_mixture_weighted",
+      Some(
+        "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt, " +
+          "CAST(substr(source, 4) AS INT) % 4 + 1 AS w FROM documents GROUP BY source), " +
+          "r AS (SELECT source, cnt, least(1048576, " +
+          "((((sum(cnt) OVER ()) // 2) * w) // (sum(w) OVER ())) * 1048576 // cnt) AS rate20 FROM c) " +
+          "SELECT d.source, min(r.cnt) AS n_total, CAST(count(*) AS BIGINT) AS n_kept, " +
+          "CAST(min(rate20) AS BIGINT) AS rate20 " +
+          "FROM documents d JOIN r ON d.source = r.source " +
+          "WHERE (d.doc_id * 2654435761) % 1048576 < rate20 " +
+          "GROUP BY d.source ORDER BY d.source"),
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        // the rates table is one row per source (20 here; thousands at
+        // most in any corpus), so the empty-frame windows below run over a
+        // broadcast-sized frame and the fact side never shuffles
+        val whole = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val rates = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+          .withColumn("w", (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long"))
+          .withColumn("total", sum(col("cnt")).over(whole))
+          .withColumn("totw", sum(col("w")).over(whole))
+          .withColumn("rate20",
+            least(lit(1048576L), expr("(((total div 2) * w) div totw) * 1048576 div cnt")))
+          .select("source", "cnt", "rate20")
+        docs.join(broadcast(rates), "source")
+          .where(pmod(col("doc_id") * lit(2654435761L), lit(1048576L)) < col("rate20"))
+          .groupBy("source")
+          .agg(min(col("cnt")).as("n_total"), count(lit(1)).as("n_kept"),
+            min(col("rate20")).as("rate20"))
+          .orderBy("source")
+      }),
+
     // Sequence packing: concatenate documents (per language, in doc_id
     // order) into fixed 512-token training sequences — bin id = which
     // budget window the document's first token falls in. Deterministic

@@ -1,0 +1,251 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryDef, Tables}
+
+/** Round-6 scale-pattern operators: the remaining physical/pipeline
+  * techniques a 100 TB warehouse deployment leans on daily.
+  *
+  *  - SCD2 merge: CDC event runs → validity-interval dimension history
+  *    (gaps-and-islands; every window partitions by the entity key).
+  *  - Runtime bloom-filter join: Spark's InjectRuntimeFilter semi-join
+  *    reduction — the selective dimension side builds a bloom filter that
+  *    prunes fact rows BEFORE the join shuffle (PlanSpec asserts
+  *    might_contain in the executed plan).
+  *  - Z-order layout: Morton-interleaved sort key co-locates two dimensions
+  *    so ordinary parquet min/max stats prune multi-dimensional predicates
+  *    (OpsSpec asserts per-file z-ranges are disjoint).
+  *  - Exact distributed percentiles: two-pass histogram + targeted
+  *    in-bucket rank — exact quantiles with no global single-partition sort.
+  *  - TPC-H Q5-shaped multi-join SQL, dialect-portable verbatim text.
+  *  - Incremental aggregate merge: re-aggregable partial state written to
+  *    parquet, then union-merged — the batch twin of a streaming upsert.
+  */
+object Advanced {
+
+  private def tmpPath(name: String, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/${name}_${Integer.toHexString(d.hashCode)}"
+
+  /** End of time for open SCD2 intervals: 9999-12-31T00:00:00Z in millis. */
+  private val scd2Open = 253402214400000L
+
+  /** Morton interleave of the low 8 bits of two non-negative int columns —
+    * generated as an expression string in each engine's bitwise dialect so
+    * the z-values themselves are oracle-checked.
+    */
+  private def zSpark(a: String, b: String): String =
+    (0 until 8).map(i =>
+      s"(shiftleft((shiftright($a, $i) & 1), ${2 * i}) | " +
+        s"shiftleft((shiftright($b, $i) & 1), ${2 * i + 1}))").mkString("(", " | ", ")")
+
+  private def zDuck(a: String, b: String): String =
+    (0 until 8).map(i =>
+      s"(((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1}))")
+      .mkString("(", " | ", ")")
+
+  /** TPC-H Q5 shape over the full star (region→nation→supplier ∧ customer
+    * co-nation), one ANSI text both engines run verbatim — the multi-join
+    * plan-quality benchmark: three dimension sides must broadcast, the two
+    * fact tables must join on their keys only.
+    */
+  private val q5Sql =
+    "SELECT n_name, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY n_name ORDER BY revenue DESC, n_name"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // SCD2 history build: collapse each user's consecutive same-type event
+    // runs into validity intervals [valid_from, valid_to). Gaps-and-islands:
+    // lag() marks type changes, a running sum numbers the runs, one
+    // aggregate per run, lead() closes each interval with the next run's
+    // start (open intervals get the year-9999 sentinel). Every window and
+    // the aggregate partition by user_id, so at 100 TB the whole operator is
+    // one user-keyed shuffle reused across all four steps.
+    QueryDef(
+      "merge_scd2",
+      Some(
+        "WITH e AS (SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id FROM events), " +
+          "m AS (SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) " +
+          "IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e), " +
+          "x AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_idx FROM m), " +
+          "r AS (SELECT user_id, run_idx, event_type, min(ts_ms) AS valid_from, " +
+          "CAST(count(*) AS BIGINT) AS n_events FROM x GROUP BY user_id, run_idx, event_type) " +
+          "SELECT user_id, CAST(run_idx AS BIGINT) AS run_idx, event_type, valid_from, " +
+          s"coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_idx), $scd2Open) AS valid_to, " +
+          "n_events FROM r ORDER BY user_id, run_idx"),
+      (s, d) => {
+        val byTime = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        val runs = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+          .withColumn("chg",
+            when(not(lag(col("event_type"), 1).over(byTime) <=> col("event_type")), 1L).otherwise(0L))
+          .withColumn("run_idx", sum(col("chg"))
+            .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("run_idx"), col("event_type"))
+          .agg(min(col("ts_ms")).as("valid_from"), count(lit(1)).as("n_events"))
+        // run_idx is the deterministic run order (monotone in event time), so
+        // lead() over it is total even when two runs share a start timestamp
+        runs
+          .withColumn("valid_to", coalesce(
+            lead(col("valid_from"), 1).over(Window.partitionBy("user_id").orderBy("run_idx")),
+            lit(scd2Open)))
+          .select(col("user_id"), col("run_idx"), col("event_type"),
+            col("valid_from"), col("valid_to"), col("n_events"))
+          .orderBy("user_id", "run_idx")
+      }),
+
+    // Runtime bloom-filter join: the selective orders side plants a bloom
+    // filter on l_orderkey that prunes lineitem rows before the join
+    // shuffle — Spark's InjectRuntimeFilter, the semi-join reduction that
+    // matters most at 100 TB (most fact rows never shuffle at all). Runs on
+    // a child session so disabling broadcast (to force the shuffle join the
+    // filter exists for) and the size thresholds can't leak into other
+    // queries. Bloom false positives only cost work — the equi-join still
+    // verifies exactly, so the oracle is the plain join.
+    QueryDef(
+      "join_runtime_bloom",
+      Some(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(l_extendedprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_price " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        val sel = Tables.t(s2, d, "orders")
+          .where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+        Tables.t(s2, d, "lineitem")
+          .join(sel, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), Q.out6(sum(Q.dec4(col("l_extendedprice")))).as("sum_price"))
+          .orderBy("l_returnflag")
+      }),
+
+    // Z-order layout: Morton-interleave (custkey low bits × year) into one
+    // sort key, range-partition + sort the table by it, and answer a
+    // 2-dimensional box predicate from the re-read layout. Sorting by z
+    // makes BOTH dimensions locally clustered, so plain per-file/row-group
+    // min/max stats prune a 2-D query — the Delta/Iceberg OPTIMIZE ZORDER
+    // technique, built from arithmetic. The z math is oracle-checked
+    // bit-for-bit; OpsSpec asserts the physical claim (disjoint per-file
+    // z-ranges).
+    QueryDef(
+      "zorder_layout",
+      Some(
+        "WITH b AS (SELECT CAST(o_custkey % 256 AS INT) AS ck, " +
+          "CAST(year(o_orderdate) - 1995 AS INT) AS yb, o_totalprice FROM orders), " +
+          s"z AS (SELECT *, CAST(${zDuck("ck", "yb")} AS BIGINT) AS z FROM b) " +
+          "SELECT CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_total, " +
+          "min(z) AS z_min, max(z) AS z_max " +
+          "FROM z WHERE ck BETWEEN 32 AND 95 AND yb BETWEEN 1 AND 2"),
+      (s, d) => {
+        val tmp = tmpPath("graft_zorder", d)
+        Tables.t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            (col("o_custkey") % 256).cast("int").as("ck"),
+            (year(col("o_orderdate")) - 1995).cast("int").as("yb"),
+            col("o_totalprice"))
+          .withColumn("z", expr(zSpark("ck", "yb")).cast("long"))
+          .repartitionByRange(8, col("z"))
+          .sortWithinPartitions("z")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .where(col("ck").between(32, 95) && col("yb").between(1, 2))
+          .agg(
+            count(lit(1)).as("n"),
+            Q.out6(sum(Q.dec4(col("o_totalprice")))).as("sum_total"),
+            min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+      }),
+
+    // Exact distributed percentiles without a global sort: pass 1 builds a
+    // fixed-width value histogram (one combinable hash agg; the driver holds
+    // only the ~1000-bucket table — same footprint class as IVF centroids),
+    // locates the bucket + in-bucket rank for each target; pass 2 ranks only
+    // inside the (at most 3) needed buckets. The naive alternative —
+    // row_number() over a global ORDER BY — is a single-partition window,
+    // the exact shape that dies first at scale.
+    QueryDef(
+      "agg_exact_percentile",
+      Some(
+        "WITH r AS (SELECT l_extendedprice AS v, row_number() OVER (ORDER BY l_extendedprice) AS rn, " +
+          "count(*) OVER () AS n FROM lineitem) " +
+          "SELECT CAST(p AS BIGINT) AS p, CAST(v AS DOUBLE) AS value " +
+          "FROM (VALUES (1), (2), (3)) q(p) JOIN r ON rn = (n - 1) * p // 4 + 1 ORDER BY p"),
+      (s, d) => {
+        import s.implicits._
+        val bw = 128.0
+        val v = Tables.t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+        val hist = v.groupBy((col("v") / bw).cast("long").as("b")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val n = hist.map(_._2).sum
+        val targets = Seq(1, 2, 3).map { p =>
+          val rank = (n - 1) * p / 4 + 1 // kth smallest, 1-indexed quartile rank
+          var below = 0L; var bi = 0
+          while (below + hist(bi)._2 < rank) { below += hist(bi)._2; bi += 1 }
+          (hist(bi)._1, (rank - below).toInt, p)
+        }
+        val wanted = targets.map(_._1).distinct
+        v.withColumn("b", (col("v") / bw).cast("long"))
+          .where(col("b").isin(wanted: _*))
+          .withColumn("idx", row_number().over(Window.partitionBy("b").orderBy("v")))
+          .join(broadcast(targets.toDF("b", "idx", "p")), Seq("b", "idx"))
+          .select(col("p").cast("long").as("p"), col("v").cast("double").as("value"))
+          .orderBy("p")
+      }),
+
+    // Dialect-portable multi-join SQL (TPC-H Q5 shape): see q5Sql above.
+    QueryDef(
+      "sql_api_q5",
+      Some(q5Sql),
+      (s, d) => {
+        Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q5Sql)
+      }),
+
+    // Incremental aggregate merge: per-key partial state (count + exact
+    // decimal sum) for the historical slice is persisted to parquet; the
+    // "new data" slice produces its own partials; the merge is a plain
+    // re-aggregation of the union. Because the state is algebraic
+    // (count/sum combine associatively), the daily 100 TB pipeline touches
+    // only the delta — the oracle proves merged state ≡ recomputing from
+    // scratch.
+    QueryDef(
+      "incremental_agg_merge",
+      Some(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_total " +
+          "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, d) => {
+        val tmp = tmpPath("graft_aggstate", d)
+        val o = Tables.t(s, d, "orders")
+        def partial(slice: DataFrame): DataFrame = slice
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), sum(Q.dec4(col("o_totalprice"))).as("s"))
+        val cut = lit("1998-01-01").cast("timestamp")
+        partial(o.where(col("o_orderdate") < cut)).write.mode("overwrite").parquet(s"$tmp/v1")
+        partial(o.where(col("o_orderdate") >= cut)).write.mode("overwrite").parquet(s"$tmp/delta")
+        s.read.parquet(s"$tmp/v1").unionAll(s.read.parquet(s"$tmp/delta"))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("cnt")).as("n"), Q.out6(sum(col("s"))).as("sum_total"))
+          .orderBy("o_orderpriority")
+      })
+  )
+}

@@ -115,6 +115,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("runtime bloom filter prunes the fact side before the join shuffle") {
+    val p = plan("join_runtime_bloom")
+    assert(p.toLowerCase.contains("might_contain"),
+      s"no runtime bloom filter was injected:\n${p.take(4000)}")
+    // broadcast is disabled for this key — the bloom exists to prune rows
+    // ahead of a genuine shuffle join, so the join must be one
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("sql_api_q5: every dimension side of the 6-table join broadcasts") {
+    val p = plan("sql_api_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"region/nation/supplier dims must broadcast:\n${p.take(4000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("zorder layout: per-file z ranges are disjoint, so file stats prune 2-D boxes") {
+    SparkEntry.queries("zorder_layout")(spark, sf).count() // materialize layout
+    val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_${Integer.toHexString(sf.hashCode)}"
+    val ranges = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "z-sorted write produced a single file; nothing to prune")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file z-ranges overlap ($hi1 > $lo2): layout not z-clustered")
+      case _ =>
+    }
+  }
+
   test("AnnotationRewrite: string-date predicate becomes annotation predicate") {
     opt.AnnotationRewrite.install(spark)
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_plan_annotated"
