@@ -5,10 +5,12 @@ import java.io.ByteArrayInputStream
 
 import javax.imageio.ImageIO
 
-/** Real image decode for the multimodal kernels: PNG/JPEG payloads (sniffed
-  * by magic bytes) decode through the JDK's javax.imageio; anything else
-  * returns None and the caller falls back to its deterministic stub. Pure
-  * per-row byte work — safe inside executor-side mapPartitions kernels.
+/** Real image decode/demux for the multimodal kernels: PNG/JPEG payloads
+  * (sniffed by magic bytes) decode through the JDK's javax.imageio, and
+  * multi-frame GIF containers demux frame-by-frame through the sequence
+  * reader API; anything else returns None and the caller falls back to its
+  * deterministic stub. Pure per-row byte work — safe inside executor-side
+  * mapPartitions kernels.
   */
 object ImageKernel {
 
@@ -18,7 +20,10 @@ object ImageKernel {
   def isJpeg(b: Array[Byte]): Boolean =
     b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
 
-  def isImage(b: Array[Byte]): Boolean = isPng(b) || isJpeg(b)
+  def isGif(b: Array[Byte]): Boolean =
+    b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  def isImage(b: Array[Byte]): Boolean = isPng(b) || isJpeg(b) || isGif(b)
 
   def decode(b: Array[Byte]): Option[BufferedImage] =
     if (!isImage(b)) None
@@ -27,6 +32,60 @@ object ImageKernel {
   /** (width, height) when the payload is a decodable image. */
   def dims(b: Array[Byte]): Option[(Long, Long)] =
     decode(b).map(i => (i.getWidth.toLong, i.getHeight.toLong))
+
+  /** 256-level grayscale palette: GIF is palette-indexed, so building frames
+    * against this explicit IndexColorModel (instead of letting the writer
+    * quantize an RGB image) makes the encode→demux round trip BIT-EXACT —
+    * the property the frame-sample oracle depends on.
+    */
+  private val grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Solid-gray frame at exact palette index g. */
+  def grayFrame(w: Int, h: Int, g: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+    img.getRaster.setSamples(0, 0, w, h, 0, Array.fill(w * h)(g))
+    img
+  }
+
+  /** Encode frames as one animated-GIF container (pure JDK sequence writer).
+    * GIF is a real container format (LZW-compressed, multi-image blocks) —
+    * the fixture side of genuine demuxing, standing in for video where no
+    * codec library ships in this environment.
+    */
+  def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Demux a GIF container into its frames — a REAL frame walk via the
+    * sequence reader (frame count comes from the container's image blocks,
+    * not metadata guesswork). None for non-GIF payloads.
+    */
+  def gifFrames(b: Array[Byte]): Option[Vector[BufferedImage]] =
+    if (!isGif(b)) None
+    else {
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(b))
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        Some(Vector.tabulate(n)(i => reader.read(i)))
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
 
   /** Integer-luminance histogram over all pixels: l = (299r+587g+114b)/1000,
     * bucket = l * buckets / 256. The real analog of the stub token-initial

@@ -261,6 +261,27 @@ class OpsSpec extends AnyFunSuite {
     assert(hist.toSeq == Seq(2L, 0L, 1L, 0L, 0L, 0L, 0L, 1L))
   }
 
+  test("ImageKernel GIF container round-trip: demux returns exact frame count and pixels") {
+    import graft.llm.ImageKernel
+    // 5 solid-gray frames at distinct levels through the sequence writer,
+    // walked back via the sequence reader — the real-demux property the
+    // multimodal_frame_sample oracle depends on
+    val grays = Seq(0, 17, 128, 254, 255)
+    val gif = ImageKernel.encodeGif(grays.map(g => ImageKernel.grayFrame(20, 11, g)))
+    assert(ImageKernel.isGif(gif) && ImageKernel.isImage(gif))
+    assert(ImageKernel.dims(gif).contains((20L, 11L))) // single-image decode sees frame 0
+    val frames = ImageKernel.gifFrames(gif).get
+    assert(frames.size == grays.size)
+    frames.zip(grays).foreach { case (f, g) =>
+      assert(f.getWidth == 20 && f.getHeight == 11)
+      assert((f.getRGB(0, 0) & 0xff) == g && (f.getRGB(19, 10) & 0xff) == g)
+      // solid gray g ⇒ every pixel in luma bucket g/32
+      val hist = ImageKernel.lumaHistogram(f)
+      assert(hist(g / 32) == 20L * 11 && hist.sum == 20L * 11)
+    }
+    assert(ImageKernel.gifFrames("just text".getBytes).isEmpty) // non-GIF falls through
+  }
+
   test("dedup_simhash is deterministic and overlaps minhash ground truth") {
     val s1 = run("dedup_simhash").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val s2 = run("dedup_simhash").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
