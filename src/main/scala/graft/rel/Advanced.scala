@@ -29,6 +29,59 @@ object Advanced {
   private def tmpPath(name: String, d: String): String =
     s"${sys.props("java.io.tmpdir")}/${name}_${Integer.toHexString(d.hashCode)}"
 
+  /** Eager localCheckpoint plus the ids of the persistent-RDD blocks it
+    * created, so superseded loop state can be released explicitly (same
+    * discipline as the label-propagation loop in llm.Llm — blocks must not
+    * wait on nondeterministic ContextCleaner GC).
+    */
+  private def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
+  }
+
+  private def release(s: SparkSession, ids: Seq[Int]): Unit = {
+    val live = s.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** One-slot registry of the final PageRank checkpoint per (session, dir):
+    * a re-run releases the superseded run's blocks deterministically.
+    */
+  private val prFinal =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Int]]()
+
+  /** Total PageRank mass in fixed-point units (1 rank = 1e-12). All rank
+    * math is BIGINT floor division — deterministic and associative, so the
+    * distributed sums hash-match DuckDB exactly (IEEE double PageRank would
+    * depend on reduction order).
+    */
+  private val prMass = 1000000000000L
+  private val prIters = 6
+
+  /** Unrolled-CTE oracle: r0..r6 chained (recursive CTEs forbid aggregates
+    * in the recursive term), same integer fixed-point arithmetic as the
+    * Spark loop. sum(BIGINT) is HUGEINT in DuckDB — cast back per round.
+    */
+  private def pagerankOracle: String = {
+    val iters = (1 to prIters).map { i =>
+      s"r$i AS (SELECT e.dst AS id, CAST((SELECT (15 * ($prMass // c)) // 100 FROM n) + " +
+        "(85 * sum(r.rank // d.outdeg)) // 100 AS BIGINT) AS rank " +
+        s"FROM r${i - 1} r JOIN edges e ON r.id = e.src JOIN deg d ON d.src = r.id " +
+        "GROUP BY e.dst)"
+    }.mkString(", ")
+    "WITH base AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src, " +
+      "CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+      "edges AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base), " +
+      "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src), " +
+      "n AS (SELECT count(DISTINCT src) AS c FROM edges), " +
+      s"r0 AS (SELECT DISTINCT src AS id, CAST((SELECT $prMass // c FROM n) AS BIGINT) AS rank FROM edges), " +
+      iters +
+      s" SELECT id, rank FROM r$prIters ORDER BY id"
+  }
+
   /** End of time for open SCD2 intervals: 9999-12-31T00:00:00Z in millis. */
   private val scd2Open = 253402214400000L
 
@@ -246,6 +299,52 @@ object Advanced {
           .groupBy("o_orderpriority")
           .agg(sum(col("cnt")).as("n"), Q.out6(sum(col("s"))).as("sum_total"))
           .orderBy("o_orderpriority")
+      }),
+
+    // Iterative graph analytics: PageRank over the customer↔supplier
+    // purchase graph (namespaced node ids keep the bipartite sides
+    // disjoint; edges run both ways so every node has out-degree ≥ 1 — no
+    // dangling-mass term). Each round is ONE node-keyed shuffle join
+    // (ranks ⋈ edges on src) plus a combine-enabled sum agg on dst — the
+    // standard Pregel-on-DataFrames shape; the driver holds only the node
+    // count. Rounds are lineage-truncated (eager localCheckpoint) and each
+    // superseded round's blocks are released deterministically, the same
+    // discipline as the connected-components loop. Fixed-point BIGINT math
+    // (1e-12 units, 0.85 damping via 85//100) makes every rank exact and
+    // order-independent, so the unrolled-CTE oracle hash-matches.
+    QueryDef(
+      "graph_pagerank",
+      Some(pagerankOracle),
+      (s, d) => {
+        val base = Tables.t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(
+            (col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val undirected = base.unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = undirected.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val (edges, edgeIds) = ckpt(undirected.join(deg, "src"))
+        val nNodes = edges.select("src").distinct().count()
+        val init = prMass / nNodes
+        val basePart = 15L * init / 100L
+        var (ranks, rankIds) = ckpt(
+          edges.select(col("src").as("id")).distinct().withColumn("rank", lit(init)))
+        (1 to prIters).foreach { _ =>
+          val next = edges.join(ranks, edges("src") === ranks("id"))
+            .groupBy(edges("dst"))
+            .agg(sum(expr("rank div outdeg")).as("contrib"))
+            .select(col("dst").as("id"),
+              (lit(basePart) + expr("(85 * contrib) div 100")).as("rank"))
+          val (ck, ids) = ckpt(next)
+          release(s, rankIds)
+          ranks = ck
+          rankIds = ids
+        }
+        release(s, edgeIds)
+        Option(prFinal.put((s, d), rankIds)).foreach(release(s, _))
+        ranks.orderBy("id")
       })
   )
 }
