@@ -229,6 +229,63 @@ object Pipeline {
           .select(col("lang"), col("doc_id"), col("n_tok"),
             expr("(cum - n_tok) div 512").cast("long").as("bin"))
           .orderBy("lang", "doc_id")
+      }),
+
+    // URL canonicalization + dedup — the cheapest first pass of every crawl
+    // pipeline: scheme/host case-folding, www. and default-port stripping,
+    // tracking-parameter removal, trailing-slash-before-query normalization,
+    // then group-by-canonical keeping the min doc_id. Synthetic messy URLs
+    // are derived from doc_id so both engines build identical inputs; every
+    // canonicalization rule is a shared-dialect regexp with NO backslashes
+    // ([.]-style classes), so Spark's escape-processing string parser and
+    // DuckDB's raw literals see byte-identical patterns. One narrow
+    // projection + one combinable hash agg — at 100 TB this runs before
+    // anything touches document bodies.
+    QueryDef(
+      "dedup_url_canonical",
+      Some {
+        val steps = urlCanonSteps("VARCHAR")
+        s"WITH u0 AS (SELECT doc_id, ${steps.head} AS u FROM documents), " +
+          steps.tail.zipWithIndex.map { case (e, i) =>
+            s"u${i + 1} AS (SELECT doc_id, $e AS u FROM u$i)"
+          }.mkString(", ") +
+          s" SELECT u AS canonical_url, min(doc_id) AS keep_id, " +
+          "CAST(count(*) AS BIGINT) AS n_docs " +
+          s"FROM u${steps.size - 1} GROUP BY u ORDER BY canonical_url"
+      },
+      (s, d) => {
+        val steps = urlCanonSteps("STRING")
+        steps.tail
+          .foldLeft(Tables.t(s, d, "documents")
+            .selectExpr("doc_id", "source", s"${steps.head} AS u")) {
+            (df, e) => df.selectExpr("doc_id", s"$e AS u")
+          }
+          .groupBy(col("u").as("canonical_url"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+          .orderBy("canonical_url")
       })
   )
+
+  /** Messy-URL construction + canonicalization pipeline as a chain of
+    * dialect-shared SQL expressions over a running column `u` (the first
+    * entry builds the messy URL from doc_id/source; `cast` is the only
+    * dialect difference: STRING vs VARCHAR).
+    */
+  private def urlCanonSteps(cast: String): Seq[String] = Seq(
+    // messy input: scheme case noise, www., default port, trailing slash
+    // before the query, utm_* tracking params — all doc_id-deterministic
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END || source || " +
+      "'.Example.COM' || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END || " +
+      s"'/page/' || CAST(doc_id % 13 AS $cast) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || " +
+      s"'?utm_source=feed&id=' || CAST(doc_id % 10 AS $cast) || '&utm_campaign=x'",
+    "regexp_replace(u, '(?i)^https://', '')", // scheme off (case-insensitive)
+    "regexp_replace(u, '(?i)^www[.]', '')", // www. stripped
+    // host lowercased, default https port dropped, path/query untouched
+    "lower(regexp_extract(u, '^[^/:]*', 0)) || " +
+      "regexp_replace(substr(u, length(regexp_extract(u, '^[^/:]*', 0)) + 1), '^:443', '')",
+    "regexp_replace(u, '/[?]', '?')", // trailing slash before query
+    "regexp_replace(u, 'utm_source=[a-z]*[&]', '')", // tracking params out
+    "regexp_replace(u, '[&]utm_campaign=[a-z]*', '')",
+    "'https://' || u") // canonical scheme back on
 }

@@ -119,6 +119,36 @@ object Streams {
       .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Scratch file-stream source: events.parquet symlinked beside sentinel
+    * rows carrying REAL event types (user_id = -1, year-2090 timestamps) —
+    * unlike the `__wm__` sentinel, these survive per-side `event_type`
+    * filters (which Catalyst pushes below the watermark node), so they
+    * advance BOTH sides' watermarks past every real row. That is what lets
+    * a bounded outer stream-stream join emit its unmatched-row nulls: an
+    * outer join only releases an unmatched buffered row once the watermark
+    * proves no future match can arrive. Callers filter `user_id = -1`
+    * artifacts from the sink.
+    */
+  private def streamEventsWithTypedSentinels(
+      s: SparkSession, dir: String, name: String, types: Seq[String]): () => DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_sent_${name}_" +
+      s"${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val inDir = Paths.get(base, "in")
+    Files.createDirectories(inDir)
+    Files.createSymbolicLink(
+      inDir.resolve("events.parquet"), Paths.get(s"$dir/events.parquet"))
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    val rows = types.map(t =>
+      org.apache.spark.sql.Row(-1L, SentinelNanos1, -1L, t, 0.0, "{}"))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), sch)
+      .write.parquet(s"$base/in/sentinels")
+    () => s.readStream.schema(sch).parquet(s"$base/in/*")
+      .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Run a bounded streaming query into a memory sink and return the table. */
   private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val s = df.sparkSession
@@ -278,6 +308,43 @@ object Streams {
             col("c_ts") <= col("p_ts"))
           .select(col("p_id"), col("c_id"), col("p_ms"))
         runToTable(joined, "graft_jss", "append").orderBy("p_id", "c_id")
+      }),
+
+    // LEFT OUTER stream-stream join: purchases with no qualifying click in
+    // the trailing 2-hour window must still emit — with a null click id —
+    // and in streaming that emission is a WATERMARK EVENT, not a join event:
+    // Spark holds the unmatched purchase in state until the watermark proves
+    // no matching click can still arrive, then releases it with nulls.
+    // Typed sentinel rows on both sides push the watermarks past every real
+    // row so the bounded run surfaces exactly the batch LEFT JOIN (the
+    // oracle); state stays bounded by the same eviction at 100 TB/day.
+    QueryDef(
+      "stream_outer_join_nulls",
+      Some(
+        "SELECT p.event_id AS p_id, c.event_id AS c_id, CAST(epoch_ms(p.ts) AS BIGINT) AS p_ms " +
+          "FROM events p LEFT JOIN events c ON c.event_type = 'click' " +
+          "AND c.user_id = p.user_id AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts " +
+          "WHERE p.event_type = 'purchase' ORDER BY p_id, c_id"),
+      (s, d) => withStreamShuffle(s) {
+        val src = streamEventsWithTypedSentinels(
+          s, d, "lojoin", Seq("purchase", "click"))
+        val purchases = src().where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts_ts").as("p_ts"), expr("ts div 1000000").as("p_ms"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = src().where(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts_ts").as("c_ts"))
+          .withWatermark("c_ts", "3 hours")
+        val joined = purchases.join(clicks,
+          col("c_user") === col("p_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
+          .select(col("p_id"), col("c_id"), col("p_ms"))
+        // drop the sentinel-pair artifact (sentinel purchase × sentinel click)
+        runToTable(joined, "graft_jslo", "append")
+          .where(col("p_id") =!= -1L)
+          .orderBy("p_id", "c_id")
       }),
 
     // Spark 4 transformWithState (successor of flatMapGroupsWithState):
