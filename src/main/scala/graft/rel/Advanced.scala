@@ -304,13 +304,20 @@ object Advanced {
     // Iterative graph analytics: PageRank over the customer↔supplier
     // purchase graph (namespaced node ids keep the bipartite sides
     // disjoint; edges run both ways so every node has out-degree ≥ 1 — no
-    // dangling-mass term). Each round is ONE node-keyed shuffle join
-    // (ranks ⋈ edges on src) plus a combine-enabled sum agg on dst — the
-    // standard Pregel-on-DataFrames shape; the driver holds only the node
-    // count. Rounds are lineage-truncated (eager localCheckpoint) and each
-    // superseded round's blocks are released deterministically, the same
-    // discipline as the connected-components loop. Fixed-point BIGINT math
-    // (1e-12 units, 0.85 damping via 85//100) makes every rank exact and
+    // dangling-mass term). The edge set is compacted ONCE into chunked
+    // adjacency lists — (src, dsts[], outdeg) rows, arrays bounded at 4096
+    // so a power-law hub becomes ceil(outdeg/4096) rows instead of one
+    // giant array (the skew guard) — and checkpointed. Each round is then a
+    // NODE-cardinality join (ranks ⋈ adjacency, |V| rows a side, not |E|)
+    // whose exploded contributions flow straight into a map-side-combining
+    // sum on dst: the |E|-row edge set never shuffles inside the loop,
+    // which is the property that matters when |E| ≈ 10¹² (the naive
+    // edges⋈ranks join re-shuffles and re-sorts every edge every round).
+    // Because the round count is FIXED and each round's ranks feed exactly
+    // one consumer, the six rounds compose into one lazy chain — only the
+    // adjacency and the final ranks are checkpointed, and superseded blocks
+    // are released deterministically. Fixed-point BIGINT math (1e-12 units,
+    // 0.85 damping via 85//100) makes every rank exact and
     // order-independent, so the unrolled-CTE oracle hash-matches.
     QueryDef(
       "graph_pagerank",
@@ -325,26 +332,62 @@ object Advanced {
           .distinct()
         val undirected = base.unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
         val deg = undirected.groupBy("src").agg(count(lit(1)).as("outdeg"))
-        val (edges, edgeIds) = ckpt(undirected.join(deg, "src"))
-        val nNodes = edges.select("src").distinct().count()
+        // deg is |V|-cardinality — joined, not broadcast-hinted (AQE
+        // broadcasts it at this scale; a 10¹⁰-node graph could not)
+        val (adj, adjIds) = ckpt(
+          undirected.join(deg, "src")
+            .groupBy(col("src"),
+              pmod(hash(col("dst")), greatest(lit(1L), expr("(outdeg + 4095) div 4096"))).as("chunk"))
+            .agg(collect_list(col("dst")).as("dsts"), first(col("outdeg")).as("outdeg")))
+        val nNodes = adj.select("src").distinct().count()
         val init = prMass / nNodes
         val basePart = 15L * init / 100L
-        var (ranks, rankIds) = ckpt(
-          edges.select(col("src").as("id")).distinct().withColumn("rank", lit(init)))
-        (1 to prIters).foreach { _ =>
-          val next = edges.join(ranks, edges("src") === ranks("id"))
-            .groupBy(edges("dst"))
-            .agg(sum(expr("rank div outdeg")).as("contrib"))
+        val ranks0 = adj.select(col("src").as("id")).distinct().withColumn("rank", lit(init))
+        val chained = (1 to prIters).foldLeft(ranks0) { (ranks, _) =>
+          adj.join(ranks, adj("src") === ranks("id"))
+            .select(explode(col("dsts")).as("dst"), expr("rank div outdeg").as("c"))
+            .groupBy(col("dst"))
+            .agg(sum(col("c")).as("contrib"))
             .select(col("dst").as("id"),
               (lit(basePart) + expr("(85 * contrib) div 100")).as("rank"))
-          val (ck, ids) = ckpt(next)
-          release(s, rankIds)
-          ranks = ck
-          rankIds = ids
         }
-        release(s, edgeIds)
-        Option(prFinal.put((s, d), rankIds)).foreach(release(s, _))
-        ranks.orderBy("id")
+        val (fin, finIds) = ckpt(chained)
+        release(s, adjIds)
+        Option(prFinal.put((s, d), finIds)).foreach(release(s, _))
+        fin.orderBy("id")
+      }),
+
+    // Dynamic partition pruning: the fact table is laid out partitioned by
+    // o_year; the dim side's attribute filter (era = 'modern') only reveals
+    // WHICH years survive at runtime, so Spark injects the broadcast result
+    // as a dynamicpruning expression into the fact scan's PartitionFilters —
+    // whole partition directories are skipped without ever being listed
+    // into tasks. At 100 TB this is THE mechanism that keeps star-join
+    // scans proportional to the dim filter, not the table. PlanSpec asserts
+    // dynamicpruningexpression in the executed fact scan.
+    QueryDef(
+      "join_dynamic_partition_pruning",
+      Some(
+        "SELECT CAST(o_year AS BIGINT) AS o_year, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_total " +
+          "FROM (SELECT year(o_orderdate) AS o_year, o_totalprice FROM orders) " +
+          "WHERE o_year >= 1996 GROUP BY o_year ORDER BY o_year"),
+      (s, d) => {
+        val tmp = tmpPath("graft_dpp", d)
+        Tables.t(s, d, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(s"$tmp/fact")
+        val sp = s
+        import sp.implicits._
+        (1995 to 2001).map(y => (y, if (y >= 1996) "modern" else "classic"))
+          .toDF("y", "era")
+          .write.mode("overwrite").parquet(s"$tmp/dim")
+        val fact = s.read.parquet(s"$tmp/fact")
+        val dim = s.read.parquet(s"$tmp/dim").where(col("era") === "modern")
+        fact.join(dim, fact("o_year") === dim("y"))
+          .groupBy(col("o_year").cast("long").as("o_year"))
+          .agg(count(lit(1)).as("n"), Q.out6(sum(Q.dec4(col("o_totalprice")))).as("sum_total"))
+          .orderBy("o_year")
       })
   )
 }

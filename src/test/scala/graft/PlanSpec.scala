@@ -124,6 +124,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
+  test("dynamic partition pruning: dim filter reaches the fact scan's PartitionFilters") {
+    val p = plan("join_dynamic_partition_pruning")
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in the fact scan:\n${p.take(4000)}")
+    // the pruning subquery rides the dim broadcast — no second dim job
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("sql_api_q5: every dimension side of the 6-table join broadcasts") {
     val p = plan("sql_api_q5")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
