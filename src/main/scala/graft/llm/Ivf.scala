@@ -27,6 +27,27 @@ object Ivf {
   private val NProbe = 2
   private val TopK = 3
 
+  /** One-slot registry of the materialized index blocks per (session, dir):
+    * a re-run releases the superseded index deterministically instead of
+    * letting cached vectors and assignments accumulate across runs (the
+    * full-bench JVM runs 140+ queries in one context — every operator must
+    * leave O(1) residue, same discipline as the components loop).
+    */
+  private val idxFinal =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Int]]()
+
+  private def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
+  }
+
+  private def release(s: SparkSession, ids: Seq[Int]): Unit = {
+    val live = s.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
@@ -80,14 +101,20 @@ object Ivf {
         .collect().sortBy(_._1).map(_._2)
     }
     val bc = s.sparkContext.broadcast(centroids)
-    val assigned = vecs.map { case (id, v) =>
+    // Materialize the inverted file ONCE (the search side reads it twice:
+    // probe build + candidate sweep), then release the cached vectors —
+    // the index is the 2-column artifact you would persist partitioned by
+    // cluster at real scale; the raw vectors must not stay pinned.
+    val (assigned, ids) = ckpt(vecs.map { case (id, v) =>
       val cs = bc.value
       var best = 0; var bestD = Double.MaxValue; var c = 0
       while (c < cs.length) {
         val dd = sqDist(v, cs(c)); if (dd < bestD) { bestD = dd; best = c }; c += 1
       }
       (id, best)
-    }.toDF("vec_id", "cluster")
+    }.toDF("vec_id", "cluster"))
+    vecs.unpersist(blocking = false)
+    Option(idxFinal.put((s, d), ids)).foreach(release(s, _))
     (assigned, centroids)
   }
 
