@@ -163,5 +163,45 @@ object Corpus {
             count(when(col("keep"), lit(1))).as("n_keep"),
             sum(when(col("keep"), col("n_toks"))).as("kept_toks"))
           .orderBy("lang")
+      }),
+
+    // Language-model quality proxy without a model: score each document by
+    // how much of it is made of the corpus's common bigrams (the in-domain
+    // "perplexity-ish" signal cheap enough to run on everything). Pass 1
+    // finds the global top-1000 bigrams (one combinable gram aggregate +
+    // TakeOrdered under a total order); pass 2 re-walks the pair stream
+    // against the BROADCAST top set and folds per-document hit counts.
+    // Coverage is exact integer basis points — no IEEE log-prob ordering
+    // hazard. At 100 TB the only wide exchanges are the gram count and the
+    // per-doc fold, both map-side combining; the model itself (the top set)
+    // is O(1000) rows.
+    QueryDef(
+      "text_bigram_coverage",
+      Some(
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+          "p AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS pair " +
+          "FROM w WHERE len(t) >= 2), " +
+          "top AS (SELECT pair FROM (SELECT pair, count(*) AS c FROM p " +
+          "GROUP BY pair ORDER BY c DESC, pair LIMIT 1000)) " +
+          "SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bi, " +
+          "CAST(count(t.pair) AS BIGINT) AS n_hit, " +
+          "CAST((10000 * count(t.pair)) // count(*) AS BIGINT) AS cov_bp " +
+          "FROM p LEFT JOIN top t ON p.pair = t.pair " +
+          "GROUP BY p.doc_id ORDER BY p.doc_id"),
+      (s, d) => {
+        val pairs = Tables.t(s, d, "documents")
+          .where(size(split(col("text"), " ")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1), " +
+              "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")).as("pair"))
+        val top = pairs.groupBy("pair").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("pair")).limit(1000)
+          .select(col("pair"), lit(1L).as("hit"))
+        pairs.join(broadcast(top), Seq("pair"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bi"), count(col("hit")).as("n_hit"))
+          .select(col("doc_id"), col("n_bi"), col("n_hit"),
+            expr("(10000 * n_hit) div n_bi").cast("long").as("cov_bp"))
+          .orderBy("doc_id")
       }))
 }

@@ -263,6 +263,68 @@ object Pipeline {
           .groupBy(col("u").as("canonical_url"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
           .orderBy("canonical_url")
+      }),
+
+    // Incremental corpus dedup — the daily-crawl shape: a NEW batch is
+    // deduped against the EXISTING corpus (not against itself). The corpus
+    // side publishes a distributed-built bloom filter over content
+    // fingerprints; batch rows the bloom rejects are provably novel and
+    // never shuffle at all, and only the (tiny) maybe-duplicate remainder
+    // pays the exact fingerprint anti-join that makes the result
+    // FP-independent. At 100 TB the bloom is the persisted artifact each
+    // day's ingest loads — the anti-join side shrinks from the whole batch
+    // to bloom-FPP × batch. Correctness never depends on the bloom: it
+    // only routes rows between the free path and the exact path.
+    QueryDef(
+      "dedup_incremental_bloom",
+      Some(
+        "WITH f AS (SELECT doc_id, source, sha256(text) AS fp FROM documents), " +
+          "corpus AS (SELECT fp FROM f WHERE doc_id % 10 < 8), " +
+          "batch AS (SELECT doc_id, source, fp FROM f WHERE doc_id % 10 >= 8) " +
+          "SELECT b.doc_id, b.source FROM batch b " +
+          "WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp) " +
+          "ORDER BY b.doc_id"),
+      (s, d) => {
+        val fp = Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("fp"))
+        val corpus = fp.where(pmod(col("doc_id"), lit(10)) < 8).select("fp")
+        val batch = fp.where(pmod(col("doc_id"), lit(10)) >= 8)
+        // treeAggregate-built bloom (executor-side partials, driver holds
+        // only the filter bits) — the same artifact a real ingest persists
+        val bloom = corpus.stat.bloomFilter("fp", 100000L, 0.03)
+        val bc = s.sparkContext.broadcast(bloom)
+        val might = udf((f: String) => bc.value.mightContainString(f))
+        val provablyNew = batch.where(!might(col("fp")))
+        val confirmed = batch.where(might(col("fp")))
+          .join(corpus, Seq("fp"), "left_anti")
+        provablyNew.unionByName(confirmed)
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      }),
+
+    // Deterministic per-group reservoir: a FIXED number of docs per source
+    // (the eval-set / spot-check draw), chosen by multiplicative-hash rank
+    // so the sample is reproducible across runs, engines, and
+    // re-partitioning — `ORDER BY rand()` is none of those. One window per
+    // source key; at 100 TB each source samples independently in parallel
+    // and nothing but the winners leaves the executor.
+    QueryDef(
+      "sample_reservoir_group",
+      Some(
+        "SELECT source, rn, doc_id, hkey FROM (" +
+          "SELECT source, doc_id, CAST(hkey AS BIGINT) AS hkey, " +
+          "CAST(row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS BIGINT) AS rn " +
+          "FROM (SELECT source, doc_id, (doc_id * 2654435761) % 1048576 AS hkey FROM documents)) " +
+          "WHERE rn <= 20 ORDER BY source, rn"),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("hkey"), col("doc_id"))
+        Tables.t(s, d, "documents")
+          .withColumn("hkey", pmod(col("doc_id") * lit(2654435761L), lit(1048576L)))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 20)
+          .select(col("source"), col("rn"), col("doc_id"), col("hkey"))
+          .orderBy("source", "rn")
       })
   )
 

@@ -333,16 +333,26 @@ object Advanced {
         val undirected = base.unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
         val deg = undirected.groupBy("src").agg(count(lit(1)).as("outdeg"))
         // deg is |V|-cardinality — joined, not broadcast-hinted (AQE
-        // broadcasts it at this scale; a 10¹⁰-node graph could not)
+        // broadcasts it at this scale; a 10¹⁰-node graph could not).
+        // The adjacency is checkpointed REPARTITIONED AND SORTED BY src:
+        // LogicalRDD preserves both, so every one of the prIters join
+        // rounds consumes the big static side with zero exchange and zero
+        // sort — only the small rank vector moves each round. At 100 TB the
+        // adjacency is the table you must not re-shuffle six times.
         val (adj, adjIds) = ckpt(
           undirected.join(deg, "src")
             .groupBy(col("src"),
               pmod(hash(col("dst")), greatest(lit(1L), expr("(outdeg + 4095) div 4096"))).as("chunk"))
-            .agg(collect_list(col("dst")).as("dsts"), first(col("outdeg")).as("outdeg")))
-        val nNodes = adj.select("src").distinct().count()
+            .agg(collect_list(col("dst")).as("dsts"), first(col("outdeg")).as("outdeg"))
+            .repartition(col("src"))
+            .sortWithinPartitions("src"))
+        // One checkpointed node set feeds BOTH the |V| count and rank⁰ —
+        // the two derivations previously re-shuffled adj once each.
+        val (nodes, nodeIds) = ckpt(adj.select(col("src").as("id")).distinct())
+        val nNodes = nodes.count()
         val init = prMass / nNodes
         val basePart = 15L * init / 100L
-        val ranks0 = adj.select(col("src").as("id")).distinct().withColumn("rank", lit(init))
+        val ranks0 = nodes.withColumn("rank", lit(init))
         val chained = (1 to prIters).foldLeft(ranks0) { (ranks, _) =>
           adj.join(ranks, adj("src") === ranks("id"))
             .select(explode(col("dsts")).as("dst"), expr("rank div outdeg").as("c"))
@@ -352,7 +362,7 @@ object Advanced {
               (lit(basePart) + expr("(85 * contrib) div 100")).as("rank"))
         }
         val (fin, finIds) = ckpt(chained)
-        release(s, adjIds)
+        release(s, adjIds ++ nodeIds)
         Option(prFinal.put((s, d), finIds)).foreach(release(s, _))
         fin.orderBy("id")
       }),

@@ -289,4 +289,51 @@ class OpsSpec extends AnyFunSuite {
     val mh = run("dedup_minhash_near").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((s1 & mh).size >= mh.size / 2, s"simhash found ${(s1 & mh).size} of ${mh.size} true dups")
   }
+
+  test("dedup_incremental_bloom equals the plain exact anti-join (bloom FP-independent)") {
+    val routed = run("dedup_incremental_bloom").collect().map(_.getLong(0)).toSeq
+    // ground truth with no bloom routing at all
+    val fp = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), sha2(col("text"), 256).as("f"))
+    val exact = fp.where(pmod(col("doc_id"), lit(10)) >= 8)
+      .join(fp.where(pmod(col("doc_id"), lit(10)) < 8).select("f"), Seq("f"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(routed == exact)
+    assert(routed.forall(_ % 10 >= 8)) // only batch rows can surface
+  }
+
+  test("sample_reservoir_group: fixed n per source, repartition-invariant") {
+    val out = run("sample_reservoir_group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val perSource = out.groupBy(_._1).view.mapValues(_.size)
+    assert(perSource.values.forall(_ <= 20))
+    // the draw is a pure function of (source, doc_id) — a different input
+    // partitioning must produce the identical sample
+    val again = SparkEntry.queries("sample_reservoir_group")(spark, sf)
+    val shuffled = spark.read.parquet(s"$sf/documents.parquet").repartition(7)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("hkey"), col("doc_id"))
+    val alt = shuffled
+      .withColumn("hkey", pmod(col("doc_id") * lit(2654435761L), lit(1048576L)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 20)
+      .select(col("source"), col("rn"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(alt == out.sorted && again.collect().length == out.size)
+  }
+
+  test("text_bigram_coverage: bounds hold and the pair stream is conserved") {
+    val rows = run("text_bigram_coverage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nBi, nHit, cov) =>
+      assert(nHit <= nBi && cov >= 0 && cov <= 10000)
+      assert(cov == 10000 * nHit / nBi)
+    }
+    // sum over docs of n_bi = total corpus bigram occurrences
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .select(greatest(size(split(col("text"), " ")) - 1, lit(0)).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(rows.map(_._2).sum == total)
+  }
 }
