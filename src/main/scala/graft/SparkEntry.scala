@@ -20,6 +20,7 @@ object SparkEntry {
       rel.Formats.defs ++
       rel.Behavior.defs ++
       rel.Advanced.defs ++
+      rel.Analytics.defs ++
       udx.Udx.defs ++
       udx.TypedOps.defs ++
       llm.Llm.defs ++

@@ -1,0 +1,332 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StringType}
+
+import graft.{Q, QueryDef, Tables}
+
+/** Round-6 analytics operators: exact-at-scale patterns that replace the
+  * "collect and compute on the driver" shortcuts a naive engine ships.
+  *
+  *  - Bitmap-exact distinct: COUNT(DISTINCT) as 64-bit bucket bitmaps —
+  *    both aggregation levels are map-side combinable, so the exchange
+  *    carries O(|key space|/64) words instead of every raw id.
+  *  - Pareto skyline: dominance filtering via a DISTRIBUTED prefix-min
+  *    (range partition → local running min → tiny boundary-carry join),
+  *    never a single-partition global window and never the quadratic
+  *    NOT EXISTS self-join the SQL formulation implies.
+  *  - Triangle counting: degree-ordered edge orientation (each triangle
+  *    enumerated exactly once from its lowest-degree corner) — the standard
+  *    bound that keeps wedge counts Σ outdeg² instead of Σ deg² on skewed
+  *    graphs.
+  *  - Linear-interpolation resample: the gap-filling twin of
+  *    `resample_ffill`, same per-user hourly grid, value drawn from the
+  *    straight line between the neighbouring observations.
+  *  - Manifest-snapshot scan: the lakehouse table-format pattern — a
+  *    manifest file pins the exact parquet file set of a snapshot; the scan
+  *    reads the manifest (metadata, driver-side) and plans only those
+  *    files, so time travel / snapshot isolation costs no data movement.
+  *  - Single-pass column profiling: per-column null/distinct/min/max stats
+  *    for four heterogeneous columns from ONE scan of the table, unpivoted
+  *    to long form with a narrow Expand.
+  */
+object Analytics {
+
+  private def tmpPath(name: String, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/${name}_${Integer.toHexString(d.hashCode)}"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // AN1 — exact distinct via bucket bitmaps. Stage 1 folds raw ids into
+    // (key, word_idx) → 64-bit words with bit_or (combinable: partial words
+    // OR together); stage 2 sums bit_count over words. Nothing between the
+    // scan and the result ever shuffles a raw id: at 10^10 users the
+    // exchange carries |users|/64 words per event type, each produced by
+    // map-side partial OR. (Spark's own count(DISTINCT) plans an Expand +
+    // re-aggregation that shuffles every distinct (key, id) pair once —
+    // this shape is the one you deploy when that pair set is the problem.)
+    QueryDef(
+      "agg_bitmap_distinct",
+      Some(
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+          "CAST(count(*) AS BIGINT) AS n_events FROM events " +
+          "GROUP BY event_type ORDER BY event_type"),
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+        ev.groupBy(col("event_type"), (col("user_id") / 64).cast("long").as("word_idx"))
+          .agg(
+            expr("bit_or(shiftleft(1L, CAST(pmod(user_id, 64) AS INT)))").as("word"),
+            count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(bit_count(col("word"))).cast("long").as("n_users"),
+            sum(col("n")).cast("long").as("n_events"))
+          .orderBy("event_type")
+      }),
+
+    // AN2 — Pareto skyline of part on (minimize p_retailprice, minimize
+    // p_size). A point survives iff it has the minimum size at its price
+    // AND no strictly cheaper point is as small. The "no cheaper point"
+    // test is a prefix-min over price order, computed distributedly:
+    // range-partition the per-price minima, running min WITHIN each
+    // partition, then carry partition-boundary minima (one tiny row per
+    // partition) across via a broadcast join — no single-partition sort of
+    // the full set anywhere, unlike the quadratic NOT EXISTS the oracle
+    // runs. repartitionByRange sampling is seeded deterministically, so
+    // partition ids are stable for a given input.
+    QueryDef(
+      "skyline_pareto",
+      Some(
+        "SELECT p_partkey, p_retailprice, p_size FROM part p " +
+          "WHERE NOT EXISTS (SELECT 1 FROM part q " +
+          "WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size " +
+          "AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)) " +
+          "ORDER BY p_partkey"),
+      (s, d) => {
+        val p = Tables.t(s, d, "part")
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        val perPrice = p.groupBy("p_retailprice").agg(min(col("p_size")).as("msize"))
+        val withPid = perPrice.repartitionByRange(8, col("p_retailprice"))
+          .withColumn("pid", spark_partition_id())
+        // boundary carry: min size of every EARLIER partition (≤8 rows)
+        val wCarry = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+        val carry = withPid.groupBy("pid").agg(min(col("msize")).as("pmin"))
+          .withColumn("carry", min(col("pmin")).over(wCarry))
+          .select(col("pid"), col("carry"))
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("p_retailprice"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // least() skips nulls (first row of first partition has neither)
+        val stats = withPid
+          .withColumn("localprev", min(col("msize")).over(wLocal))
+          .join(broadcast(carry), Seq("pid"))
+          .select(col("p_retailprice"), col("msize"),
+            least(col("localprev"), col("carry")).as("prevmin"))
+        p.join(stats, Seq("p_retailprice"))
+          .where(col("p_size") <= col("msize") &&
+            (col("prevmin").isNull || col("p_size") < col("prevmin")))
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy("p_partkey")
+      }),
+
+    // AN3 — triangle count over the supplier co-supply graph (edge = two
+    // suppliers sharing ≥4 orders). Edges are oriented low→high by
+    // (degree, id), so every triangle is enumerated exactly once from its
+    // lowest-degree corner and wedge generation is bounded by Σ outdeg²
+    // (orientation halves each degree and points hubs' edges AT them, the
+    // classic skew bound — an unoriented wedge join squares the hub degree).
+    // The per-order pair explosion is bounded by order size, not supplier
+    // popularity.
+    QueryDef(
+      "graph_triangle_count",
+      Some(
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), " +
+          "e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v FROM li a " +
+          "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey " +
+          "GROUP BY 1, 2 HAVING count(*) >= 4) " +
+          "SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges, " +
+          "CAST(count(*) AS BIGINT) AS n_triangles " +
+          "FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v"),
+      (s, d) => {
+        val li = Tables.t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val edges = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .where(col("w") >= 4)
+          .select("u", "v")
+        val deg = edges.select(col("u").as("node"))
+          .unionAll(edges.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        // orient src→dst where (deg, id) of src < (deg, id) of dst
+        val oriented = edges
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .select(
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+              struct(col("u").as("n"), col("du").as("dg")))
+              .otherwise(struct(col("v").as("n"), col("dv").as("dg"))).as("s"),
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+              struct(col("v").as("n"), col("dv").as("dg")))
+              .otherwise(struct(col("u").as("n"), col("du").as("dg"))).as("t"))
+          .select(col("s.n").as("src"), col("t.n").as("dst"),
+            col("t.dg").as("ddeg"))
+        // wedges from each low corner: pairs of out-neighbours ordered by
+        // (deg, id) so the closing edge is guaranteed oriented b→c
+        val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
+        val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("dc"))
+        val wedges = e1.join(e2, Seq("src"))
+          .where(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+          .select(col("b"), col("c"))
+        val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+        val closed = wedges.join(closing, Seq("b", "c"), "left_semi")
+        // both counts in ONE aggregation over a tagged union (map-side
+        // partial sums; a scalar×scalar crossJoin would plan as BNLJ and
+        // weaken the PlanAudit sweep)
+        edges.select(lit(1L).as("is_edge"), lit(0L).as("is_tri"))
+          .unionAll(closed.select(lit(0L).as("is_edge"), lit(1L).as("is_tri")))
+          .agg(sum(col("is_edge")).cast("long").as("n_edges"),
+            sum(col("is_tri")).cast("long").as("n_triangles"))
+      }),
+
+    // AN4 — linear-interpolation resample: same per-user hourly grid as
+    // resample_ffill, but gap values are drawn from the straight line
+    // between the neighbouring observations (exact value on observed
+    // buckets). prev/next are running last/first-non-null windows — two
+    // sorted passes over the grid, no self-join. The grid spans each user's
+    // own [min, max] bucket, so both neighbours always exist.
+    QueryDef(
+      "resample_interpolate",
+      Some(
+        "WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value, " +
+          "epoch_ms(ts) // 3600000 AS bucket FROM events), " +
+          "pb AS (SELECT user_id, bucket, arg_max(value, ts_ms * 1000000 + event_id) AS obs, " +
+          "CAST(count(*) AS BIGINT) AS n_obs FROM ev GROUP BY 1, 2), " +
+          "grid AS (SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket " +
+          "FROM ev GROUP BY user_id), " +
+          "j AS (SELECT g.user_id AS user_id, g.bucket AS bucket, pb.obs AS obs, " +
+          "CAST(coalesce(pb.n_obs, 0) AS BIGINT) AS n_obs " +
+          "FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket), " +
+          "f AS (SELECT user_id, bucket, n_obs, " +
+          "last_value(obs IGNORE NULLS) OVER wp AS prev_v, " +
+          "last_value(CASE WHEN obs IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS prevb, " +
+          "first_value(obs IGNORE NULLS) OVER wn AS next_v, " +
+          "first_value(CASE WHEN obs IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS nextb " +
+          "FROM j WINDOW " +
+          "wp AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+          "wn AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+          // value is emitted as the RAW double: the interpolation expression
+          // has identical shape on both engines, so the IEEE results are
+          // bit-identical — a decimal rounding step would INTRODUCE skew
+          // (Spark rounds the shortest decimal rendering, DuckDB the exact
+          // binary expansion; they disagree on ...5-boundary doubles).
+          "SELECT user_id, CAST(bucket * 3600000 AS BIGINT) AS bucket_ms, " +
+          "CASE WHEN prevb = nextb THEN prev_v ELSE prev_v + (next_v - prev_v) * " +
+          "(CAST(bucket - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE)) END AS value, " +
+          "n_obs FROM f ORDER BY user_id, bucket_ms"),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+          .withColumn("bucket", expr("ts_ms div 3600000"))
+        val perBucket = ev.groupBy("user_id", "bucket")
+          .agg(expr("max_by(value, ts_ms * 1000000 + event_id)").as("obs"),
+            count(lit(1)).as("n_obs"))
+        val grid = ev.groupBy("user_id")
+          .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+          .select(col("user_id"), explode(expr("sequence(b0, b1)")).as("bucket"))
+        val wp = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val obsBucket = when(col("obs").isNotNull, col("bucket"))
+        grid.join(perBucket, Seq("user_id", "bucket"), "left")
+          .select(col("user_id"), col("bucket"), col("obs"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+          .withColumn("prev_v", last(col("obs"), ignoreNulls = true).over(wp))
+          .withColumn("prevb", last(obsBucket, ignoreNulls = true).over(wp))
+          .withColumn("next_v", first(col("obs"), ignoreNulls = true).over(wn))
+          .withColumn("nextb", first(obsBucket, ignoreNulls = true).over(wn))
+          .select(col("user_id"), (col("bucket") * 3600000).as("bucket_ms"),
+            when(col("prevb") === col("nextb"), col("prev_v"))
+              .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+                ((col("bucket") - col("prevb")).cast("double") /
+                  (col("nextb") - col("prevb")).cast("double"))).as("value"),
+            col("n_obs"))
+          .orderBy("user_id", "bucket_ms")
+      }),
+
+    // AN5 — manifest-snapshot scan (the Iceberg/Delta mechanic): a snapshot
+    // is an explicit file list in a manifest; the reader plans exactly
+    // those files. Setup (once per dataset) writes orders partitioned by
+    // o_orderstatus and a manifest pinning the F+O files only; the query
+    // path reads the manifest (driver-side metadata, as every table format
+    // does) and scans just that snapshot — partition P's files exist on
+    // disk but are never opened, which is the whole point: snapshot
+    // isolation priced in metadata, not data movement.
+    QueryDef(
+      "scan_manifest_snapshot",
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_price " +
+          "FROM orders WHERE o_orderstatus IN ('F', 'O') " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val base = tmpPath("graft_manifest", d)
+        val dataDir = s"$base/data"
+        val manifest = Paths.get(s"$base/manifest.txt")
+        val done = Paths.get(s"$base/_done")
+        if (!Files.exists(done)) {
+          Tables.t(s, d, "orders").write.mode("overwrite")
+            .partitionBy("o_orderstatus").parquet(dataDir)
+          val snapshot = Seq("F", "O").flatMap { st =>
+            val dir = Paths.get(s"$dataDir/o_orderstatus=$st")
+            Files.list(dir).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(_.toString).toSeq.sorted
+          }
+          Files.createDirectories(Paths.get(base))
+          Files.writeString(manifest, snapshot.mkString("\n"))
+          Files.writeString(done, "ok")
+        }
+        val files = Files.readAllLines(manifest).asScala.toSeq
+        s.read.option("basePath", dataDir).parquet(files: _*)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            Q.out6(sum(Q.dec4(col("o_totalprice")))).as("sum_price"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // AN6 — single-pass table profile: null count, exact distinct count,
+    // min and max for four heterogeneous lineitem columns out of ONE scan
+    // (one aggregate node; the multi-count(DISTINCT) is Catalyst's Expand —
+    // 4× row multiplication, still one pass over the files), then a narrow
+    // stack() to long form. Numeric min/max are canonicalized through
+    // DECIMAL(18,4) so both engines print identical strings.
+    QueryDef(
+      "profile_table_stats",
+      Some {
+        def row(c: String, numeric: Boolean) = {
+          val mm =
+            if (numeric) s"CAST(CAST(min($c) AS ${Q.D4}) AS VARCHAR) AS min_s, " +
+              s"CAST(CAST(max($c) AS ${Q.D4}) AS VARCHAR) AS max_s"
+            else s"CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s"
+          s"SELECT '$c' AS col_name, CAST(count(*) - count($c) AS BIGINT) AS n_null, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, $mm FROM lineitem"
+        }
+        row("l_orderkey", numeric = false) + " UNION ALL " +
+          row("l_quantity", numeric = true) + " UNION ALL " +
+          row("l_returnflag", numeric = false) + " UNION ALL " +
+          row("l_shipdate", numeric = false) + " ORDER BY col_name"
+      },
+      (s, d) => {
+        val li = Tables.t(s, d, "lineitem")
+        def nNull(c: String) = (count(lit(1)) - count(col(c))).as(s"${c}_null")
+        def nd(c: String) = countDistinct(col(c)).as(s"${c}_nd")
+        def mmStr(c: String) =
+          Seq(min(col(c)).cast(StringType).as(s"${c}_min"),
+            max(col(c)).cast(StringType).as(s"${c}_max"))
+        def mmDec(c: String) =
+          Seq(min(col(c)).cast(DecimalType(18, 4)).cast(StringType).as(s"${c}_min"),
+            max(col(c)).cast(DecimalType(18, 4)).cast(StringType).as(s"${c}_max"))
+        val aggs: Seq[Column] =
+          Seq(nNull("l_orderkey"), nd("l_orderkey")) ++ mmStr("l_orderkey") ++
+            (Seq(nNull("l_quantity"), nd("l_quantity")) ++ mmDec("l_quantity")) ++
+            (Seq(nNull("l_returnflag"), nd("l_returnflag")) ++ mmStr("l_returnflag")) ++
+            (Seq(nNull("l_shipdate"), nd("l_shipdate")) ++ mmStr("l_shipdate"))
+        li.agg(aggs.head, aggs.tail: _*)
+          .select(expr(
+            "stack(4, " +
+              "'l_orderkey', l_orderkey_null, l_orderkey_nd, l_orderkey_min, l_orderkey_max, " +
+              "'l_quantity', l_quantity_null, l_quantity_nd, l_quantity_min, l_quantity_max, " +
+              "'l_returnflag', l_returnflag_null, l_returnflag_nd, l_returnflag_min, l_returnflag_max, " +
+              "'l_shipdate', l_shipdate_null, l_shipdate_nd, l_shipdate_min, l_shipdate_max) " +
+              "AS (col_name, n_null, n_distinct, min_s, max_s)"))
+          .orderBy("col_name")
+      })
+  )
+}

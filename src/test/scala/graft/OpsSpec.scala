@@ -322,6 +322,54 @@ class OpsSpec extends AnyFunSuite {
     assert(alt == out.sorted && again.collect().length == out.size)
   }
 
+  test("skyline_pareto: distributed prefix-min equals the quadratic dominance definition") {
+    val p = Tables.t(spark, sf, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val q = p.select(col("p_retailprice").as("qp"), col("p_size").as("qs"))
+    val brute = p.join(q,
+        col("qp") <= col("p_retailprice") && col("qs") <= col("p_size") &&
+          (col("qp") < col("p_retailprice") || col("qs") < col("p_size")), "left_anti")
+      .select("p_partkey").collect().map(_.getLong(0)).sorted
+    val got = run("skyline_pareto").select("p_partkey").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(brute), s"skyline mismatch: got ${got.length}, brute ${brute.length}")
+  }
+
+  test("graph_triangle_count: degree-oriented enumeration equals the canonical i<j<k count") {
+    val li = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= 4).select("u", "v")
+    val canonical = e.as("e1")
+      .join(e.as("e2"), col("e2.u") === col("e1.v"))
+      .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .count()
+    val row = run("graph_triangle_count").collect().head
+    assert(row.getAs[Long]("n_triangles") == canonical,
+      s"oriented count ${row.getAs[Long]("n_triangles")} != canonical $canonical")
+    assert(row.getAs[Long]("n_edges") == e.count())
+  }
+
+  test("resample_interpolate: exact on observed buckets, linear and bounded inside gaps") {
+    val out = run("resample_interpolate")
+    val ev = Tables.events(spark, sf)
+      .withColumn("bucket_ms", expr("ts_ms div 3600000") * 3600000)
+    // observed buckets carry the tie-broken observation exactly
+    val obs = ev.groupBy("user_id", "bucket_ms")
+      .agg(expr("max_by(value, ts_ms * 1000000 + event_id)").as("expected"))
+    val joined = out.join(obs, Seq("user_id", "bucket_ms"))
+    assert(joined.count() > 0)
+    assert(joined.where(col("value") =!= col("expected")).count() == 0,
+      "an observed bucket does not carry its own observation")
+    // every gap value lies within [min, max] of the user's observations
+    val bounds = ev.groupBy("user_id")
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    assert(out.where(col("n_obs") === 0).join(bounds, "user_id")
+      .where(col("value") < col("lo") || col("value") > col("hi")).count() == 0,
+      "interpolated value escapes the observation envelope")
+  }
+
   test("text_bigram_coverage: bounds hold and the pair stream is conserved") {
     val rows = run("text_bigram_coverage").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

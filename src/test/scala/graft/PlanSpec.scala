@@ -154,6 +154,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_bitmap_distinct: raw ids fold into bitmap words map-side before any exchange") {
+    val p = plan("agg_bitmap_distinct")
+    assert(p.contains("partial_bit_or"), s"no map-side partial bitmap OR:\n${p.take(2000)}")
+    assert(p.contains("bit_count"), p.take(1000))
+    // both aggregation levels partial-combine: the word agg AND the final sum
+    assert(p.contains("partial_sum"), "final count level has no map-side combine")
+  }
+
+  test("skyline_pareto: boundary carry broadcasts; no quadratic join anywhere") {
+    val p = plan("skyline_pareto")
+    assert(p.contains("BroadcastHashJoin"), s"carry join must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "skyline regressed to a quadratic dominance join")
+  }
+
+  test("graph_triangle_count: closure is left-semi; counts aggregate without a scalar join") {
+    val p = plan("graph_triangle_count")
+    assert(p.contains("LeftSemi"), s"triangle closure must be a semi join:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "scalar counts joined via BNLJ")
+  }
+
+  test("profile_table_stats: four-column profile is a single scan of the table") {
+    val p = plan("profile_table_stats")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profile must read the table exactly once:\n${p.take(2000)}")
+    assert(p.contains("Expand"), "multi-count-DISTINCT did not plan as Expand")
+  }
+
+  test("scan_manifest_snapshot: only manifest-listed files are planned; partition P never opens") {
+    val df = SparkEntry.queries("scan_manifest_snapshot")(spark, sf)
+    df.count() // materialize the layout + manifest
+    val files = df.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("o_orderstatus=F") || f.contains("o_orderstatus=O")),
+      s"snapshot scan opened a non-manifest file:\n${files.mkString("\n")}")
+  }
+
   test("AnnotationRewrite: string-date predicate becomes annotation predicate") {
     opt.AnnotationRewrite.install(spark)
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_plan_annotated"
