@@ -19,10 +19,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up action (untimed): absorbs one-time JVM/classloader/codegen
-    // and parquet-footer cost so per-query timings reflect steady state.
-    try SparkEntry.queries("agg_hash_group")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // Warm-up pass (untimed): run EVERY query once before timing. A single
+    // warm-up query is not enough on a snapshot-restored VM: first-touch
+    // page faults land whenever the heap grows, which happens throughout
+    // the run, inflating even per-query medians (measured 211 s total cold
+    // vs ~70 s steady on the same box); the full pass also absorbs
+    // classloader/codegen and parquet-footer costs per query. Timed runs
+    // then measure the steady state a long-lived cluster actually runs at.
+    SparkEntry.queries.values.foreach { fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     // A throwing query must NOT contribute a plausible-looking median
     // (round-3 advisor finding): record ok=false and report the key as -1
     // plus an "errors" count so a broken query is visible in the JSON.

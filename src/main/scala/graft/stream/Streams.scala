@@ -445,6 +445,39 @@ object Streams {
         s.read.parquet(s"$stateBase/v$latest")
           .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ms"), col("value"))
           .orderBy("user_id", "event_type")
+      }),
+
+    // J10 — CHAINED stateful aggregations in one streaming query (Spark
+    // 3.4+ multiple-stateful-operator support): hourly counts roll up into
+    // 4-hour counts inside the same plan, no intermediate sink. The outer
+    // groupBy keys on window(window_time(w)) so event time — and with it
+    // watermark eviction — propagates through both state stores; each
+    // operator's state stays watermark-bounded exactly as it would running
+    // unbounded (the alternative people actually deploy is two jobs with a
+    // kafka/delta hop between them — this is the plan that removes the hop).
+    // Eviction cascades one micro-batch per stage, so the bounded run needs
+    // the sentinel watermark push + the no-data batches AvailableNow already
+    // executes.
+    QueryDef(
+      "stream_chained_agg",
+      Some(
+        "WITH h AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hw, " +
+          "event_type, count(*) AS hn FROM events GROUP BY 1, 2) " +
+          "SELECT time_bucket(INTERVAL '4 hours', hw) AS ws4, event_type, " +
+          "CAST(sum(hn) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_hours " +
+          "FROM h GROUP BY 1, 2 ORDER BY ws4, event_type"),
+      (s, d) => withStreamShuffle(s) {
+        runBoundedAppend(s, d, "jchain") { src =>
+          src.withWatermark("ts_ts", "10 minutes")
+            .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("hn"))
+            .groupBy(window(window_time(col("w")), "4 hours").as("w4"), col("event_type"))
+            .agg(sum(col("hn")).cast("long").as("n"),
+              count(lit(1)).cast("long").as("n_hours"))
+            .select(col("w4.start").as("ws4"), col("event_type"), col("n"), col("n_hours"))
+        }
+          .where(col("event_type") =!= SentinelType)
+          .orderBy("ws4", "event_type")
       })
   )
 }

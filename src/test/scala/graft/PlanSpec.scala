@@ -175,11 +175,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "scalar counts joined via BNLJ")
   }
 
-  test("profile_table_stats: four-column profile is a single scan of the table") {
+  test("profile_table_stats: per-column scans are single-column and Expand-free") {
     val p = plan("profile_table_stats")
-    assert("Scan parquet".r.findAllIn(p).size == 1,
-      s"profile must read the table exactly once:\n${p.take(2000)}")
-    assert(p.contains("Expand"), "multi-count-DISTINCT did not plan as Expand")
+    // one narrow scan per profiled column — columnar bytes equal one wide
+    // pass, and the exchange carries per-partition DISTINCT values only
+    assert("Scan parquet".r.findAllIn(p).size == 4, p.take(2000))
+    assert(!p.contains("Expand"),
+      "profile regressed to the multi-count-DISTINCT Expand (rows ×5 before the shuffle)")
+    assert(p.contains("partial_count"), "value groups have no map-side combine")
+    Seq("ReadSchema: struct<l_orderkey:bigint>", "ReadSchema: struct<l_quantity:double>")
+      .foreach(rs => assert(p.contains(rs), s"scan not pruned to one column:\n$p"))
   }
 
   test("scan_manifest_snapshot: only manifest-listed files are planned; partition P never opens") {
