@@ -8,7 +8,18 @@ object Bench {
     // (BENCH_r01→r02 drift). Per-query MEDIAN over N repeats stabilizes the
     // number; repeat=1 remains available for quick local iteration.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt.max(1)
+    // All scratch IO (shuffle spill files, bounded-stream checkpoints and
+    // parquet sink staging) goes to tmpfs: the bench grades PLAN quality,
+    // and on this VM the /tmp fsync path swings 3-5× run to run, burying
+    // the signal (join_shuffle_sortmergle 0.38 s ↔ 2.19 s with identical
+    // plans). Scratch here is bounded-run-scoped — nothing needs
+    // durability — and sf0.1 scratch peaks well under 1 GiB.
+    val scratch = "/dev/shm/graft_bench_scratch"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    new java.io.File(scratch).mkdirs()
+    sys.props("java.io.tmpdir") = scratch
     val spark = SparkSession.builder()
+      .config("spark.local.dir", scratch)
       .withExtensions(graft.opt.AnnotationRewrite.inject)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -328,6 +328,80 @@ object Analytics {
           .unionAll(colProfile("l_returnflag", dec = false))
           .unionAll(colProfile("l_shipdate", dec = false))
           .orderBy("col_name")
+      }),
+
+    // AN7 — top-k user journeys: each user's first five events (total
+    // order: ts, then event_id) joined into a path string, most common
+    // paths ranked. The per-user window parallelizes by user, the path
+    // count is a combinable hash agg, and the top-10 fuses into
+    // TakeOrdered — no global sort of the path table. collect_list order
+    // is partitioning-dependent, so the path is assembled by array_sort
+    // over (rn, type) structs, never by collection order.
+    QueryDef(
+      "path_topk_journeys",
+      Some(
+        "WITH r AS (SELECT user_id, event_type, row_number() OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+          "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path " +
+          "FROM r WHERE rn <= 5 GROUP BY user_id) " +
+          "SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p " +
+          "GROUP BY path ORDER BY n_users DESC, path LIMIT 10"),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .groupBy("user_id")
+          .agg(array_join(
+            expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+            ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).cast("long").as("n_users"))
+          .orderBy(col("n_users").desc, col("path")).limit(10)
+      }),
+
+    // AN8 — snapshot diff (CDC reconciliation): classify every key across
+    // two table versions as added / removed / changed / unchanged via one
+    // key-partitioned full outer join + combinable count agg — the op
+    // behind "what did this pipeline run change", where the naive
+    // approach is EXCEPT-based double scans. Versions are derived
+    // deterministically from orders (mod-13 keys missing from v1, mod-11
+    // keys deleted in v2, mod-7 prices doubled) so both engines build
+    // byte-identical inputs.
+    QueryDef(
+      "snapshot_diff",
+      Some(
+        "WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+          "WHERE o_orderkey % 13 <> 0), " +
+          "v2 AS (SELECT o_orderkey, o_orderstatus, CASE WHEN o_orderkey % 7 = 0 " +
+          "THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice FROM orders " +
+          "WHERE o_orderkey % 11 <> 0) " +
+          "SELECT status, CAST(count(*) AS BIGINT) AS n FROM (" +
+          "SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added' " +
+          "WHEN v2.o_orderkey IS NULL THEN 'removed' " +
+          "WHEN v1.o_totalprice <> v2.o_totalprice OR v1.o_orderstatus <> v2.o_orderstatus " +
+          "THEN 'changed' ELSE 'unchanged' END AS status " +
+          "FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey) " +
+          "GROUP BY status ORDER BY status"),
+      (s, d) => {
+        val o = Tables.t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val v1 = o.where(col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey").as("k1"), col("o_orderstatus").as("st1"),
+            col("o_totalprice").as("pr1"))
+        val v2 = o.where(col("o_orderkey") % 11 =!= 0)
+          .select(col("o_orderkey").as("k2"), col("o_orderstatus").as("st2"),
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")).as("pr2"))
+        v1.join(v2, col("k1") === col("k2"), "full_outer")
+          .select(
+            when(col("k1").isNull, "added")
+              .when(col("k2").isNull, "removed")
+              .when(col("pr1") =!= col("pr2") || col("st1") =!= col("st2"), "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy("status").agg(count(lit(1)).cast("long").as("n"))
+          .orderBy("status")
       })
   )
 }

@@ -196,6 +196,19 @@ class PlanSpec extends AnyFunSuite {
       s"snapshot scan opened a non-manifest file:\n${files.mkString("\n")}")
   }
 
+  test("path_topk_journeys: top-10 fuses into TakeOrdered; path agg combines map-side") {
+    val p = plan("path_topk_journeys")
+    assert(p.contains("TakeOrderedAndProject"), "global top-10 is a full sort")
+    assert(p.contains("partial_count"), "path counts have no map-side combine")
+  }
+
+  test("snapshot_diff: one key-partitioned full outer join, no double scan per side") {
+    val p = plan("snapshot_diff")
+    assert(p.contains("FullOuter"), p.take(1500))
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"diff must scan each version's source once:\n${p.take(2000)}")
+  }
+
   test("AnnotationRewrite: string-date predicate becomes annotation predicate") {
     opt.AnnotationRewrite.install(spark)
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_plan_annotated"
