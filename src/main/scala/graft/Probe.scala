@@ -12,7 +12,13 @@ object Probe {
     val n = if (args.length > 1) args(1).toInt else 3
     val keys = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // same scratch posture as Bench so probe numbers are comparable
+    val scratch = "/dev/shm/graft_bench_scratch"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    new java.io.File(scratch).mkdirs()
+    sys.props("java.io.tmpdir") = scratch
     val spark = SparkSession.builder()
+      .config("spark.local.dir", scratch)
       .withExtensions(graft.opt.AnnotationRewrite.inject)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
