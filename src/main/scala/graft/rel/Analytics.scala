@@ -402,6 +402,43 @@ object Analytics {
               .otherwise("unchanged").as("status"))
           .groupBy("status").agg(count(lit(1)).cast("long").as("n"))
           .orderBy("status")
+      }),
+
+    // AN9 — exact sliding-window distinct: distinct users over the trailing
+    // 24 hours, per hour. The naive form re-counts raw ids once per window
+    // (24× the data through a distinct agg, or a quadratic range join — the
+    // oracle). Here ids fold once into per-(hour, word) bitmap words, each
+    // word time-EXPANDS to the ≤24 target hours it contributes to
+    // (sequence+explode — a narrow 24× of the compact word table, not the
+    // raw ids), and two combinable aggs (bit_or, then sum∘bit_count)
+    // produce every window's exact count. Nothing re-reads an id twice, no
+    // id ever shuffles, and there is no per-window state: the shape is a
+    // pure pipeline of map-side-combining aggregations.
+    QueryDef(
+      "window_sliding_distinct",
+      Some(
+        "WITH ev AS (SELECT epoch_ms(ts) // 3600000 AS h, user_id FROM events), " +
+          "hours AS (SELECT DISTINCT h FROM ev) " +
+          "SELECT CAST(hours.h * 3600000 AS BIGINT) AS h_ms, " +
+          "CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users " +
+          "FROM hours JOIN ev ON ev.h BETWEEN hours.h - 23 AND hours.h " +
+          "GROUP BY 1 ORDER BY 1"),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(expr("ts_ms div 3600000").as("h"), col("user_id"))
+        val words = ev
+          .groupBy(col("h"), (col("user_id") / 64).cast("long").as("w"))
+          .agg(expr("bit_or(shiftleft(1L, CAST(pmod(user_id, 64) AS INT)))").as("word"))
+        val contrib = words
+          .select(explode(expr("sequence(h, h + 23)")).as("ht"), col("w"), col("word"))
+        val present = ev.select(col("h").as("ht")).distinct()
+        contrib.join(present, Seq("ht"), "left_semi")
+          .groupBy(col("ht"), col("w"))
+          .agg(expr("bit_or(word)").as("acc"))
+          .groupBy(col("ht"))
+          .agg(sum(bit_count(col("acc"))).cast("long").as("n_users"))
+          .select((col("ht") * 3600000).as("h_ms"), col("n_users"))
+          .orderBy("h_ms")
       })
   )
 }

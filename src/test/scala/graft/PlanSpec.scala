@@ -209,6 +209,19 @@ class PlanSpec extends AnyFunSuite {
       s"diff must scan each version's source once:\n${p.take(2000)}")
   }
 
+  test("window_sliding_distinct: bitmap pipeline has no window operator and no id shuffle") {
+    val p = plan("window_sliding_distinct")
+    assert(p.contains("partial_bit_or"), s"ids must fold into words map-side:\n${p.take(2000)}")
+    assert(!p.contains("Window"), "sliding distinct regressed to per-window state")
+    // plans print top-down (root first); partial_bit_or appears twice (the
+    // id→word fold deepest, the window merge above). The time-expand
+    // Generate must sit between them — above the id fold — else raw ids
+    // explode 24× before aggregating
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0 && gen < p.lastIndexOf("partial_bit_or"),
+      "time-expand runs over raw ids instead of words")
+  }
+
   test("AnnotationRewrite: string-date predicate becomes annotation predicate") {
     opt.AnnotationRewrite.install(spark)
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_plan_annotated"
