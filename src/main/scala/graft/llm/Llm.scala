@@ -562,6 +562,87 @@ object Llm {
           .orderBy("source", "i", "j")
       }),
 
+    // Containment dedup: |A∩B| / min(|A|,|B|) over word 3-grams — the
+    // asymmetric cousin of Jaccard that catches a document EMBEDDED in a
+    // larger one (quotes, boilerplate wrappers, concat-of-docs), which
+    // symmetric Jaccard dilutes below any usable τ. Same block-partitioned
+    // self-join kernel as dedup_ngram_jaccard: docs hash into B blocks per
+    // source, each (source, block-pair) is one shuffle key, the
+    // sorted-merge intersection runs inside the task. τ = 0.5 (background
+    // containment on this corpus < 0.3, planted dups ≥ 0.9).
+    QueryDef(
+      "dedup_containment",
+      Some(
+        "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents), " +
+          "g AS (SELECT doc_id, source, " +
+          "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS gr FROM w), " +
+          "p AS (SELECT a.source AS source, a.doc_id AS i, b.doc_id AS j, " +
+          "round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / " +
+          "CAST(least(len(a.gr), len(b.gr)) AS DOUBLE), 6) AS cont " +
+          "FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id " +
+          "WHERE len(a.gr) > 0 AND len(b.gr) > 0) " +
+          "SELECT source, i, j, cont FROM p WHERE cont >= 0.5 ORDER BY source, i, j"),
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val B = 4
+        Tables.t(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .flatMap { case (src, id, text) =>
+            val words = text.split(" ", -1)
+            val grams = new java.util.TreeSet[java.lang.Long]()
+            var i = 0
+            while (i + 3 <= words.length) {
+              grams.add(fnv64(words(i) + " " + words(i + 1) + " " + words(i + 2)))
+              i += 1
+            }
+            if (grams.isEmpty) Seq.empty
+            else {
+              val arr = new Array[Long](grams.size)
+              val gi = grams.iterator(); var k = 0
+              while (gi.hasNext) { arr(k) = gi.next(); k += 1 }
+              val b = (id % B).toInt
+              (0 until B).map { o =>
+                val (p, q) = if (b <= o) (b, o) else (o, b)
+                ((src, p * B + q), id, arr)
+              }
+            }
+          }
+          .groupByKey(_._1)
+          .flatMapGroups { (grpKey, it) =>
+            val (src, key) = grpKey
+            val p = key / B
+            val q = key % B
+            val docs = it.toArray.sortBy(_._2)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
+            var a = 0
+            while (a < docs.length) {
+              val (_, ia, ga) = docs(a)
+              val ba = (ia % B).toInt
+              var bi = a + 1
+              while (bi < docs.length) {
+                val (_, ib, gb) = docs(bi)
+                if (p == q || ba != (ib % B).toInt) {
+                  var x = 0; var y = 0; var shared = 0
+                  while (x < ga.length && y < gb.length) {
+                    if (ga(x) == gb(y)) { shared += 1; x += 1; y += 1 }
+                    else if (ga(x) < gb(y)) x += 1
+                    else y += 1
+                  }
+                  val cont = round6(shared.toDouble / math.min(ga.length, gb.length).toDouble)
+                  if (cont >= 0.5) out += ((src, ia, ib, cont))
+                }
+                bi += 1
+              }
+              a += 1
+            }
+            out
+          }
+          .toDF("source", "i", "j", "cont")
+          .orderBy("source", "i", "j")
+      }),
+
     // Embedding-cosine near-dup: pairs ≥ τ, emit the dropped (higher) ids.
     QueryDef(
       "dedup_embed_cosine",
