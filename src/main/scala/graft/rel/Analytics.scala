@@ -404,6 +404,60 @@ object Analytics {
           .orderBy("status")
       }),
 
+    // AN10 — manifest stats pruning (the other half of the table-format
+    // mechanic, completing scan_manifest_snapshot): the manifest carries
+    // per-file min/max column stats; a range predicate prunes FILES on the
+    // driver before the scan is planned, so query cost tracks the
+    // predicate's selectivity, not the table size. Setup (once per
+    // dataset) range-partitions lineitem by ship date into 8 files —
+    // data clustered on the stats column is what makes file ranges
+    // disjoint and pruning sharp — and records each file's [min, max]
+    // ship-date in the manifest. The 1997 predicate then plans ~1/7 of
+    // the files; the scan-level predicate still applies inside survivors.
+    QueryDef(
+      "scan_manifest_stats_prune",
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_qty " +
+          "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+          "AND l_shipdate < TIMESTAMP '1998-01-01'"),
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val base = tmpPath("graft_stats_manifest", d)
+        val dataDir = s"$base/data"
+        val manifest = Paths.get(s"$base/manifest.tsv")
+        val done = Paths.get(s"$base/_done")
+        if (!Files.exists(done)) {
+          Tables.t(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+            .repartitionByRange(8, col("l_shipdate"))
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite").parquet(dataDir)
+          val stats = s.read.parquet(dataDir)
+            .groupBy(input_file_name().as("f"))
+            .agg(min(unix_millis(col("l_shipdate").cast("timestamp"))).as("lo"),
+              max(unix_millis(col("l_shipdate").cast("timestamp"))).as("hi"))
+            .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}")
+          Files.createDirectories(Paths.get(base))
+          Files.writeString(manifest, stats.sorted.mkString("\n"))
+          Files.writeString(done, "ok")
+        }
+        val loMs = java.time.LocalDate.of(1997, 1, 1)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        val hiMs = java.time.LocalDate.of(1998, 1, 1)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        val survivors = Files.readAllLines(manifest).asScala.toSeq
+          .map(_.split("\t")).collect {
+            case Array(f, lo, hi) if lo.toLong < hiMs && hi.toLong >= loMs => f
+          }
+        s.read.parquet(survivors: _*)
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            Q.out6(sum(Q.dec4(col("l_quantity")))).as("sum_qty"))
+      }),
+
     // AN9 — exact sliding-window distinct: distinct users over the trailing
     // 24 hours, per hour. The naive form re-counts raw ids once per window
     // (24× the data through a distinct agg, or a quadratic range join — the

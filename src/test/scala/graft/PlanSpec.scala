@@ -222,6 +222,14 @@ class PlanSpec extends AnyFunSuite {
       "time-expand runs over raw ids instead of words")
   }
 
+  test("scan_manifest_stats_prune: driver-side stats cut the planned file set") {
+    val df = SparkEntry.queries("scan_manifest_stats_prune")(spark, sf)
+    df.count() // materialize layout + manifest
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.length < 8,
+      s"stats pruning planned ${files.length}/8 files — nothing was pruned")
+  }
+
   test("AnnotationRewrite: string-date predicate becomes annotation predicate") {
     opt.AnnotationRewrite.install(spark)
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_plan_annotated"
