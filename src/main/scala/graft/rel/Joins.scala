@@ -178,6 +178,39 @@ object Joins {
           .orderBy("event_id")
       }),
 
+    // D9n — NEAREST as-of: align each event to the single order (same
+    // customer) whose date is CLOSEST in absolute time, forward or
+    // backward — the sensor-alignment twin of backward-only join_asof
+    // (join each reading to the closest calibration, not the preceding
+    // one). Same user-equi join + per-event window shape; only the
+    // ordering changes, so the 100 TB posture is identical: work bounded
+    // per user, no range-scan fan-out. Tie-break on (distance, orderkey)
+    // keeps the pick total-ordered and engine-exact in integer millis.
+    QueryDef(
+      "join_asof_nearest",
+      Some(
+        "SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, o_orderkey, " +
+          "CAST(abs(epoch_ms(ts) - epoch_ms(o_orderdate)) AS BIGINT) AS dist_ms " +
+          "FROM events e JOIN orders o ON o.o_custkey = e.user_id " +
+          "QUALIFY row_number() OVER (PARTITION BY event_id " +
+          "ORDER BY abs(epoch_ms(ts) - epoch_ms(o_orderdate)), o_orderkey) = 1 " +
+          "ORDER BY event_id"),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        val o = Tables.t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"))
+        val dist = abs(col("ts_ms") - col("od_ms"))
+        val w = Window.partitionBy(col("event_id")).orderBy(dist, col("o_orderkey"))
+        e.join(o, e("user_id") === o("o_custkey"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("event_id"), col("ts_ms"), col("o_orderkey"),
+            dist.cast("long").as("dist_ms"))
+          .orderBy("event_id")
+      }),
+
     // D10 — interval overlap: orders of the same customer within ±30 days.
     // Equi key (customer) + range residual ⇒ shuffle join, not a BNLJ.
     QueryDef(
