@@ -116,6 +116,22 @@ object Advanced {
       "AND o_orderdate < TIMESTAMP '1997-01-01' " +
       "GROUP BY n_name ORDER BY revenue DESC, n_name"
 
+  /** TPC-H Q18 shape (large-volume customers): IN-subquery with HAVING over
+    * an aggregate — Catalyst turns the subquery into a left-semi join
+    * against the re-aggregated lineitem, so the filter costs one combinable
+    * agg + one key-partitioned semi join, never a per-row subquery probe.
+    * One ANSI text, verbatim in both engines.
+    */
+  private val q18Sql =
+    "SELECT c_name, o_orderkey, o_orderdate, o_totalprice, " +
+      "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
+      "HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > CAST(180 AS DECIMAL(18,4))) " +
+      "GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+
   val defs: Seq[QueryDef] = Seq(
 
     // SCD2 history build: collapse each user's consecutive same-type event
@@ -271,6 +287,16 @@ object Advanced {
         Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
           .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
         s.sql(q5Sql)
+      }),
+
+    // Dialect-portable Q18 shape (HAVING semi-join): see q18Sql above.
+    QueryDef(
+      "sql_api_q18",
+      Some(q18Sql),
+      (s, d) => {
+        Seq("customer", "orders", "lineitem")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q18Sql)
       }),
 
     // Incremental aggregate merge: per-key partial state (count + exact

@@ -230,6 +230,12 @@ class PlanSpec extends AnyFunSuite {
       s"stats pruning planned ${files.length}/8 files — nothing was pruned")
   }
 
+  test("sql_api_q18: IN-subquery rewrites to a semi join, no per-row probe") {
+    val p = plan("sql_api_q18")
+    assert(p.contains("LeftSemi"), s"HAVING subquery did not become a semi join:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("AnnotationRewrite: string-date predicate becomes annotation predicate") {
     opt.AnnotationRewrite.install(spark)
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_plan_annotated"
