@@ -116,6 +116,31 @@ object Advanced {
       "AND o_orderdate < TIMESTAMP '1997-01-01' " +
       "GROUP BY n_name ORDER BY revenue DESC, n_name"
 
+  /** TPC-H Q7 shape (nation-pair shipping volume): the two fact tables join
+    * on their own keys while THREE dimension sides (supplier, customer, and
+    * nation twice under different aliases) broadcast; the symmetric
+    * nation-pair predicate lands on the dimension rows before the join so
+    * only matching facts survive the probe. Yearly rollup is a combinable
+    * hash agg on a 3-value grouping key. One ANSI text, verbatim in both
+    * engines.
+    */
+  private val q7Sql =
+    "SELECT supp_nation, cust_nation, l_year, " +
+      "CAST(CAST(sum(volume) AS DECIMAL(38,6)) AS DOUBLE) AS revenue " +
+      "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+      "CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year, " +
+      "CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS volume " +
+      "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey " +
+      "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+      "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+      "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+      "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping " +
+      "GROUP BY supp_nation, cust_nation, l_year " +
+      "ORDER BY supp_nation, cust_nation, l_year"
+
   /** TPC-H Q18 shape (large-volume customers): IN-subquery with HAVING over
     * an aggregate — Catalyst turns the subquery into a left-semi join
     * against the re-aggregated lineitem, so the filter costs one combinable
@@ -287,6 +312,16 @@ object Advanced {
         Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
           .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
         s.sql(q5Sql)
+      }),
+
+    // Dialect-portable Q7 shape (nation-pair volume): see q7Sql above.
+    QueryDef(
+      "sql_api_q7",
+      Some(q7Sql),
+      (s, d) => {
+        Seq("supplier", "lineitem", "orders", "customer", "nation").foreach(t =>
+          Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q7Sql)
       }),
 
     // Dialect-portable Q18 shape (HAVING semi-join): see q18Sql above.

@@ -272,6 +272,64 @@ object Aggs {
           .orderBy("o_orderstatus")
       }),
 
+    // E10 — pairwise Pearson correlation matrix from ONE pass of exact
+    // decimal moment sums (n, Σx, Σx², Σxy per pair). Raw corr() over
+    // doubles merges partials in partition order — nondeterministic across
+    // engines AND across runs — so instead every moment is an exact,
+    // order-independent decimal sum (map-side-combinable, one scan, one
+    // 3-key exchange) and the corr formula runs in IEEE double over those
+    // exact inputs, written as the same expression text in both engines.
+    // DuckDB products use DECIMAL(19,4) operands to force the hugeint
+    // multiply (same trick as agg_stats' sd_price).
+    QueryDef(
+      "agg_corr_matrix",
+      Some(
+        "WITH m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, " +
+          s"CAST(sum(CAST(l_quantity AS ${Q.D4})) AS DOUBLE) AS sq, " +
+          s"CAST(sum(CAST(l_extendedprice AS ${Q.D4})) AS DOUBLE) AS sp, " +
+          s"CAST(sum(CAST(l_discount AS ${Q.D4})) AS DOUBLE) AS sd, " +
+          s"CAST(sum(CAST(l_tax AS ${Q.D4})) AS DOUBLE) AS st, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sqq, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS spp, " +
+          "CAST(sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS sdd, " +
+          "CAST(sum(CAST(l_tax AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4))) AS DOUBLE) AS stt, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sqp, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS spd, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4))) AS DOUBLE) AS sqt " +
+          "FROM lineitem GROUP BY l_returnflag) " +
+          "SELECT l_returnflag, " +
+          "round((n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qty_price, " +
+          "round((n * spd - sp * sd) / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6) AS corr_price_disc, " +
+          "round((n * sqt - sq * st) / (sqrt(n * sqq - sq * sq) * sqrt(n * stt - st * st)), 6) AS corr_qty_tax " +
+          "FROM m ORDER BY l_returnflag"),
+      (s, d) => {
+        val q4 = Q.dec4(col("l_quantity"))
+        val p4 = Q.dec4(col("l_extendedprice"))
+        val d4 = Q.dec4(col("l_discount"))
+        val t4 = Q.dec4(col("l_tax"))
+        Tables.t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(q4).cast("double").as("sq"),
+            sum(p4).cast("double").as("sp"),
+            sum(d4).cast("double").as("sd"),
+            sum(t4).cast("double").as("st"),
+            sum(q4 * q4).cast("double").as("sqq"),
+            sum(p4 * p4).cast("double").as("spp"),
+            sum(d4 * d4).cast("double").as("sdd"),
+            sum(t4 * t4).cast("double").as("stt"),
+            sum(q4 * p4).cast("double").as("sqp"),
+            sum(p4 * d4).cast("double").as("spd"),
+            sum(q4 * t4).cast("double").as("sqt"))
+          .selectExpr(
+            "l_returnflag",
+            "round((n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qty_price",
+            "round((n * spd - sp * sd) / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6) AS corr_price_disc",
+            "round((n * sqt - sq * st) / (sqrt(n * sqq - sq * sq) * sqrt(n * stt - st * st)), 6) AS corr_qty_tax")
+          .orderBy("l_returnflag")
+      }),
+
     // E9 — per-customer sorted array of order totals.
     QueryDef(
       "agg_collect_sorted",

@@ -288,6 +288,39 @@ object Windows {
           .intersect(Tables.t(s, d, "orders").select(col("o_custkey").as("key")))
           .orderBy("key")),
 
+    // F9 — gaps-and-islands day streaks: longest run of CONSECUTIVE active
+    // days per user. distinct (user, day) first, then `day - row_number()`
+    // is constant within a consecutive run — the island id — so streaks
+    // fall out of two per-user aggregates. The (user_id, day) distinct
+    // shuffle is the only data-sized exchange: the window repartitions to
+    // user_id, and both downstream groupBys are satisfied by that same
+    // user_id clustering (subset-key rule), so at 100 TB the operator is
+    // two bounded shuffles + map-side-combinable aggs, never a re-shuffle
+    // per step.
+    QueryDef(
+      "window_streak_days",
+      Some(
+        "WITH days AS (SELECT DISTINCT user_id, " +
+          "CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day FROM events), " +
+          "seq AS (SELECT user_id, day, day - row_number() OVER " +
+          "(PARTITION BY user_id ORDER BY day) AS grp FROM days), " +
+          "isl AS (SELECT user_id, count(*) AS streak FROM seq GROUP BY user_id, grp) " +
+          "SELECT user_id, CAST(max(streak) AS BIGINT) AS max_streak, " +
+          "CAST(count(*) AS BIGINT) AS n_streaks " +
+          "FROM isl GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+          .distinct()
+        val byDay = Window.partitionBy("user_id").orderBy("day")
+        days
+          .withColumn("grp", col("day") - row_number().over(byDay))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("streak"))
+          .groupBy("user_id")
+          .agg(max("streak").as("max_streak"), count(lit(1)).as("n_streaks"))
+          .orderBy("user_id")
+      }),
+
     // H4 — EXCEPT: customers who never bought.
     QueryDef(
       "set_except",

@@ -236,6 +236,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("sql_api_q7: dimension sides broadcast, no cartesian pair expansion") {
+    val p = plan("sql_api_q7")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"symmetric nation-pair predicate degenerated to a non-equi join:\n${p.take(1500)}")
+  }
+
+  test("window_streak_days: island and streak aggs reuse the user_id clustering") {
+    val p = plan("window_streak_days")
+    // one (user_id, day) distinct exchange + one user_id window exchange;
+    // both downstream groupBys must be satisfied by the user_id clustering
+    // (subset rule) — a third hash exchange means a re-shuffle per step
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"island/streak aggs re-shuffle instead of reusing user_id clustering:\n${p.take(2000)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "events must be scanned once")
+  }
+
+  test("agg_corr_matrix: one scan, map-side-combined moment sums") {
+    val p = plan("agg_corr_matrix")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"all 12 moments must come from ONE pass over lineitem:\n${p.take(2000)}")
+    assert(p.contains("partial_sum"), "moment sums have no map-side combine")
+  }
+
   test("AnnotationRewrite: string-date predicate becomes annotation predicate") {
     opt.AnnotationRewrite.install(spark)
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_plan_annotated"
