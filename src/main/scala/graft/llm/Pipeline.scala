@@ -325,6 +325,56 @@ object Pipeline {
           .where(col("rn") <= 20)
           .select(col("source"), col("rn"), col("doc_id"), col("hkey"))
           .orderBy("source", "rn")
+      }),
+
+    // Sub-document line-level dedup (the CCNet/RefinedWeb boilerplate pass):
+    // documents are chunked into fixed 10-word pseudo-lines, any chunk that
+    // appears in MORE THAN ONE document is boilerplate and is removed, and
+    // the surviving text is reassembled per document (emitted as md5 so the
+    // result row stays small). Whole-doc dedup cannot catch this — the
+    // boilerplate hides inside otherwise-unique documents. Scale posture:
+    // ONE scan, three key-partitioned exchanges, ZERO joins — "appears in
+    // exactly one doc" is count(*) OVER (chunk) = count(*) OVER
+    // (chunk, doc_id) (the second window reuses the first's clustering), so
+    // the distinct-doc-frequency join of the naive form disappears, and the
+    // per-doc totals + kept-only md5 collapse into one conditional agg.
+    // The line-dedup shuffle is line-cardinality, never doc×doc; chunk
+    // assembly sorts (pos, word) structs, never collection order
+    // (partitioning-dependent).
+    QueryDef(
+      "dedup_line_level",
+      Some(
+        "WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+          "w2 AS (SELECT doc_id, unnest(ws) AS word, CAST(unnest(range(len(ws))) AS BIGINT) AS pos FROM words), " +
+          "chunks AS (SELECT doc_id, CAST(pos // 10 AS BIGINT) AS chunk_id, " +
+          "string_agg(word, ' ' ORDER BY pos) AS chunk FROM w2 GROUP BY doc_id, pos // 10), " +
+          "marked AS (SELECT doc_id, chunk_id, chunk, " +
+          "count(*) OVER (PARTITION BY chunk) = count(*) OVER (PARTITION BY chunk, doc_id) AS keep FROM chunks) " +
+          "SELECT doc_id, CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept, " +
+          "CAST(count(*) - count(*) FILTER (WHERE keep) AS BIGINT) AS n_dropped, " +
+          "CASE WHEN count(*) FILTER (WHERE keep) = 0 THEN '' " +
+          "ELSE md5(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY chunk_id)) END AS clean_md5 " +
+          "FROM marked GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => {
+        val wChunk = org.apache.spark.sql.expressions.Window.partitionBy("chunk")
+        val wChunkDoc = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "doc_id")
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+          .groupBy(col("doc_id"), expr("pos div 10").as("chunk_id"))
+          .agg(concat_ws(" ",
+            expr("transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"))
+            .as("chunk"))
+          .withColumn("keep",
+            count(lit(1)).over(wChunk) === count(lit(1)).over(wChunkDoc))
+          .groupBy("doc_id")
+          .agg(
+            expr("count_if(keep)").as("n_kept"),
+            (count(lit(1)) - expr("count_if(keep)")).as("n_dropped"),
+            when(expr("count_if(keep)") === 0, "")
+              .otherwise(md5(concat_ws(" ",
+                expr("transform(array_sort(collect_list(CASE WHEN keep THEN struct(chunk_id, chunk) END)), x -> x.chunk)"))))
+              .as("clean_md5"))
+          .orderBy("doc_id")
       })
   )
 

@@ -260,6 +260,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "moment sums have no map-side combine")
   }
 
+  test("dedup_line_level: one scan, no freq join — window replaces distinct-count") {
+    val p = plan("dedup_line_level")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"chunk subtree recomputed per consumer:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "chunk doc-frequency regressed to an agg+join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"more than chunk-agg + window + doc-agg exchanges:\n${p.take(2000)}")
+  }
+
   test("AnnotationRewrite: string-date predicate becomes annotation predicate") {
     opt.AnnotationRewrite.install(spark)
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_plan_annotated"
