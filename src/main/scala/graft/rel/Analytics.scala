@@ -281,6 +281,52 @@ object Analytics {
           .orderBy("o_orderstatus")
       }),
 
+    // AN5b — incremental snapshot consumption (the CDC half of the
+    // manifest mechanic, completing scan_manifest_snapshot): two manifests
+    // pin two table versions' file sets; the files ADDED between them are
+    // a driver-side set difference on manifest lines — metadata only, no
+    // data read to discover the delta — and the incremental reader plans
+    // exactly those files. A daily 100 TB pipeline consumes the day's new
+    // files this way instead of re-scanning the table and anti-joining.
+    QueryDef(
+      "scan_manifest_incremental",
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_price " +
+          "FROM orders WHERE o_orderstatus IN ('O', 'P') " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val base = tmpPath("graft_manifest_incr", d)
+        val dataDir = s"$base/data"
+        val m1 = Paths.get(s"$base/manifest_v1.txt")
+        val m2 = Paths.get(s"$base/manifest_v2.txt")
+        val done = Paths.get(s"$base/_done")
+        if (!Files.exists(done)) {
+          Tables.t(s, d, "orders").write.mode("overwrite")
+            .partitionBy("o_orderstatus").parquet(dataDir)
+          def files(sts: Seq[String]) = sts.flatMap { st =>
+            val dir = Paths.get(s"$dataDir/o_orderstatus=$st")
+            Files.list(dir).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(_.toString).toSeq.sorted
+          }
+          Files.createDirectories(Paths.get(base))
+          // v1 froze when only F existed; v2 sees the appended O + P files
+          Files.writeString(m1, files(Seq("F")).mkString("\n"))
+          Files.writeString(m2, files(Seq("F", "O", "P")).mkString("\n"))
+          Files.writeString(done, "ok")
+        }
+        val v1 = Files.readAllLines(m1).asScala.toSet
+        val delta = Files.readAllLines(m2).asScala.toSeq.filterNot(v1)
+        s.read.option("basePath", dataDir).parquet(delta: _*)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            Q.out6(sum(Q.dec4(col("o_totalprice")))).as("sum_price"))
+          .orderBy("o_orderstatus")
+      }),
+
     // AN6 — table profile: null count, exact distinct count, min and max
     // for four heterogeneous lineitem columns. Shape: one narrow
     // single-column scan per column (columnar format: 4 one-column passes

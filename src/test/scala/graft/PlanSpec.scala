@@ -269,6 +269,14 @@ class PlanSpec extends AnyFunSuite {
       s"more than chunk-agg + window + doc-agg exchanges:\n${p.take(2000)}")
   }
 
+  test("scan_manifest_incremental: delta scan plans only files added after v1") {
+    val df = SparkEntry.queries("scan_manifest_incremental")(spark, sf)
+    df.count() // materialize layout + manifests
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(f => !f.contains("o_orderstatus=F")),
+      s"incremental scan read v1 (F-partition) files: ${files.mkString(", ")}")
+  }
+
   test("AnnotationRewrite: string-date predicate becomes annotation predicate") {
     opt.AnnotationRewrite.install(spark)
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_plan_annotated"
