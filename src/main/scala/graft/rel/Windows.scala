@@ -321,6 +321,49 @@ object Windows {
           .orderBy("user_id")
       }),
 
+    // F10 — trailing-window z-score anomaly flags: per-user daily event
+    // counts vs the preceding 7 days' mean/std (current day excluded — the
+    // monitoring baseline must not contain the point under test). The
+    // window carries EXACT integer sums (Σn, Σn², count — all int64) and
+    // the mean/std formula runs once in IEEE double as the same expression
+    // text in both engines; windowed stddev_samp over doubles would be
+    // implementation-order nondeterministic. Two exchanges by design: the
+    // partial count combines map-side BEFORE the (user_id, day) shuffle
+    // (raw events never cross the wire uncombined), then only the tiny
+    // daily rollup re-shuffles on user_id for the window — pinning one
+    // user-keyed shuffle up front would ship every raw event instead.
+    QueryDef(
+      "window_anomaly_zscore",
+      Some(
+        "WITH daily AS (SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day, " +
+          "count(*) AS n FROM events GROUP BY 1, 2), " +
+          "m AS (SELECT user_id, day, n, sum(n) OVER w AS s7, sum(n*n) OVER w AS ss7, " +
+          "count(*) OVER w AS k7 FROM daily WINDOW w AS " +
+          "(PARTITION BY user_id ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
+          "SELECT user_id, day, CAST(n AS BIGINT) AS n, " +
+          "round(CAST(s7 AS DOUBLE) / k7, 4) AS mean7, " +
+          "round(sqrt((CAST(ss7 AS DOUBLE) - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / k7) / (k7 - 1)), 4) AS sd7 " +
+          "FROM m WHERE k7 >= 3 AND CAST(n AS DOUBLE) > CAST(s7 AS DOUBLE) / k7 + " +
+          "2 * sqrt((CAST(ss7 AS DOUBLE) - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / k7) / (k7 - 1)) " +
+          "ORDER BY user_id, day"),
+      (s, d) => {
+        val w7 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-7, -1)
+        val mean = col("s7").cast("double") / col("k7")
+        val sd = sqrt((col("ss7").cast("double")
+          - col("s7").cast("double") * col("s7").cast("double") / col("k7"))
+          / (col("k7") - 1))
+        Tables.events(s, d)
+          .groupBy(col("user_id"), expr("ts_ms div 86400000").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("s7", sum(col("n")).over(w7))
+          .withColumn("ss7", sum(col("n") * col("n")).over(w7))
+          .withColumn("k7", count(lit(1)).over(w7))
+          .where(col("k7") >= 3 && col("n").cast("double") > mean + lit(2) * sd)
+          .select(col("user_id"), col("day"), col("n"),
+            round(mean, 4).as("mean7"), round(sd, 4).as("sd7"))
+          .orderBy("user_id", "day")
+      }),
+
     // H4 — EXCEPT: customers who never bought.
     QueryDef(
       "set_except",

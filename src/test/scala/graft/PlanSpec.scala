@@ -253,6 +253,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, "events must be scanned once")
   }
 
+  test("window_anomaly_zscore: combined daily rollup, then only the rollup re-shuffles") {
+    val p = plan("window_anomaly_zscore")
+    // raw events must combine map-side before the first exchange; after the
+    // (user_id, day) agg only daily rows move, so exactly one more hash
+    // exchange (user_id, for the trailing window) is allowed
+    assert(p.contains("partial_count"),
+      s"daily rollup has no map-side combine — raw events cross the wire:\n${p.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"more than rollup + window exchanges:\n${p.take(2000)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "events must be scanned once")
+  }
+
   test("agg_corr_matrix: one scan, map-side-combined moment sums") {
     val p = plan("agg_corr_matrix")
     assert("Scan parquet".r.findAllIn(p).size == 1,
