@@ -20,6 +20,16 @@ import graft.{QueryDef, Tables}
   */
 object Corpus {
 
+  /** BM25 sum over the three query terms — ONE string, spliced verbatim into
+    * both the Spark projection and the DuckDB oracle so the IEEE double
+    * arithmetic is the same expression tree in both engines. Inputs (n, sl,
+    * df*, tf*, dl) are all exact int64 at this point.
+    */
+  private val bm25Formula: String = Seq(1, 2, 3).map { i =>
+    s"ln((CAST(n AS DOUBLE) - df$i + 0.5) / (df$i + 0.5) + 1) * (CAST(tf$i AS DOUBLE) * 2.2) " +
+      s"/ (tf$i + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n / sl))"
+  }.mkString(" + ")
+
   def defs: Seq[QueryDef] = Seq(
 
     // Corpus boilerplate detection: the word-5-grams shared by the most
@@ -163,6 +173,61 @@ object Corpus {
             count(when(col("keep"), lit(1))).as("n_keep"),
             sum(when(col("keep"), col("n_toks"))).as("kept_toks"))
           .orderBy("lang")
+      }),
+
+    // Ranked retrieval: Okapi BM25 (k1=1.2, b=0.75) for a fixed 3-term
+    // query over the whole corpus. Per-document term frequencies and length
+    // come from ONE narrow HOF pass (tokens never explode — `size(filter(
+    // toks, …))` counts inside the row); the corpus statistics (N, Σdl, df
+    // per term) are ONE combinable aggregate collapsing to a single row,
+    // which re-enters as a constant-key broadcast. The ranking is a
+    // TakeOrdered top-20, so nothing global ever sorts. All agg inputs are
+    // exact int64; the BM25 formula runs once in IEEE double as identical
+    // expression text in both engines (same discipline as
+    // agg_corr_matrix / window_anomaly_zscore). At 100 TB: one scan for
+    // stats, one for scoring (both pruned to doc_id+text), a 1-row
+    // broadcast, zero wide exchanges beyond the stats partial agg.
+    QueryDef(
+      "rank_bm25_topk",
+      Some(
+        "WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks " +
+          "FROM documents), " +
+          "d AS (SELECT doc_id, len(toks) AS dl, " +
+          "len(list_filter(toks, x -> x = 'vector')) AS tf1, " +
+          "len(list_filter(toks, x -> x = 'stream')) AS tf2, " +
+          "len(list_filter(toks, x -> x = 'merge')) AS tf3 FROM tok), " +
+          "st AS (SELECT count(*) AS n, sum(dl) AS sl, " +
+          "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, " +
+          "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2, " +
+          "sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM d) " +
+          "SELECT doc_id, CAST(dl AS BIGINT) AS dl, CAST(tf1 + tf2 + tf3 AS BIGINT) AS tf_total, " +
+          s"round($bm25Formula, 6) AS score " +
+          "FROM d, st WHERE tf1 + tf2 + tf3 > 0 " +
+          "ORDER BY score DESC, doc_id LIMIT 20"),
+      (s, d) => {
+        val scored = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("dl"),
+            expr("size(filter(toks, x -> x = 'vector'))").cast("long").as("tf1"),
+            expr("size(filter(toks, x -> x = 'stream'))").cast("long").as("tf2"),
+            expr("size(filter(toks, x -> x = 'merge'))").cast("long").as("tf3"))
+        val st = scored.agg(
+          count(lit(1)).as("n"), sum(col("dl")).as("sl"),
+          sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+          sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+          sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+        // constant-key BHJ against the single stats row (see doc_tfidf_topk
+        // for why `when` without otherwise is the unfoldable key)
+        scored
+          .where(col("tf1") + col("tf2") + col("tf3") > 0)
+          .withColumn("k", when(col("dl") >= 0, 0L))
+          .join(broadcast(st.withColumn("k", when(col("n") >= 0, 0L))), "k")
+          .select(col("doc_id"), col("dl"), (col("tf1") + col("tf2") + col("tf3")).as("tf_total"),
+            expr(s"round($bm25Formula, 6)").as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
       }),
 
     // Language-model quality proxy without a model: score each document by

@@ -539,6 +539,66 @@ object Analytics {
           .agg(sum(bit_count(col("acc"))).cast("long").as("n_users"))
           .select((col("ht") * 3600000).as("h_ms"), col("n_users"))
           .orderBy("h_ms")
+      }),
+
+    // AN11 — data-quality expectation suite (the Deequ/Great-Expectations
+    // gate a production pipeline runs before publishing a table): seven
+    // constraints — row count, completeness, min/max ranges, a value
+    // domain, and PK uniqueness — evaluated as (check_name, observed,
+    // passed) rows. ALL scalar metrics come from ONE combinable aggregate
+    // over a 4-column scan; uniqueness gets its own 2-column distinct pass
+    // instead of a count(DISTINCT) in the main agg, which would plan an
+    // Expand that doubles every row ahead of the shuffle (the
+    // profile_table_stats lesson). The two 1-row results meet in a
+    // constant-key broadcast and a 7-element struct array explodes into
+    // the report. min/max/counts are exact (no accumulation), so observed
+    // values are bit-identical cross-engine. The synthetic lineitem
+    // genuinely violates unique_pk (45 832 distinct of 60 000 at sf0.01)
+    // — the suite reports a real mixed pass/fail verdict, not a tautology.
+    QueryDef(
+      "dq_expectation_suite",
+      Some(
+        "WITH m AS (SELECT count(*) AS n, count(l_quantity) AS nq, " +
+          "min(l_quantity) AS minq, max(l_quantity) AS maxq, max(l_discount) AS maxd, " +
+          "sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS bad_rf " +
+          "FROM lineitem), " +
+          "u AS (SELECT count(*) AS nk FROM " +
+          "(SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) " +
+          "SELECT * FROM (" +
+          "SELECT 'completeness_quantity' AS check_name, CAST(nq AS DOUBLE) AS observed, nq = n AS passed FROM m, u " +
+          "UNION ALL SELECT 'domain_returnflag', CAST(bad_rf AS DOUBLE), bad_rf = 0 FROM m, u " +
+          "UNION ALL SELECT 'max_discount', maxd, maxd <= 0.1 FROM m, u " +
+          "UNION ALL SELECT 'range_quantity_max', maxq, maxq <= 50 FROM m, u " +
+          "UNION ALL SELECT 'range_quantity_min', minq, minq >= 1 FROM m, u " +
+          "UNION ALL SELECT 'row_count_min', CAST(n AS DOUBLE), n >= 10000 FROM m, u " +
+          "UNION ALL SELECT 'unique_pk', CAST(nk AS DOUBLE), nk = n FROM m, u) " +
+          "ORDER BY check_name"),
+      (s, d) => {
+        val li = Tables.t(s, d, "lineitem")
+        val m = li.agg(
+          count(lit(1)).as("n"), count(col("l_quantity")).as("nq"),
+          min(col("l_quantity")).as("minq"), max(col("l_quantity")).as("maxq"),
+          max(col("l_discount")).as("maxd"),
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("bad_rf"))
+        val u = li.select(col("l_orderkey"), col("l_linenumber")).distinct()
+          .agg(count(lit(1)).as("nk"))
+        // constant-key BHJ of the two single-row metric frames (see
+        // doc_tfidf_topk for why `when` without otherwise is the key)
+        def check(name: String, obs: Column, ok: Column) =
+          struct(lit(name).as("check_name"), obs.cast("double").as("observed"), ok.as("passed"))
+        m.withColumn("k", when(col("n") >= 0, 0L))
+          .join(broadcast(u.withColumn("k", when(col("nk") >= 0, 0L))), "k")
+          .select(explode(array(
+            check("completeness_quantity", col("nq"), col("nq") === col("n")),
+            check("domain_returnflag", col("bad_rf"), col("bad_rf") === 0),
+            check("max_discount", col("maxd"), col("maxd") <= 0.1),
+            check("range_quantity_max", col("maxq"), col("maxq") <= 50),
+            check("range_quantity_min", col("minq"), col("minq") >= 1),
+            check("row_count_min", col("n"), col("n") >= 10000),
+            check("unique_pk", col("nk"), col("nk") === col("n")))).as("e"))
+          .select(col("e.check_name").as("check_name"),
+            col("e.observed").as("observed"), col("e.passed").as("passed"))
+          .orderBy("check_name")
       })
   )
 }

@@ -253,6 +253,27 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, "events must be scanned once")
   }
 
+  test("rank_bm25_topk: in-row tf counting, 1-row stats broadcast, no token explode") {
+    val p = plan("rank_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"stats row join fell back to a shuffle/BNLJ:\n${p.take(1500)}")
+    assert(!p.contains("Generate"), "tokens exploded — tf must count inside the row")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"more than stats + scoring scans:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must fuse into TakeOrdered")
+  }
+
+  test("dq_expectation_suite: Expand-free metrics, two scans, broadcast meet") {
+    val p = plan("dq_expectation_suite")
+    assert(!p.contains("Expand"),
+      s"uniqueness regressed to count(DISTINCT)-in-agg (row-doubling Expand):\n${p.take(1500)}")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"metric + uniqueness scans expected, got:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"1-row frames must meet in a BHJ:\n${p.take(1500)}")
+  }
+
   test("window_anomaly_zscore: combined daily rollup, then only the rollup re-shuffles") {
     val p = plan("window_anomaly_zscore")
     // raw events must combine map-side before the first exchange; after the
