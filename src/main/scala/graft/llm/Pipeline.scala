@@ -375,6 +375,47 @@ object Pipeline {
                 expr("transform(array_sort(collect_list(CASE WHEN keep THEN struct(chunk_id, chunk) END)), x -> x.chunk)"))))
               .as("clean_md5"))
           .orderBy("doc_id")
+      }),
+
+    // Entity resolution with blocking: near-duplicate entity names matched
+    // by edit distance — but NEVER all-pairs. Rows first collapse to the
+    // distinct-name vocabulary (with occurrence counts; map-side-combinable
+    // — at 100 TB names are many orders of magnitude fewer than rows), the
+    // blocking key (last name token) turns the vocabulary self-join into a
+    // per-block equi-join, and only blocked candidates pay the codegen'd
+    // levenshtein verify. The vocabulary side broadcasts, so nothing
+    // shuffles at all. The canonical record-linkage shape: block, then
+    // verify — identical to the MinHash band→verify discipline, with edit
+    // distance as the verifier.
+    QueryDef(
+      "er_blocked_levenshtein",
+      Some(
+        "WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts, " +
+          "split_part(p_name, ' ', 2) AS blk FROM part GROUP BY p_name) " +
+          "SELECT a.p_name AS name_a, b.p_name AS name_b, " +
+          "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist, " +
+          "a.n_parts AS n_a, b.n_parts AS n_b " +
+          "FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name " +
+          "WHERE levenshtein(a.p_name, b.p_name) <= 2 " +
+          "ORDER BY name_a, name_b"),
+      (s, d) => {
+        val names = Tables.t(s, d, "part")
+          .groupBy("p_name")
+          .agg(count(lit(1)).as("n_parts"))
+          .withColumn("blk", substring_index(col("p_name"), " ", -1))
+        // fresh aliases on every column: the two sides come from the same
+        // plan, and distinct exprIds keep the self-join unambiguous
+        val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"),
+          col("blk").as("blk_a"))
+        val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_b"),
+          col("blk").as("blk_b"))
+        a.join(broadcast(b),
+            col("blk_a") === col("blk_b") && col("name_a") < col("name_b") &&
+              levenshtein(col("name_a"), col("name_b")) <= 2)
+          .select(col("name_a"), col("name_b"),
+            levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+            col("n_a"), col("n_b"))
+          .orderBy("name_a", "name_b")
       })
   )
 

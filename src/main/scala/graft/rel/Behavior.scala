@@ -1,8 +1,9 @@
 package graft.rel
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{Q, QueryDef, Tables}
 
 /** Behavioral event analytics (SURVEY §2 addendum): funnel conversion and
   * cohort retention over the events stream — the two queries every product
@@ -86,5 +87,107 @@ object Behavior {
             expr(s"(ts_ms - ${epoch0}L) DIV ${weekMs}L - cohort_week").as("week_offset"))
           .agg(countDistinct(col("user_id")).as("n_active"))
           .orderBy("cohort_week", "week_offset")
+      }),
+
+    // Last-touch attribution: each purchase is credited to the user's most
+    // recent preceding marketing touch (view/click), the default revenue
+    // attribution model. ONE pass: a per-user window carries the last
+    // non-null touch forward (frame ends at 1 PRECEDING so a purchase never
+    // attributes to itself even if event types collide on a timestamp;
+    // event_id tie-breaks make the order total), then a 3-row combinable
+    // agg. No join — the naive form (purchases as-of-joined back to
+    // touches) would shuffle events twice. Revenue sums in exact
+    // DECIMAL(18,4) and exits as DOUBLE (Q discipline). At 100 TB: one
+    // shuffle keyed on user_id, then map-side-combining aggregation.
+    QueryDef(
+      "attribution_last_touch",
+      Some(
+        "WITH e AS (SELECT user_id, event_id, event_type, value, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events), " +
+          "t AS (SELECT event_type, value, " +
+          "last_value(CASE WHEN event_type IN ('view','click') THEN event_type END IGNORE NULLS) " +
+          "OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch " +
+          "FROM e) " +
+          "SELECT coalesce(touch, 'none') AS touch_type, CAST(count(*) AS BIGINT) AS n_purchases, " +
+          s"CAST(CAST(sum(CAST(value AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS revenue " +
+          "FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY touch_type"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .select("user_id", "event_id", "event_type", "value", "ts_ms")
+          .withColumn("touch",
+            last(when(col("event_type").isin("view", "click"), col("event_type")),
+              ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+          .agg(count(lit(1)).as("n_purchases"),
+            Q.out6(sum(Q.dec4(col("value")))).as("revenue"))
+          .orderBy("touch_type")
+      }),
+
+    // RFM segmentation: recency / frequency / monetary quartiles per
+    // customer, the classic CRM cut. Orders reduce to ONE row per customer
+    // first (map-side-combinable min/count/sum — at 100 TB the window input
+    // is customer-cardinality, orders of magnitude below fact rows), then
+    // three ntile(4) windows bin the rollup; (metric, custkey) ordering
+    // makes every quartile boundary deterministic in both engines. The
+    // global ntile is a single-partition sort of the ROLLUP only — at
+    // extreme scale the same cut runs on broadcast approx-percentile
+    // boundaries instead; exact ntile is chosen here for oracle parity.
+    QueryDef(
+      "rfm_segmentation",
+      Some(
+        "WITH rfm AS (SELECT o_custkey, max(epoch_ms(o_orderdate)) AS r, " +
+          s"CAST(count(*) AS BIGINT) AS f, sum(CAST(o_totalprice AS ${Q.D4})) AS m " +
+          "FROM orders GROUP BY o_custkey), " +
+          "q AS (SELECT CAST(ntile(4) OVER (ORDER BY r, o_custkey) AS BIGINT) AS r_q, " +
+          "CAST(ntile(4) OVER (ORDER BY f, o_custkey) AS BIGINT) AS f_q, " +
+          "CAST(ntile(4) OVER (ORDER BY m, o_custkey) AS BIGINT) AS m_q, m FROM rfm) " +
+          "SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers, " +
+          s"CAST(CAST(sum(m) AS ${Q.D6}) AS DOUBLE) AS sum_monetary " +
+          "FROM q GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q"),
+      (s, d) => {
+        val rfm = Tables.t(s, d, "orders")
+          .groupBy("o_custkey")
+          // o_orderdate is TIMESTAMP_NTZ; the session runs UTC, so the
+          // cast-to-instant is the same epoch value DuckDB's epoch_ms sees
+          .agg(max(unix_millis(col("o_orderdate").cast("timestamp"))).as("r"),
+            count(lit(1)).as("f"), sum(Q.dec4(col("o_totalprice"))).as("m"))
+        rfm
+          .withColumn("r_q", ntile(4).over(Window.orderBy(col("r"), col("o_custkey"))).cast("long"))
+          .withColumn("f_q", ntile(4).over(Window.orderBy(col("f"), col("o_custkey"))).cast("long"))
+          .withColumn("m_q", ntile(4).over(Window.orderBy(col("m"), col("o_custkey"))).cast("long"))
+          .groupBy("r_q", "f_q", "m_q")
+          .agg(count(lit(1)).as("n_customers"), Q.out6(sum(col("m"))).as("sum_monetary"))
+          .orderBy("r_q", "f_q", "m_q")
+      }),
+
+    // Time-weighted average: mean of an irregularly-sampled metric weighted
+    // by how long each sample was current (observability / pricing math —
+    // the plain mean over-weights bursts). lead() pairs each sample with
+    // its successor; contributions accumulate as exact DECIMAL×int64
+    // products (IEEE double sums are partition-order-dependent), and the
+    // single division runs once in double as identical formula text in
+    // both engines. One window shuffle on user_id, then a combinable agg.
+    QueryDef(
+      "time_weighted_avg",
+      Some(
+        "WITH e AS (SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events), " +
+          "g AS (SELECT user_id, value, " +
+          "lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) - ts_ms AS gap FROM e) " +
+          "SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, " +
+          s"round(CAST(CAST(sum(CAST(value AS ${Q.D4}) * gap) AS ${Q.D6}) AS DOUBLE) / CAST(sum(gap) AS DOUBLE), 6) AS twa " +
+          "FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+        Tables.events(s, d)
+          .select("user_id", "event_id", "value", "ts_ms")
+          .withColumn("gap", lead(col("ts_ms"), 1).over(w) - col("ts_ms"))
+          .where(col("gap").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            round(Q.out6(sum(Q.dec4(col("value")) * col("gap"))) /
+              sum(col("gap")).cast("double"), 6).as("twa"))
+          .orderBy("user_id")
       }))
 }

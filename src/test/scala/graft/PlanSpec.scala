@@ -274,6 +274,38 @@ class PlanSpec extends AnyFunSuite {
       s"1-row frames must meet in a BHJ:\n${p.take(1500)}")
   }
 
+  test("attribution_last_touch: one scan, one user-keyed window, no join") {
+    val p = plan("attribution_last_touch")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "events must be scanned once")
+    assert(!p.contains("Join"), "attribution must be a window pass, not an as-of join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "revenue agg has no map-side combine")
+  }
+
+  test("time_weighted_avg: one scan, window then combinable agg, no join") {
+    val p = plan("time_weighted_avg")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "events must be scanned once")
+    assert(!p.contains("Join"), p.take(1200))
+    assert(p.contains("partial_sum"), "TWA sums have no map-side combine")
+  }
+
+  test("rfm_segmentation: orders roll up map-side before any window touches them") {
+    val p = plan("rfm_segmentation")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "orders must be scanned once")
+    // the per-customer rollup must combine BEFORE the exchange: plans print
+    // top-down, so the partial agg line sits BELOW its exchange
+    assert(p.contains("partial_count"), "customer rollup has no map-side combine")
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("er_blocked_levenshtein: vocabulary self-join broadcasts, no all-pairs") {
+    val p = plan("er_blocked_levenshtein")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking key failed to make the pair join an equi-join:\n${p.take(1500)}")
+    assert(p.contains("partial_count"), "name rollup has no map-side combine")
+  }
+
   test("window_anomaly_zscore: combined daily rollup, then only the rollup re-shuffles") {
     val p = plan("window_anomaly_zscore")
     // raw events must combine map-side before the first exchange; after the
