@@ -416,6 +416,40 @@ object Pipeline {
             levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
             col("n_a"), col("n_b"))
           .orderBy("name_a", "name_b")
+      }),
+
+    // Hash-ring negative sampling for contrastive training: each document
+    // draws K=2 pseudo-random negatives — deterministically (multiplicative
+    // integer hashes, so the draw is reproducible across runs, engines, and
+    // partitionings, which rand() is not) and WITHOUT a cross join: docs
+    // land on a 32-bucket ring and negatives come only from the NEXT
+    // bucket, so the candidate join is bucket-keyed equi (per-doc fan-out =
+    // one bucket's population, bounded by growing the ring with the
+    // corpus), and a per-doc window keeps the 2 lowest-hash candidates.
+    QueryDef(
+      "negative_sampling_pairs",
+      Some(
+        "WITH h AS (SELECT doc_id, (doc_id * 2654435761) % 32 AS b, " +
+          "(doc_id * 40503) % 1048576 AS hk FROM documents), " +
+          "c AS (SELECT a.doc_id, n.doc_id AS neg_id, n.hk AS nhk FROM h a " +
+          "JOIN h n ON n.b = (a.b + 1) % 32) " +
+          "SELECT doc_id, CAST(rn AS BIGINT) AS neg_rank, neg_id FROM (" +
+          "SELECT doc_id, neg_id, row_number() OVER (PARTITION BY doc_id ORDER BY nhk, neg_id) AS rn FROM c) " +
+          "WHERE rn <= 2 ORDER BY doc_id, neg_rank"),
+      (s, d) => {
+        val h = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            pmod(col("doc_id") * lit(2654435761L), lit(32L)).as("b"),
+            pmod(col("doc_id") * lit(40503L), lit(1048576L)).as("hk"))
+        val a = h.select(col("doc_id"), pmod(col("b") + 1, lit(32L)).as("nb"))
+        val n = h.select(col("doc_id").as("neg_id"), col("b").as("nb"), col("hk").as("nhk"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("nhk"), col("neg_id"))
+        a.join(n, "nb")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 2)
+          .select(col("doc_id"), col("rn").as("neg_rank"), col("neg_id"))
+          .orderBy("doc_id", "neg_rank")
       })
   )
 

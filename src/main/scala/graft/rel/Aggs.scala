@@ -1,6 +1,7 @@
 package graft.rel
 
 import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -340,6 +341,43 @@ object Aggs {
         Tables.t(s, d, "orders")
           .groupBy("o_custkey")
           .agg(array_join(transform(sort_array(collect_list(Q.dec4(col("o_totalprice")))), _.cast("string")), ",").as("totals"))
-          .orderBy("o_custkey"))
+          .orderBy("o_custkey")),
+
+    // E12 — exact WEIGHTED median (price weighted by quantity, per return
+    // flag): the robust location statistic no built-in provides. Rows
+    // collapse to the (group, value) vocabulary first with summed weights
+    // (map-side-combinable — at 100 TB the windows run on value-cardinality
+    // rollups, not facts), a cumulative-weight window finds where 2·cum
+    // first reaches the group total, and one conditional min picks that
+    // value. All weight arithmetic is exact DECIMAL (IEEE cumulative sums
+    // would make the crossing point partition-order-dependent). Groups are
+    // the window partitions — the shape targets many-group workloads; the
+    // default RANGE frame is tie-safe because values are pre-collapsed.
+    QueryDef(
+      "agg_weighted_median",
+      Some(
+        s"WITH t AS (SELECT l_returnflag AS rf, CAST(l_extendedprice AS ${Q.D4}) AS v, " +
+          s"CAST(l_quantity AS ${Q.D4}) AS w FROM lineitem), " +
+          "g AS (SELECT rf, v, sum(w) AS w FROM t GROUP BY rf, v), " +
+          "c AS (SELECT rf, v, sum(w) OVER (PARTITION BY rf ORDER BY v) AS cum, " +
+          "sum(w) OVER (PARTITION BY rf) AS tot FROM g) " +
+          s"SELECT rf, CAST(CAST(min(CASE WHEN cum * 2 >= tot THEN v END) AS ${Q.D6}) AS DOUBLE) AS w_median, " +
+          s"CAST(CAST(min(tot) AS ${Q.D6}) AS DOUBLE) AS total_weight " +
+          "FROM c GROUP BY rf ORDER BY rf"),
+      (s, d) => {
+        val wCum = Window.partitionBy("rf").orderBy("v")
+        val wTot = Window.partitionBy("rf")
+        Tables.t(s, d, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            Q.dec4(col("l_extendedprice")).as("v"), Q.dec4(col("l_quantity")).as("w"))
+          .groupBy("rf", "v").agg(sum(col("w")).as("w"))
+          .withColumn("cum", sum(col("w")).over(wCum))
+          .withColumn("tot", sum(col("w")).over(wTot))
+          .groupBy("rf")
+          .agg(
+            Q.out6(min(when(col("cum") * 2 >= col("tot"), col("v")))).as("w_median"),
+            Q.out6(min(col("tot"))).as("total_weight"))
+          .orderBy("rf")
+      })
   )
 }

@@ -189,5 +189,35 @@ object Behavior {
             round(Q.out6(sum(Q.dec4(col("value")) * col("gap"))) /
               sum(col("gap")).cast("double"), 6).as("twa"))
           .orderBy("user_id")
+      }),
+
+    // First-order Markov transition matrix over event types: P(next | cur),
+    // the behavioral fingerprint behind next-action prediction and
+    // anomaly detection on session flows. lead() pairs each event with its
+    // successor (one user-keyed window shuffle), the (from, to) counts
+    // combine map-side, and the row-normalizing window runs over the TINY
+    // transition matrix (|types|² rows), not events. The probability is one
+    // double division, identical expression text in both engines.
+    QueryDef(
+      "markov_transitions",
+      Some(
+        "WITH e AS (SELECT user_id, event_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events), " +
+          "p AS (SELECT event_type AS from_type, " +
+          "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS to_type FROM e) " +
+          "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n, " +
+          "round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob " +
+          "FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type ORDER BY from_type, to_type"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+        val wf = Window.partitionBy("from_type")
+        Tables.events(s, d)
+          .select("user_id", "event_id", "event_type", "ts_ms")
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .where(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("prob",
+            round(col("n").cast("double") / sum(col("n")).over(wf).cast("double"), 6))
+          .orderBy("from_type", "to_type")
       }))
 }

@@ -306,6 +306,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "name rollup has no map-side combine")
   }
 
+  test("markov_transitions: one scan, window then combinable pair agg, no join") {
+    val p = plan("markov_transitions")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "events must be scanned once")
+    assert(!p.contains("Join"), p.take(1200))
+    assert(p.contains("partial_count"), "pair counts have no map-side combine")
+  }
+
+  test("agg_weighted_median: vocabulary rollup combines before any window") {
+    val p = plan("agg_weighted_median")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "lineitem must be scanned once")
+    assert(p.contains("partial_sum"), "(group,value) rollup has no map-side combine")
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("negative_sampling_pairs: ring join is equi, never cross") {
+    val p = plan("negative_sampling_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ring bucket key failed to make the candidate join equi:\n${p.take(1500)}")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1200))
+  }
+
   test("window_anomaly_zscore: combined daily rollup, then only the rollup re-shuffles") {
     val p = plan("window_anomaly_zscore")
     // raw events must combine map-side before the first exchange; after the
