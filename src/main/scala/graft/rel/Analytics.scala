@@ -37,6 +37,28 @@ object Analytics {
   private def tmpPath(name: String, d: String): String =
     s"${sys.props("java.io.tmpdir")}/${name}_${Integer.toHexString(d.hashCode)}"
 
+  /** Eager localCheckpoint + created block ids, and the matching explicit
+    * release — same discipline as Advanced/Llm/Ivf: superseded blocks are
+    * freed by id, never left to nondeterministic ContextCleaner GC.
+    */
+  private def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
+  }
+
+  private def release(s: SparkSession, ids: Seq[Int]): Unit = {
+    val live = s.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** One-slot registry of triangle-count checkpoint blocks per
+    * (session, dir): a re-run releases the superseded run's blocks.
+    */
+  private val triFinal =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Int]]()
+
   val defs: Seq[QueryDef] = Seq(
 
     // AN1 — exact distinct via bucket bitmaps. Stage 1 folds raw ids into
@@ -131,18 +153,24 @@ object Analytics {
       (s, d) => {
         val li = Tables.t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val edges = li.as("a").join(li.as("b"),
+        // The edge build (per-order pair explosion + weight agg) is the
+        // expensive stage and feeds THREE consumers (degrees, orientation,
+        // the edge count) — and the oriented set feeds three more. Without
+        // truncation Spark recomputes the whole build per consumer (~5×);
+        // both intermediates are edge-cardinality (tiny next to facts), so
+        // they checkpoint, and superseded blocks release deterministically.
+        val (edges, edgeIds) = ckpt(li.as("a").join(li.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey") &&
               col("a.l_suppkey") < col("b.l_suppkey"))
           .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
           .agg(count(lit(1)).as("w"))
           .where(col("w") >= 4)
-          .select("u", "v")
+          .select("u", "v"))
         val deg = edges.select(col("u").as("node"))
           .unionAll(edges.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
         // orient src→dst where (deg, id) of src < (deg, id) of dst
-        val oriented = edges
+        val (oriented, orientIds) = ckpt(edges
           .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
           .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
           .select(
@@ -153,7 +181,8 @@ object Analytics {
               struct(col("v").as("n"), col("dv").as("dg")))
               .otherwise(struct(col("u").as("n"), col("du").as("dg"))).as("t"))
           .select(col("s.n").as("src"), col("t.n").as("dst"),
-            col("t.dg").as("ddeg"))
+            col("t.dg").as("ddeg")))
+        Option(triFinal.put((s, d), edgeIds ++ orientIds)).foreach(release(s, _))
         // wedges from each low corner: pairs of out-neighbours ordered by
         // (deg, id) so the closing edge is guaranteed oriented b→c
         val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
