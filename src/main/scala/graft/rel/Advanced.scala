@@ -157,6 +157,30 @@ object Advanced {
       "GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
 
+  /** Q21 shape (suppliers who kept orders waiting): the hardest TPC-H join
+    * topology — a correlated EXISTS (another supplier in the same order)
+    * AND a correlated NOT EXISTS (no OTHER supplier was late) against the
+    * same fact CTE. Catalyst decorrelates both into one left-semi and one
+    * left-anti join keyed on l_orderkey with the `<>` residual — three
+    * key-partitioned joins total, never a per-row probe; the dims
+    * broadcast. "Late" is shipdate > orderdate + 60 days (this schema
+    * carries no commit/receipt dates). One ANSI text, verbatim both
+    * engines.
+    */
+  private val q21Sql =
+    "WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F') " +
+      "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait " +
+      "FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY " +
+      "AND n_name IN ('NATION_3','NATION_7') " +
+      "AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+      "AND l2.l_suppkey <> l1.l_suppkey) " +
+      "AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+      "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY) " +
+      "GROUP BY s_name ORDER BY numwait DESC, s_name"
+
   val defs: Seq[QueryDef] = Seq(
 
     // SCD2 history build: collapse each user's consecutive same-type event
@@ -332,6 +356,17 @@ object Advanced {
         Seq("customer", "orders", "lineitem")
           .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
         s.sql(q18Sql)
+      }),
+
+    // Dialect-portable Q21 shape (EXISTS + NOT EXISTS decorrelation): see
+    // q21Sql above.
+    QueryDef(
+      "sql_api_q21",
+      Some(q21Sql),
+      (s, d) => {
+        Seq("supplier", "lineitem", "orders", "nation")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q21Sql)
       }),
 
     // Incremental aggregate merge: per-key partial state (count + exact

@@ -306,6 +306,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "name rollup has no map-side combine")
   }
 
+  test("sql_api_q21: EXISTS/NOT EXISTS decorrelate to key-partitioned semi+anti joins") {
+    val p = plan("sql_api_q21")
+    assert(p.contains("LeftSemi"), "EXISTS did not decorrelate to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not decorrelate to an anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery fell back to a nested-loop probe:\n${p.take(1500)}")
+  }
+
   test("markov_transitions: one scan, window then combinable pair agg, no join") {
     val p = plan("markov_transitions")
     assert("Scan parquet".r.findAllIn(p).size == 1, "events must be scanned once")
