@@ -156,5 +156,40 @@ object Formats {
           .where(col("rn") === 1)
           .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"), col("n"))
           .orderBy("c_mktsegment")
+      }),
+
+    // Parquet schema evolution: a table whose early files predate a column
+    // (v1: 2 cols) and whose later files carry it (v2: 3 cols) — the normal
+    // state of any long-lived 100 TB table. `mergeSchema` unions the file
+    // schemas at planning time; rows from old files surface the new column
+    // as NULL, and per-file pruning still applies (each file reads only the
+    // leaves it has). The aggregate proves both the union schema and the
+    // NULL backfill; the oracle reconstructs the same split from the
+    // original table (priority is "present" only for the v2 half).
+    QueryDef(
+      "scan_schema_evolution",
+      Some(
+        "WITH v AS (SELECT o_orderstatus, o_totalprice, " +
+          "CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority " +
+          "FROM orders) " +
+          "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority, " +
+          s"CAST(CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_total " +
+          "FROM v GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      (s, d) => {
+        val tmp = scratch("evolve", d)
+        val o = Tables.t(s, d, "orders")
+        o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$tmp/f=v1")
+        o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$tmp/f=v2")
+        s.read.option("mergeSchema", "true").parquet(s"$tmp/f=v1", s"$tmp/f=v2")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            count(col("o_orderpriority")).as("n_with_priority"),
+            Q.out6(sum(Q.dec4(col("o_totalprice")))).as("sum_total"))
+          .orderBy("o_orderstatus")
       }))
 }

@@ -163,6 +163,32 @@ object Funcs {
           Q.out6(greatest(Q.dec4(col("c_acctbal")), lit(1000).cast(DecimalType(18, 4)))).as("greatest_bal"),
           expr("nvl2(c_name, 'named', 'anon')").as("named"),
           isnan(col("c_acctbal")).as("is_nan"))
-          .orderBy("c_custkey"))
+          .orderBy("c_custkey")),
+
+    // I8 — bitwise family: AND/OR/XOR, shifts, popcount — the primitives
+    // behind bitmap indexes (agg_bitmap_distinct), bloom hashing, and flag
+    // packing. All codegen'd integer ops; only the XOR spelling differs by
+    // dialect (Spark `^`, DuckDB `xor()`), values are identical int64.
+    QueryDef(
+      "func_bitwise",
+      Some(
+        "SELECT l_orderkey, l_linenumber, " +
+          "(l_orderkey & 255) AS b_and, (l_orderkey | 4096) AS b_or, " +
+          "xor(l_orderkey, l_partkey) AS b_xor, " +
+          "(l_linenumber << 3) AS b_shl, (l_orderkey >> 2) AS b_shr, " +
+          "CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS INT) AS popcnt " +
+          "FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber"),
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey"), lit(100)) === 0)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            expr("l_orderkey & 255").as("b_and"),
+            expr("l_orderkey | 4096").as("b_or"),
+            expr("l_orderkey ^ l_partkey").as("b_xor"),
+            expr("shiftleft(l_linenumber, 3)").as("b_shl"),
+            expr("shiftright(l_orderkey, 2)").as("b_shr"),
+            bit_count(col("l_orderkey")).as("popcnt"))
+          .orderBy("l_orderkey", "l_linenumber"))
   )
 }

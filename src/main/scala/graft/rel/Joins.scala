@@ -233,6 +233,37 @@ object Joins {
           .groupBy(col("k1").as("o_orderkey"))
           .agg(count(lit(1)).as("n_near"))
           .orderBy("o_orderkey")
+      }),
+
+    // D11 — NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the shape
+    // entity-resolution and SCD pipelines need when the business key can
+    // legitimately be NULL and NULL must match NULL (a plain `=` silently
+    // drops those rows). EqualNullSafe is a first-class HASH join key in
+    // Spark — the plan stays a broadcast/shuffle hash join, NOT a
+    // nested-loop fallback; PlanSpec pins that. Keys here derive from the
+    // priority with one arm nulled out so the NULL bucket is real.
+    QueryDef(
+      "join_null_safe",
+      Some(
+        "WITH o AS (SELECT nullif(substr(o_orderpriority, 1, 1), '4') AS k, o_totalprice FROM orders), " +
+          "c AS (SELECT nullif(substr(o_orderpriority, 1, 1), '4') AS k, " +
+          "CAST(count(*) AS BIGINT) AS n_right FROM orders GROUP BY 1) " +
+          "SELECT o.k, CAST(count(*) AS BIGINT) AS n, min(n_right) AS n_right, " +
+          s"CAST(CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_total " +
+          "FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k " +
+          "GROUP BY o.k ORDER BY o.k NULLS FIRST"),
+      (s, d) => {
+        val o = Tables.t(s, d, "orders")
+          .select(nullif(substring(col("o_orderpriority"), 1, 1), lit("4")).as("k"),
+            col("o_totalprice"))
+        val c = Tables.t(s, d, "orders")
+          .select(nullif(substring(col("o_orderpriority"), 1, 1), lit("4")).as("kr"))
+          .groupBy("kr").agg(count(lit(1)).as("n_right"))
+        o.join(broadcast(c), col("k") <=> col("kr"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"), min(col("n_right")).as("n_right"),
+            Q.out6(sum(Q.dec4(col("o_totalprice")))).as("sum_total"))
+          .orderBy(col("k").asc_nulls_first)
       })
   )
 }

@@ -306,6 +306,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "name rollup has no map-side combine")
   }
 
+  test("join_null_safe: EqualNullSafe stays a hash join, no nested-loop fallback") {
+    val p = plan("join_null_safe")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-safe key fell out of the hash join path:\n${p.take(1500)}")
+  }
+
   test("sql_api_q21: EXISTS/NOT EXISTS decorrelate to key-partitioned semi+anti joins") {
     val p = plan("sql_api_q21")
     assert(p.contains("LeftSemi"), "EXISTS did not decorrelate to a semi join")
