@@ -628,6 +628,43 @@ object Analytics {
           .select(col("e.check_name").as("check_name"),
             col("e.observed").as("observed"), col("e.passed").as("passed"))
           .orderBy("check_name")
+      }),
+
+    // AN12 — geospatial grid hotspots: geohash-style binning (30°×30°
+    // cells) + per-cell density and total great-circle distance to a fixed
+    // point. The haversine runs per row as CODEGEN'D BUILT-INS
+    // (radians/sin/cos/asin — no UDF, unlike udf_scalar_haversine which
+    // showcases the UDF path on purpose), is rounded to 3 dp to absorb
+    // libm ulps, and sums EXACTLY via DECIMAL so the per-cell totals are
+    // partition-order-independent. One combinable hash agg on the cell
+    // key — the spatial-partitioning shape that scales to any point count.
+    QueryDef(
+      "geo_grid_hotspot",
+      Some(
+        "WITH g AS (SELECT c_custkey, CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat, " +
+          "CAST((c_nationkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon FROM customer), " +
+          "c AS (SELECT CAST(floor((lat + 90) / 30) AS BIGINT) AS cell_lat, " +
+          "CAST(floor((lon + 180) / 30) AS BIGINT) AS cell_lon, " +
+          "round(2 * 6371 * asin(sqrt(pow(sin(radians(0 - lat) / 2), 2) + " +
+          "cos(radians(lat)) * cos(radians(0)) * pow(sin(radians(0 - lon) / 2), 2))), 3) AS dist FROM g) " +
+          "SELECT cell_lat, cell_lon, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(dist AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_dist_km " +
+          "FROM c GROUP BY cell_lat, cell_lon ORDER BY cell_lat, cell_lon"),
+      (s, d) => {
+        val g = Tables.t(s, d, "customer")
+          .select(
+            ((col("c_custkey") % 180 - 90).cast("double") + 0.5).as("lat"),
+            ((col("c_nationkey") * 7 % 360 - 180).cast("double") + 0.5).as("lon"))
+        g.select(
+            floor((col("lat") + 90) / 30).cast("long").as("cell_lat"),
+            floor((col("lon") + 180) / 30).cast("long").as("cell_lon"),
+            round(expr(
+              "2 * 6371 * asin(sqrt(pow(sin(radians(0 - lat) / 2), 2) + " +
+                "cos(radians(lat)) * cos(radians(0)) * pow(sin(radians(0 - lon) / 2), 2)))"),
+              3).as("dist"))
+          .groupBy("cell_lat", "cell_lon")
+          .agg(count(lit(1)).as("n"), Q.out6(sum(Q.dec4(col("dist")))).as("sum_dist_km"))
+          .orderBy("cell_lat", "cell_lon")
       })
   )
 }

@@ -79,6 +79,32 @@ object Scale {
           .orderBy("yr")
       }),
 
+    // Static partition pruning: the read-side payoff of the partitioned
+    // layout above — a filter on the partition column becomes a
+    // PartitionFilter at planning time, so non-matching year DIRECTORIES
+    // are never listed into tasks (vs PushedFilters, which still opens
+    // files to skip row groups). At 100 TB this is the difference between
+    // scanning 2 years and scanning 30. PlanSpec asserts the filter lands
+    // in PartitionFilters, not the data filter.
+    QueryDef(
+      "scan_partition_prune",
+      Some(
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS sum_total " +
+          "FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1 ORDER BY 1"),
+      (s, d) => {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_prune_orders_${Integer.toHexString(d.hashCode)}"
+        Tables.t(s, d, "orders")
+          .withColumn("yr", year(col("o_orderdate")).cast("long"))
+          .repartition(col("yr"))
+          .write.mode("overwrite").partitionBy("yr").parquet(tmp)
+        s.read.parquet(tmp)
+          .where(col("yr").isin(1996L, 1997L))
+          .groupBy("yr")
+          .agg(count(lit(1)).as("n"), Q.out6(sum(Q.dec4(col("o_totalprice")))).as("sum_total"))
+          .orderBy("yr")
+      }),
+
     // Salted skew join: the dimension is exploded ×16 with a salt column,
     // the fact derives the same salt from its row key, and the join key
     // becomes (priority, salt) — a hot priority spreads over 16 partitions.

@@ -306,6 +306,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "name rollup has no map-side combine")
   }
 
+  test("scan_partition_prune: the year filter lands in PartitionFilters") {
+    val p = plan("scan_partition_prune")
+    assert(p.contains("PartitionFilters: [") && p.contains("yr"),
+      s"partition-column filter did not become a PartitionFilter:\n${p.take(1500)}")
+    // the filter must NOT degrade to a post-scan data filter on yr
+    assert(!p.contains("PushedFilters: [In(yr"), "yr filter pushed as a data filter instead")
+  }
+
+  test("geo_grid_hotspot: codegen'd builtin haversine, one combinable cell agg") {
+    val p = plan("geo_grid_hotspot")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(p.contains("partial_count"), "cell agg has no map-side combine")
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"), "haversine left codegen")
+  }
+
   test("join_null_safe: EqualNullSafe stays a hash join, no nested-loop fallback") {
     val p = plan("join_null_safe")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
