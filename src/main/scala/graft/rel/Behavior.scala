@@ -219,5 +219,40 @@ object Behavior {
           .withColumn("prob",
             round(col("n").cast("double") / sum(col("n")).over(wf).cast("double"), 6))
           .orderBy("from_type", "to_type")
+      }),
+
+    // Trailing EWMA (α = ½): the time-series smoother behind monitoring
+    // dashboards and feature pipelines. Exponential decay is inherently
+    // recursive, so the trailing-10 truncation makes it a WINDOW + HOF
+    // computation: collect the frame (frame order = window order,
+    // deterministic), fold with 2^-k weights — every product is an EXACT
+    // binary scaling because α = ½, and both engines fold ascending, so
+    // the IEEE result is bit-identical despite being float math. One
+    // user-keyed window shuffle, then a narrow HOF pass; the frame bound
+    // caps per-row state at any scale.
+    QueryDef(
+      "window_ewma",
+      Some(
+        "WITH e AS (SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events), " +
+          "w AS (SELECT user_id, event_id, ts_ms, list(value) OVER " +
+          "(PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs FROM e) " +
+          "SELECT user_id, event_id, " +
+          "round(list_sum(list_transform(range(len(xs)), i -> xs[i+1] * pow(0.5, len(xs)-1-i))) " +
+          "/ (2 - pow(0.5, len(xs)-1)), 6) AS ewma " +
+          "FROM w ORDER BY user_id, ts_ms, event_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(-9, 0)
+        Tables.events(s, d)
+          .select("user_id", "event_id", "value", "ts_ms")
+          .withColumn("xs", collect_list(col("value")).over(w))
+          .select(col("user_id"), col("event_id"),
+            round(expr(
+              "aggregate(sequence(0, size(xs)-1), cast(0.0 as double), " +
+                "(acc, i) -> acc + element_at(xs, i+1) * pow(0.5, size(xs)-1-i)) " +
+                "/ (2 - pow(0.5, size(xs)-1))"), 6).as("ewma"),
+            col("ts_ms"))
+          .orderBy("user_id", "ts_ms", "event_id")
+          .drop("ts_ms")
       }))
 }
