@@ -189,6 +189,60 @@ object Multimodal {
           }
           .toDF("doc_id", "feat")
           .orderBy("doc_id")
+      }),
+
+    // Audio framing + energy: the audio arm of the multimodal mandate. The
+    // payload is REAL 16-bit little-endian PCM (1024 samples synthesized
+    // from doc_id by integer arithmetic — no audio codec ships in this
+    // container), the kernel does a genuine byte-level decode
+    // (ByteBuffer LE → shorts), frames into 256-sample windows, and emits
+    // per-frame energy (Σ s², exact int64). The oracle recomputes energies
+    // from the synthesis arithmetic, so the check passes ONLY if the
+    // PCM byte round-trip decodes correctly. Narrow flatMap kernel — audio
+    // bytes never leave their input partition; only (id, frame, energy)
+    // scalars move.
+    QueryDef(
+      "multimodal_audio_energy",
+      Some(
+        "SELECT doc_id, CAST(i // 256 AS BIGINT) AS frame_id, " +
+          "CAST(sum(s * s) AS BIGINT) AS energy FROM (" +
+          "SELECT doc_id, i, (doc_id * 7919 + i * 104729) % 65536 - 32768 AS s " +
+          "FROM documents, unnest(range(1024)) AS t(i)) " +
+          "GROUP BY doc_id, i // 256 ORDER BY doc_id, frame_id"),
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"))
+          .as[Long]
+          .map { id =>
+            // encode: synthesize PCM and pack LITTLE-ENDIAN int16 bytes
+            val buf = java.nio.ByteBuffer.allocate(2048)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (i < 1024) {
+              buf.putShort((((id * 7919 + i.toLong * 104729) % 65536) - 32768).toShort)
+              i += 1
+            }
+            (id, buf.array())
+          }
+          .mapPartitions { it =>
+            it.flatMap { case (id, bytes) =>
+              // decode: bytes → shorts (the kernel sees only the payload)
+              val sb = java.nio.ByteBuffer.wrap(bytes)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+              (0 until 4).iterator.map { f =>
+                var e = 0L
+                var j = f * 256
+                while (j < (f + 1) * 256) {
+                  val v = sb.get(j).toLong; e += v * v; j += 1
+                }
+                (id, f.toLong, e)
+              }
+            }
+          }
+          .toDF("doc_id", "frame_id", "energy")
+          .orderBy("doc_id", "frame_id")
       })
   )
 }
