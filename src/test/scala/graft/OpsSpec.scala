@@ -242,6 +242,17 @@ class OpsSpec extends AnyFunSuite {
     assert(afterSecond - afterFirst <= 2, s"$afterFirst -> $afterSecond persisted RDDs")
   }
 
+  test("cache hygiene: repeated triangle-count runs do not accumulate persisted blocks") {
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    run("graph_triangle_count").count()
+    val afterFirst = persisted
+    run("graph_triangle_count").count()
+    val afterSecond = persisted
+    // the edges+oriented checkpoints are registry-swapped per (session,dir)
+    // with explicit by-id release — a repeat replaces, never accumulates
+    assert(afterSecond - afterFirst <= 0, s"$afterFirst -> $afterSecond persisted RDDs")
+  }
+
   test("cluster loop isolation: parent session conf never mutates mid-loop") {
     // the label-propagation loop caps shuffle partitions on a CHILD session
     // (spark.newSession); poll the PARENT's conf from another thread for the
