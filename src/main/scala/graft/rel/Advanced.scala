@@ -181,6 +181,13 @@ object Advanced {
       "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY) " +
       "GROUP BY s_name ORDER BY numwait DESC, s_name"
 
+  /** SQL-standard LATERAL correlated subquery (top-n per group). */
+  private val lateralSql =
+    "SELECT n_name, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal " +
+      "FROM nation, LATERAL (SELECT c_name, c_acctbal FROM customer " +
+      "WHERE c_nationkey = n_nationkey ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t " +
+      "ORDER BY n_name, acctbal DESC, c_name"
+
   val defs: Seq[QueryDef] = Seq(
 
     // SCD2 history build: collapse each user's consecutive same-type event
@@ -367,6 +374,21 @@ object Advanced {
         Seq("supplier", "lineitem", "orders", "nation")
           .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
         s.sql(q21Sql)
+      }),
+
+    // LATERAL correlated subquery: top-2 customers per nation written as
+    // the SQL-standard LATERAL form (the shape ORMs and federated tools
+    // emit). Catalyst decorrelates the per-row ORDER BY ... LIMIT into a
+    // window-rank over a key-partitioned join — the per-group-top-n plan —
+    // instead of re-running the subquery per outer row. One ANSI text
+    // verbatim in both engines.
+    QueryDef(
+      "join_lateral_topn",
+      Some(lateralSql),
+      (s, d) => {
+        Seq("nation", "customer")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(lateralSql)
       }),
 
     // Incremental aggregate merge: per-key partial state (count + exact
