@@ -181,6 +181,23 @@ object Advanced {
       "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY) " +
       "GROUP BY s_name ORDER BY numwait DESC, s_name"
 
+  /** WITH RECURSIVE hierarchy walk (Spark 4's recursive CTE — the
+    * org-chart / BOM traversal no fixed-depth unrolling expresses): every
+    * customer climbs the implicit binary-halving tree (parent =
+    * floor(key/2)) to the root; depth distribution out. The division is
+    * spelled floor(x / 2.0) because the shared text must parse in BOTH
+    * dialects (`DIV` is Spark-only, `//` DuckDB-only) — exact for keys
+    * < 2^52. Each iteration is one shuffle-free narrow step; Spark
+    * terminates when the recursive arm is empty.
+    */
+  private val recursiveSql =
+    "WITH RECURSIVE anc AS (" +
+      "SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer " +
+      "UNION ALL SELECT node, CAST(floor(cur / 2.0) AS BIGINT), depth + 1 FROM anc WHERE cur > 1) " +
+      "SELECT depth, CAST(count(*) AS BIGINT) AS n " +
+      "FROM (SELECT node, max(depth) AS depth FROM anc GROUP BY node) " +
+      "GROUP BY depth ORDER BY depth"
+
   /** SQL-standard LATERAL correlated subquery (top-n per group). */
   private val lateralSql =
     "SELECT n_name, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal " +
@@ -389,6 +406,15 @@ object Advanced {
         Seq("nation", "customer")
           .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
         s.sql(lateralSql)
+      }),
+
+    // Recursive CTE hierarchy traversal: see recursiveSql above.
+    QueryDef(
+      "hierarchy_recursive_cte",
+      Some(recursiveSql),
+      (s, d) => {
+        Tables.t(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql(recursiveSql)
       }),
 
     // Incremental aggregate merge: per-key partial state (count + exact
