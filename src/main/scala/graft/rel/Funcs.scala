@@ -145,6 +145,49 @@ object Funcs {
           get_json_object(col("props"), "$.missing").as("missing"))
           .orderBy("event_id")),
 
+    // I6v — VARIANT semi-structured type (Spark 4): props parses ONCE into
+    // the binary variant encoding, then typed variant_get extractions —
+    // the modern engine's answer to repeated get_json_object string
+    // re-parsing (one parse, O(1) typed field reads, shreddable at the
+    // scan at 100 TB). The oracle reads the same fields with DuckDB's JSON
+    // extraction; values (not representations) are compared.
+    QueryDef(
+      "func_variant",
+      Some(
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, " +
+          "CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, " +
+          "json_extract_string(props, '$.missing') IS NULL AS missing_null " +
+          "FROM events ORDER BY event_id"),
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("v", parse_json(col("props")))
+          .select(
+            col("event_id"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k_num"),
+            (expr("variant_get(v, '$.k', 'bigint')") % 10).as("k_mod"),
+            expr("variant_get(v, '$.missing', 'string')").isNull.as("missing_null"))
+          .orderBy("event_id")),
+
+    // I6t — TRY_CAST: malformed input degrades to NULL instead of failing
+    // the job — the difference between a 100 TB ingest that finishes with
+    // a quarantine column and one that dies at hour 9. Same function name
+    // and semantics in both engines; inputs synthesized so every row
+    // carries one good and one bad parse.
+    QueryDef(
+      "func_try_cast",
+      Some(
+        "SELECT event_id, TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS good_num, " +
+          "TRY_CAST(event_type AS BIGINT) AS bad_num, " +
+          "TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '2024-01-0' ELSE '2024-01-02' END AS DATE) AS maybe_date " +
+          "FROM events ORDER BY event_id"),
+      (s, d) =>
+        Tables.events(s, d).selectExpr(
+          "event_id",
+          "TRY_CAST(CAST(event_id AS STRING) AS BIGINT) AS good_num",
+          "TRY_CAST(event_type AS BIGINT) AS bad_num",
+          "TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '2024-01-0' ELSE '2024-01-02' END AS DATE) AS maybe_date")
+          .orderBy("event_id")),
+
     // I7 — conditional / null family.
     QueryDef(
       "func_conditional_null",
