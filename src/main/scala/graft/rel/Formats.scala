@@ -158,6 +158,31 @@ object Formats {
           .orderBy("c_mktsegment")
       }),
 
+    // Text source round-trip (completes the parquet/csv/json/orc/text
+    // format matrix): tab-joined lines out through the text sink, parsed
+    // back with split(); the aggregate's keyed checksums (count, Σlen,
+    // Σ id·len) are file-order-independent, so the multi-file read needs
+    // no ordering guarantee — exactly how a 100 TB text corpus is stored.
+    QueryDef(
+      "scan_text_roundtrip",
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(text)) AS BIGINT) AS sum_len, " +
+          "CAST(sum(doc_id * len(text)) AS BIGINT) AS keyed_sum, " +
+          "CAST(max(doc_id) AS BIGINT) AS max_id FROM documents"),
+      (s, d) => {
+        val tmp = scratch("text", d)
+        Tables.t(s, d, "documents")
+          .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(
+            split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+            split(col("value"), "\t", 2).getItem(1).as("text"))
+          .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("sum_len"),
+            sum(col("doc_id") * length(col("text"))).as("keyed_sum"),
+            max(col("doc_id")).as("max_id"))
+      }),
+
     // Parquet schema evolution: a table whose early files predate a column
     // (v1: 2 cols) and whose later files carry it (v2: 3 cols) — the normal
     // state of any long-lived 100 TB table. `mergeSchema` unions the file

@@ -188,6 +188,33 @@ object Funcs {
           "TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '2024-01-0' ELSE '2024-01-02' END AS DATE) AS maybe_date")
           .orderBy("event_id")),
 
+    // I6c — collated comparison (Spark 4 collations): grouping under
+    // UTF8_LCASE makes case-insensitivity a property of the COLUMN TYPE —
+    // the comparison/hash the whole plan (joins, aggs, sorts) then shares,
+    // instead of wrapping every reference in lower() and hoping codegen
+    // dedups it. Case noise is synthesized from the key; output uses
+    // lower(min(s)) so the emitted representative is deterministic either
+    // way. Oracle groups by lower() — equivalent for this ASCII domain.
+    QueryDef(
+      "func_collation_ci",
+      Some(
+        "WITH s AS (SELECT CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment) " +
+          "WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg_raw " +
+          "FROM customer) " +
+          "SELECT lower(min(seg_raw)) AS seg, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(count(DISTINCT seg_raw) AS BIGINT) AS n_forms " +
+          "FROM s GROUP BY lower(seg_raw) ORDER BY seg"),
+      (s, d) =>
+        Tables.t(s, d, "customer")
+          .selectExpr(
+            "CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment) " +
+              "WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg_raw")
+          .groupBy(expr("collate(seg_raw, 'UTF8_LCASE')").as("k"))
+          .agg(lower(min(col("seg_raw"))).as("seg"), count(lit(1)).as("n"),
+            countDistinct(expr("collate(seg_raw, 'UTF8_BINARY')")).as("n_forms"))
+          .select("seg", "n", "n_forms")
+          .orderBy("seg")),
+
     // I7 — conditional / null family.
     QueryDef(
       "func_conditional_null",
