@@ -665,6 +665,92 @@ object Analytics {
           .groupBy("cell_lat", "cell_lon")
           .agg(count(lit(1)).as("n"), Q.out6(sum(Q.dec4(col("dist")))).as("sum_dist_km"))
           .orderBy("cell_lat", "cell_lon")
+      }),
+
+    // AN13 — engine-native in-flight instrumentation: Observation/observe()
+    // rides accumulator-backed metrics on a pass that is ALREADY running,
+    // so at 100 TB an ETL job's row/sum/violation tallies come for free
+    // with the job's own action instead of a second full scan (and unlike
+    // a cache-then-count pattern, nothing is persisted). The observed map
+    // is filled by the pass's action; the 1-row result is rebuilt from it,
+    // so the oracle match proves the in-flight metrics equal a direct
+    // aggregate. A fresh Observation per invocation keeps the query
+    // re-runnable (the API is single-shot by design).
+    QueryDef(
+      "profile_observe_metrics",
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_qty, " +
+          "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned, " +
+          "CAST(min(l_shipdate) AS VARCHAR) AS min_ship FROM lineitem ORDER BY n_rows"),
+      (s, d) => {
+        val obs = org.apache.spark.sql.Observation()
+        Tables.t(s, d, "lineitem")
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            sum(Q.dec4(col("l_quantity"))).as("sum_qty"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+            min(col("l_shipdate")).cast(StringType).as("min_ship"))
+          .foreach(_ => ())
+        val m = obs.get
+        val sp = s
+        import sp.implicits._
+        Seq((
+          m("n_rows").asInstanceOf[Long],
+          BigDecimal(m("sum_qty").asInstanceOf[java.math.BigDecimal]),
+          m("n_returned").asInstanceOf[Long],
+          m("min_ship").asInstanceOf[String]))
+          .toDF("n_rows", "sum_qty", "n_returned", "min_ship")
+          .select(col("n_rows"), Q.out6(col("sum_qty")).as("sum_qty"),
+            col("n_returned"), col("min_ship"))
+          .orderBy("n_rows")
+      }),
+
+    // AN14 — hidden `_metadata` file-lineage columns: every row of a
+    // parquet scan can carry the file it came from and its ordinal inside
+    // that file, generated by the scan itself (no shuffle, no extra IO).
+    // At 100 TB this is how one bad row is traced to the single file to
+    // quarantine or rewrite. The check is functional, not cosmetic: the
+    // group is recovered ONLY from _metadata.file_path, and
+    // _metadata.row_index must span exactly [0, n-1] within each
+    // single-file partition — the oracle's plain group-by over the source
+    // table matches only if both lineage columns are faithful.
+    QueryDef(
+      "scan_metadata_lineage",
+      Some(
+        "SELECT l_returnflag AS file_group, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(0 AS BIGINT) AS min_row_idx, CAST(count(*) - 1 AS BIGINT) AS max_row_idx, " +
+          s"CAST(CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_qty " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY file_group"),
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val tmp = tmpPath("graft_meta_lineage", d)
+        val done = Paths.get(s"$tmp/_done")
+        if (!Files.exists(done)) {
+          // repartition on the partition key first → exactly one file per
+          // l_returnflag directory, so row_index must cover 0..n-1
+          Tables.t(s, d, "lineitem").select("l_returnflag", "l_quantity")
+            .repartition(col("l_returnflag"))
+            .write.mode("overwrite").partitionBy("l_returnflag")
+            .parquet(s"$tmp/data")
+          Files.createDirectories(Paths.get(tmp))
+          Files.writeString(done, "ok")
+        }
+        s.read.parquet(s"$tmp/data")
+          .where(col("_metadata.file_size") > 0 &&
+            col("_metadata.file_name").endsWith(".parquet"))
+          .select(
+            regexp_extract(col("_metadata.file_path"), "l_returnflag=([^/]+)/", 1)
+              .as("file_group"),
+            col("_metadata.row_index").as("ri"),
+            col("l_quantity"))
+          .groupBy("file_group")
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("ri")).as("min_row_idx"),
+            max(col("ri")).as("max_row_idx"),
+            Q.out6(sum(Q.dec4(col("l_quantity")))).as("sum_qty"))
+          .orderBy("file_group")
       })
   )
 }
