@@ -198,6 +198,23 @@ object Advanced {
       "FROM (SELECT node, max(depth) AS depth FROM anc GROUP BY node) " +
       "GROUP BY depth ORDER BY depth"
 
+  /** Q13 shape (customer order-count distribution): the aggregate-of-
+    * aggregates over a LEFT OUTER join — zero-order customers must survive
+    * to the c_count=0 bucket, so the join cannot degrade to inner and the
+    * exclusion predicate must live in the ON clause, not WHERE. Two hash
+    * aggs, both combinable; the first shares the join's c_custkey
+    * partitioning so only one exchange feeds both. One ANSI text, verbatim
+    * both engines (priority exclusion stands in for TPC-H's comment LIKE —
+    * this schema carries no o_comment).
+    */
+  private val q13Sql =
+    "WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count " +
+      "FROM customer LEFT OUTER JOIN orders " +
+      "ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%' " +
+      "GROUP BY c_custkey) " +
+      "SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist " +
+      "FROM co GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+
   /** SQL-standard LATERAL correlated subquery (top-n per group). */
   private val lateralSql =
     "SELECT n_name, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal " +
@@ -391,6 +408,16 @@ object Advanced {
         Seq("supplier", "lineitem", "orders", "nation")
           .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
         s.sql(q21Sql)
+      }),
+
+    // Q13 shape: see q13Sql above.
+    QueryDef(
+      "sql_api_q13",
+      Some(q13Sql),
+      (s, d) => {
+        Seq("customer", "orders")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q13Sql)
       }),
 
     // LATERAL correlated subquery: top-2 customers per nation written as
