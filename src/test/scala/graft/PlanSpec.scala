@@ -452,4 +452,26 @@ class PlanSpec extends AnyFunSuite {
       .select("id").collect().map(_.getString(0)).sorted
     assert(q.collect().map(_.getString(0)).sorted.sameElements(expected))
   }
+
+  test("AN13: profile_observe_metrics is re-runnable (fresh single-shot Observation per call)") {
+    // Observation.get can only serve one pass; the query must mint a new one
+    // each invocation or the second bench repeat hangs/throws.
+    val a = SparkEntry.queries("profile_observe_metrics")(spark, sf).collect()
+    val b = SparkEntry.queries("profile_observe_metrics")(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.length == 1 && a(0).getLong(0) > 0)
+  }
+
+  test("AN14: _metadata lineage scan has no join and no exchange beyond agg + presentation sort") {
+    val p = plan("scan_metadata_lineage")
+    assert(!p.contains("Join"), "lineage recovery must not join back to the source")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected only the groupBy + orderBy exchanges, saw $exchanges:\n${p.take(1500)}")
+  }
+
+  test("Q13: outer join survives to keep the zero-order bucket") {
+    val p = plan("sql_api_q13")
+    assert(p.contains("LeftOuter"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
 }
