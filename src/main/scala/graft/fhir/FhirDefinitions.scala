@@ -83,6 +83,12 @@ object FhirDefinitions {
 
   private def isDecimal(code: String) = code == "decimal"
 
+  /** The R4 open type list (any-type choice elements: Extension.value[x],
+    * ElementDefinition.defaultValue[x]/fixed[x]/pattern[x]/example.value[x]).
+    */
+  private val openTypeChoice =
+    "CHOICE:base64Binary,boolean,canonical,code,date,dateTime,decimal,id,instant,integer,markdown,oid,positiveInt,string,time,unsignedInt,uri,url,uuid,Address,Age,Annotation,Attachment,CodeableConcept,Coding,ContactPoint,Count,Distance,Duration,HumanName,Identifier,Money,Period,Quantity,Range,Ratio,Reference,SampledData,Signature,Timing,ContactDetail,Contributor,DataRequirement,Expression,ParameterDefinition,RelatedArtifact,TriggerDefinition,UsageContext,Dosage,Meta"
+
   /** Core R4 complex-datatype element tables (field → (type, repeated)),
     * transcribed from the published FHIR R4 datatypes page. Every complex
     * type additionally inherits Element: `id` (string) and `extension`
@@ -98,7 +104,7 @@ object FhirDefinitions {
     "Extension" -> Map(
       "url" -> ("uri", false), "extension" -> ("Extension", true),
       // full R4 value[x] arm list (datatypes the registry can now expand)
-      "value[x]" -> ("CHOICE:base64Binary,boolean,canonical,code,date,dateTime,decimal,id,instant,integer,markdown,oid,positiveInt,string,time,unsignedInt,uri,url,uuid,Address,Age,Annotation,Attachment,CodeableConcept,Coding,ContactPoint,Count,Distance,Duration,HumanName,Identifier,Money,Period,Quantity,Range,Ratio,Reference,SampledData,Signature,Timing,ContactDetail,Contributor,DataRequirement,Expression,ParameterDefinition,RelatedArtifact,TriggerDefinition,UsageContext,Dosage,Meta", false)),
+      "value[x]" -> (openTypeChoice, false)),
     "Identifier" -> Map(
       "use" -> ("code", false), "type" -> ("CodeableConcept", false),
       "system" -> ("uri", false), "value" -> ("string", false),
@@ -249,7 +255,68 @@ object FhirDefinitions {
       "nominalVolume" -> ("Quantity", false), "externalDiameter" -> ("Quantity", false),
       "shape" -> ("string", false), "color" -> ("string", true),
       "imprint" -> ("string", true), "image" -> ("Attachment", true),
-      "scoring" -> ("CodeableConcept", false)))
+      "scoring" -> ("CodeableConcept", false)),
+    "SubstanceAmount" -> Map(
+      "amount[x]" -> ("CHOICE:Quantity,Range,string", false),
+      "amountType" -> ("CodeableConcept", false),
+      "amountText" -> ("string", false),
+      "referenceRange" -> ("SubstanceAmount.referenceRange", false)),
+    "SubstanceAmount.referenceRange" -> Map(
+      "lowLimit" -> ("Quantity", false), "highLimit" -> ("Quantity", false)),
+    // ElementDefinition (elementdefinition.html) — the datatype that makes
+    // StructureDefinition resources themselves derivable: a FHIR tooling
+    // pipeline stores definitions AS DATA, and its tables need schemas too.
+    "ElementDefinition" -> Map(
+      "path" -> ("string", false), "representation" -> ("code", true),
+      "sliceName" -> ("string", false), "sliceIsConstraining" -> ("boolean", false),
+      "label" -> ("string", false), "code" -> ("Coding", true),
+      "slicing" -> ("ElementDefinition.slicing", false),
+      "short" -> ("string", false), "definition" -> ("markdown", false),
+      "comment" -> ("markdown", false), "requirements" -> ("markdown", false),
+      "alias" -> ("string", true), "min" -> ("unsignedInt", false),
+      "max" -> ("string", false), "base" -> ("ElementDefinition.base", false),
+      "contentReference" -> ("uri", false),
+      "type" -> ("ElementDefinition.type", true),
+      "defaultValue[x]" -> (openTypeChoice, false),
+      "meaningWhenMissing" -> ("markdown", false),
+      "orderMeaning" -> ("string", false),
+      "fixed[x]" -> (openTypeChoice, false),
+      "pattern[x]" -> (openTypeChoice, false),
+      "example" -> ("ElementDefinition.example", true),
+      "minValue[x]" -> ("CHOICE:date,dateTime,instant,time,decimal,integer,positiveInt,unsignedInt,Quantity", false),
+      "maxValue[x]" -> ("CHOICE:date,dateTime,instant,time,decimal,integer,positiveInt,unsignedInt,Quantity", false),
+      "maxLength" -> ("integer", false), "condition" -> ("id", true),
+      "constraint" -> ("ElementDefinition.constraint", true),
+      "mustSupport" -> ("boolean", false), "isModifier" -> ("boolean", false),
+      "isModifierReason" -> ("string", false), "isSummary" -> ("boolean", false),
+      "binding" -> ("ElementDefinition.binding", false),
+      "mapping" -> ("ElementDefinition.mapping", true)),
+    "ElementDefinition.slicing" -> Map(
+      "discriminator" -> ("ElementDefinition.slicing.discriminator", true),
+      "description" -> ("string", false), "ordered" -> ("boolean", false),
+      "rules" -> ("code", false)),
+    "ElementDefinition.slicing.discriminator" -> Map(
+      "type" -> ("code", false), "path" -> ("string", false)),
+    "ElementDefinition.base" -> Map(
+      "path" -> ("string", false), "min" -> ("unsignedInt", false),
+      "max" -> ("string", false)),
+    "ElementDefinition.type" -> Map(
+      "code" -> ("uri", false), "profile" -> ("canonical", true),
+      "targetProfile" -> ("canonical", true), "aggregation" -> ("code", true),
+      "versioning" -> ("code", false)),
+    "ElementDefinition.example" -> Map(
+      "label" -> ("string", false), "value[x]" -> (openTypeChoice, false)),
+    "ElementDefinition.constraint" -> Map(
+      "key" -> ("id", false), "requirements" -> ("markdown", false),
+      "severity" -> ("code", false), "human" -> ("string", false),
+      "expression" -> ("string", false), "xpath" -> ("string", false),
+      "source" -> ("canonical", false)),
+    "ElementDefinition.binding" -> Map(
+      "strength" -> ("code", false), "description" -> ("string", false),
+      "valueSet" -> ("canonical", false)),
+    "ElementDefinition.mapping" -> Map(
+      "identity" -> ("id", false), "language" -> ("code", false),
+      "map" -> ("string", false), "comment" -> ("string", false)))
 
   /** Quantity specializations share Quantity's element table verbatim
     * (R4 datatypes.html: Age, Count, Distance, Duration, SimpleQuantity,

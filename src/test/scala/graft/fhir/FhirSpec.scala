@@ -315,6 +315,56 @@ class FhirSpec extends AnyFunSuite {
     assert(cf("valueSet").dataType == StringType) // canonical
   }
 
+  test("definition derive: StructureDefinition-of-StructureDefinition via ElementDefinition registry") {
+    // FHIR tooling pipelines store definitions AS DATA — the registry must
+    // expand ElementDefinition (and its slicing/type/constraint/binding
+    // backbones) so those tables get schemas too. The bundled SD for the
+    // StructureDefinition resource itself drives the derivation.
+    val sd = FhirDefinitions.bundled("StructureDefinition")
+    val st = FhirDefinitions.deriveFromDefinition(sd, Seq(
+      "name", "kind", "abstract", "type", "contact.name",
+      "context.expression", "mapping.identity",
+      "snapshot.element.path", "snapshot.element.min", "snapshot.element.max",
+      "snapshot.element.type.code", "snapshot.element.type.targetProfile",
+      "snapshot.element.binding.strength",
+      "snapshot.element.slicing.discriminator.path",
+      "snapshot.element.constraint.severity",
+      "snapshot.element.fixedCode",
+      "snapshot.element.defaultValueQuantity.value",
+      "differential.element.path"))
+    assert(st("name").dataType == StringType)
+    assert(st("abstract").dataType == BooleanType)
+    // contact: ContactDetail (metadata type) repeats
+    assert(st("contact").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("name").dataType == StringType)
+    // context: resource Backbone walked via dotted snapshot paths
+    assert(st("context").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("expression").dataType == StringType)
+    val el = st("snapshot").dataType.asInstanceOf[StructType]("element")
+      .dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(el("path").dataType == StringType)
+    assert(el("min").dataType == IntegerType) // unsignedInt
+    assert(el("max").dataType == StringType)  // "1" | "*"
+    val ty = el("type").dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(ty("code").dataType == StringType)
+    assert(ty("targetProfile").dataType == ArrayType(StringType, containsNull = true))
+    assert(el("binding").dataType.asInstanceOf[StructType]("strength").dataType == StringType)
+    assert(el("slicing").dataType.asInstanceOf[StructType]("discriminator")
+      .dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType]("path").dataType == StringType)
+    assert(el("constraint").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("severity").dataType == StringType)
+    // open-type choice arms resolve inside ElementDefinition
+    assert(el("fixedCode").dataType == StringType)
+    val dvq = el("defaultValueQuantity").dataType.asInstanceOf[StructType]
+    assert(dvq("value").dataType == StringType)
+    assert(dvq("value").metadata == FhirSchema.DecimalMeta)
+    // both snapshot and differential share the ElementDefinition expansion
+    assert(st("differential").dataType.asInstanceOf[StructType]("element")
+      .dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType]("path").dataType == StringType)
+  }
+
   // --- A5/A8 widened coverage: primitive regex + clinical UCUM vectors ---
 
   test("conformance regexes: oid/uuid/base64Binary/code/uri/integer families") {
