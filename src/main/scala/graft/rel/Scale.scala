@@ -53,6 +53,47 @@ object Scale {
         s.sql(q3Sql)
       }),
 
+    // Parquet bloom-filter layout: point lookups on a key that is neither
+    // sorted nor partitioned. Row-group min/max stats are useless when the
+    // key is scattered (every row group spans the whole key range); a
+    // WRITTEN bloom filter gives the reader a per-row-group "key absent"
+    // proof, so a needle lookup in a 100 TB table skips row groups
+    // wholesale without re-sorting anything. A small block size forces
+    // many row groups so the skip has real targets; OpsSpec opens the
+    // footer and asserts the l_orderkey filter is physically present.
+    QueryDef(
+      "scan_parquet_bloom_lookup",
+      Some(
+        "SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(l_extendedprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_price " +
+          "FROM lineitem WHERE l_orderkey IN (7, 77, 777, 1207, 1399) " +
+          "GROUP BY l_orderkey ORDER BY l_orderkey"),
+      (s, d) => {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_bloom_${Integer.toHexString(d.hashCode)}"
+        val done = java.nio.file.Paths.get(s"$tmp/_done")
+        if (!java.nio.file.Files.exists(done)) {
+          Tables.t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+            .coalesce(4)
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#l_orderkey", "20000")
+            // at test SF the key would fully dictionary-encode and
+            // parquet-mr then skips the bloom (the dictionary already
+            // proves absence); at 100 TB a high-NDV key falls back from
+            // dictionary anyway, so force that reality here
+            .option("parquet.enable.dictionary#l_orderkey", "false")
+            .option("parquet.block.size", (1 << 20).toString)
+            .parquet(s"$tmp/data")
+          java.nio.file.Files.writeString(done, "ok")
+        }
+        s.read.parquet(s"$tmp/data")
+          .where(col("l_orderkey").isin(7, 77, 777, 1207, 1399))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n"),
+            Q.out6(sum(Q.dec4(col("l_extendedprice")))).as("sum_price"))
+          .orderBy("l_orderkey")
+      }),
+
     // Partitioned sink + pruned re-read: write orders partitioned by year,
     // read back only one partition. The scan must touch one directory.
     QueryDef(

@@ -15,6 +15,26 @@ class OpsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("bloom-filter layout: written footer physically carries the l_orderkey filter") {
+    import scala.jdk.CollectionConverters._
+    run("scan_parquet_bloom_lookup").collect() // ensures the layout is written
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_bloom_${Integer.toHexString(sf.hashCode)}/data")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      assert(blocks.nonEmpty)
+      val cc = blocks.head.getColumns.asScala
+        .find(_.getPath.toDotString == "l_orderkey").get
+      assert(cc.getBloomFilterOffset >= 0, "no bloom filter written for l_orderkey")
+      assert(reader.readBloomFilter(cc) != null, "bloom filter offset present but unreadable")
+    } finally reader.close()
+  }
+
   test("every query key has either an oracle or a spec-backed behavior test") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
