@@ -58,6 +58,49 @@ object Formats {
           .orderBy("l_returnflag")
       }),
 
+    // Malformed-input ingest: PERMISSIVE CSV parsing with corrupt-record
+    // capture. At 100 TB a handful of mangled rows must NOT kill the job —
+    // they land in the _corrupt column (raw line preserved for quarantine)
+    // while every parseable field of the row still loads. Corruption is
+    // deterministic (doc_id % 7 → unparseable n_chars), so the oracle
+    // recomputes the good/bad split from the original table; equality
+    // proves both the capture AND that good fields of bad rows survive.
+    QueryDef(
+      "scan_csv_corrupt_permissive",
+      Some(
+        "SELECT lang, " +
+          "CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good, " +
+          "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad, " +
+          "CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars " +
+          "FROM documents GROUP BY lang ORDER BY lang"),
+      (s, d) => {
+        val tmp = scratch("csv_corrupt", d)
+        Tables.t(s, d, "documents")
+          .select(concat_ws(",",
+            col("doc_id"), col("lang"),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(lit("bad"), col("n_chars")))
+              .otherwise(col("n_chars").cast(StringType)))
+            .as("value"))
+          .write.mode("overwrite").text(tmp)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType),
+          StructField("_corrupt", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(tmp)
+          .groupBy("lang")
+          .agg(
+            sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+            coalesce(sum(when(col("_corrupt").isNull, col("n_chars"))), lit(0L))
+              .as("sum_chars"))
+          .orderBy("lang")
+      }),
+
     // ORC source round-trip: orders through ORC, then the same aggregate on
     // both sides. DuckDB cannot read ORC, so the oracle runs over the
     // original parquet — valid because ORC preserves binary doubles exactly.
