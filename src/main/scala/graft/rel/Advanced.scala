@@ -420,6 +420,30 @@ object Advanced {
         s.sql(q13Sql)
       }),
 
+    // Named-parameter SQL: the injection-safe templating path — dashboard /
+    // service queries bind :params as TYPED literals through the parser
+    // (never string interpolation), so user input can't change the plan
+    // shape and the parameterized text stays cacheable. The oracle is the
+    // same query with the literals inlined: equality proves binding ≡
+    // literal semantics, including the timestamp coercion.
+    QueryDef(
+      "sql_api_parameterized",
+      Some(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_total " +
+          "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderstatus = 'O' " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+            "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_total " +
+            "FROM orders WHERE o_orderdate >= :cutoff AND o_orderstatus = :status " +
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+          Map("cutoff" -> java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+            "status" -> "O"))
+      }),
+
     // LATERAL correlated subquery: top-2 customers per nation written as
     // the SQL-standard LATERAL form (the shape ORMs and federated tools
     // emit). Catalyst decorrelates the per-row ORDER BY ... LIMIT into a
