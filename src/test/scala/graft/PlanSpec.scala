@@ -469,6 +469,13 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected only the groupBy + orderBy exchanges, saw $exchanges:\n${p.take(1500)}")
   }
 
+  test("bloom layout: IN-list point lookup is pushed to the parquet scan") {
+    // row-group bloom pruning only happens when the predicate reaches the
+    // reader as a pushed filter — a post-scan Filter reads every group
+    val p = plan("scan_parquet_bloom_lookup")
+    assert(p.contains("PushedFilters: [In(l_orderkey"), p.take(1500))
+  }
+
   test("Q13: outer join survives to keep the zero-order bucket") {
     val p = plan("sql_api_q13")
     assert(p.contains("LeftOuter"), p.take(1500))
