@@ -15,12 +15,49 @@ object FhirQueries {
 
   val defs: Seq[QueryDef] = Seq(
     // A1 — schema derivation: decode the golden Patient table to NDJSON,
-    // re-derive a spec schema from the JSON, emit (path, type) rows.
-    // No oracle (structural); FhirSpec pins the shape against the README's
-    // worked examples.
+    // re-derive a spec schema from the JSON, emit (path, type) rows. The
+    // golden file is immutable, so the derived leaf table is a fixed
+    // 51-row constant — oracled as a VALUES literal (round 6; was
+    // no-oracle/structural). FhirSpec additionally pins golden-file
+    // StructType equality, which the leaf serialization can't express
+    // (nullability, metadata markers).
     QueryDef(
       "fhir_schema_derive",
-      None,
+      Some(
+        "SELECT * FROM (VALUES " +
+          "('address[].city', 'string'), ('address[].country', 'string'), " +
+          "('address[].extension[].extension[].url', 'string'), " +
+          "('address[].extension[].extension[].valueDecimal', 'string'), " +
+          "('address[].extension[].url', 'string'), ('address[].line[]', 'string'), " +
+          "('address[].postalCode', 'string'), ('address[].state', 'string'), " +
+          "('birthDate', 'string'), ('communication[].language.coding[].code', 'string'), " +
+          "('communication[].language.coding[].display', 'string'), " +
+          "('communication[].language.coding[].system', 'string'), " +
+          "('communication[].language.text', 'string'), ('deceasedDateTime', 'string'), " +
+          "('extension[].extension[].url', 'string'), " +
+          "('extension[].extension[].valueCoding.code', 'string'), " +
+          "('extension[].extension[].valueCoding.display', 'string'), " +
+          "('extension[].extension[].valueCoding.system', 'string'), " +
+          "('extension[].extension[].valueString', 'string'), ('extension[].url', 'string'), " +
+          "('extension[].valueAddress.city', 'string'), " +
+          "('extension[].valueAddress.country', 'string'), " +
+          "('extension[].valueAddress.state', 'string'), ('extension[].valueCode', 'string'), " +
+          "('extension[].valueDecimal', 'string'), ('extension[].valueString', 'string'), " +
+          "('gender', 'string'), ('id', 'string'), ('identifier[].system', 'string'), " +
+          "('identifier[].type.coding[].code', 'string'), " +
+          "('identifier[].type.coding[].display', 'string'), " +
+          "('identifier[].type.coding[].system', 'string'), " +
+          "('identifier[].type.text', 'string'), ('identifier[].value', 'string'), " +
+          "('maritalStatus.coding[].code', 'string'), " +
+          "('maritalStatus.coding[].display', 'string'), " +
+          "('maritalStatus.coding[].system', 'string'), ('maritalStatus.text', 'string'), " +
+          "('meta.profile[]', 'string'), ('multipleBirthBoolean', 'boolean'), " +
+          "('multipleBirthInteger', 'int'), ('name[].family', 'string'), " +
+          "('name[].given[]', 'string'), ('name[].prefix[]', 'string'), " +
+          "('name[].use', 'string'), ('resourceType', 'string'), " +
+          "('telecom[].system', 'string'), ('telecom[].use', 'string'), " +
+          "('telecom[].value', 'string'), ('text.div', 'string'), " +
+          "('text.status', 'string')) AS t(path, dtype) ORDER BY path"),
       (s, d) => {
         val ndjson = FhirCodec.decode(Tables.golden(s, "Patient"))
         val schema = FhirSchema.deriveSchema(s, ndjson)

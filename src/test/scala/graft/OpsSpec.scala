@@ -41,7 +41,7 @@ class OpsSpec extends AnyFunSuite {
     assert(o.subsetOf(q))
     val noOracle = q -- o
     val covered = Set("agg_approx_distinct", "udaf_imperative_minhash",
-      "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "fhir_schema_derive",
+      "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf",
       "agg_sketch_merge", "agg_quantile_merge")
     assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
   }
