@@ -143,6 +143,40 @@ object Windows {
           .orderBy("user_id", "session_id")
       }),
 
+    // F6b — ENGINE-NATIVE session windows: the built-in session_window()
+    // twin of the manual gaps-and-islands sessionize above. The engine
+    // merges per-key windows [ts, ts+gap) that overlap, so a session ends
+    // when a full gap elapses (an event at exactly prev+gap starts a NEW
+    // session — the oracle mirrors that with >= on the break test, one of
+    // the two places the built-in and the manual formulation differ; the
+    // other is the end bound, last_ts + gap instead of last_ts). One
+    // user-keyed exchange, then per-partition window merge — same shuffle
+    // shape as the manual version but no window-function pass.
+    QueryDef(
+      "window_session_builtin",
+      Some(
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+          "CAST(min(ts_ms) AS BIGINT) AS session_start_ms, " +
+          "CAST(max(ts_ms) + 1800000 AS BIGINT) AS session_end_ms, " +
+          s"CAST(CAST(sum(CAST(value AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_value FROM (" +
+          "SELECT user_id, ts_ms, value, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM (" +
+          "SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value, " +
+          "CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1, epoch_ms(ts) - 1800001) " +
+          "OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000 THEN 1 ELSE 0 END AS brk " +
+          "FROM events)) GROUP BY user_id, sid ORDER BY user_id, session_start_ms"),
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            Q.out6(sum(Q.dec4(col("value")))).as("sum_value"))
+          .select(col("user_id"), col("n_events"),
+            expr("unix_millis(session_window.start)").as("session_start_ms"),
+            expr("unix_millis(session_window.end)").as("session_end_ms"),
+            col("sum_value"))
+          .orderBy("user_id", "session_start_ms")
+      }),
+
     // F7 — time-series resample + forward fill: each user's events snap to
     // a 1-hour grid (last observation per bucket wins, keyed by
     // ts_ms·10⁶+event_id so both engines break ties identically), gaps
