@@ -160,6 +160,61 @@ object Streams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // J0 — source rate limiting (ingest backpressure): maxFilesPerTrigger
+    // caps each micro-batch at one file, so a backlog of K files drains in
+    // K bounded batches instead of one giant catch-up batch that OOMs the
+    // state store — the knob that makes restarting a 100 TB file-fed
+    // pipeline after downtime survivable. The events table is split into 4
+    // deterministic user-hash files; the oracle's group count IS the
+    // expected batch count, so equality proves the limiter actually split
+    // the run (without it, AvailableNow drains everything in one batch).
+    QueryDef(
+      "stream_rate_limited_ingest",
+      Some(
+        "WITH g AS (SELECT user_id % 4 AS grp, count(*) AS n FROM events GROUP BY grp) " +
+          "SELECT CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(n) AS BIGINT) AS total_rows, " +
+          "CAST(max(n) AS BIGINT) AS max_batch_rows FROM g ORDER BY n_batches"),
+      (s, d) => withStreamShuffle(s) {
+        import java.nio.file.{Files, Paths}
+        val base = s"${sys.props("java.io.tmpdir")}/graft_ratelimit_" +
+          s"${Integer.toHexString(d.hashCode)}"
+        val done = Paths.get(s"$base/_done")
+        if (!Files.exists(done)) {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+          Files.createDirectories(Paths.get(s"$base/in"))
+          (0 until 4).foreach { g =>
+            val stage = s"$base/stage$g"
+            Tables.events(s, d).drop("ts_ts")
+              .where(pmod(col("user_id"), lit(4)) === g)
+              .coalesce(1).write.mode("overwrite").parquet(stage)
+            val part = {
+              import scala.jdk.CollectionConverters._
+              Files.list(Paths.get(stage)).iterator().asScala
+                .find(_.getFileName.toString.endsWith(".parquet")).get
+            }
+            Files.move(part, Paths.get(s"$base/in/f$g.parquet"))
+          }
+          Files.writeString(done, "ok")
+        }
+        val sch = s.read.parquet(s"$base/in").schema
+        val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val n = df.count(); if (n > 0) batches.add(n); ()
+          }
+          .option("checkpointLocation", s"$base/ckpt_${System.nanoTime()}")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val counts = { import scala.jdk.CollectionConverters._; batches.asScala.toSeq }
+        val sp = s
+        import sp.implicits._
+        Seq((counts.size.toLong, counts.sum, counts.max))
+          .toDF("n_batches", "total_rows", "max_batch_rows")
+          .orderBy("n_batches")
+      }),
+
     // J1 — tumbling 1-hour windows with a 10-minute watermark.
     QueryDef(
       "stream_tumbling_window",
