@@ -438,10 +438,12 @@ object Advanced {
         s.sql(
           "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
             "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_total " +
-            "FROM orders WHERE o_orderdate >= :cutoff AND o_orderstatus = :status " +
+            // CAST inside the query: a bound java.sql.Timestamp would parse
+            // in the JVM-default zone, but the cast uses the session's UTC
+            "FROM orders WHERE o_orderdate >= CAST(:cutoff AS TIMESTAMP) " +
+            "AND o_orderstatus = :status " +
             "GROUP BY o_orderpriority ORDER BY o_orderpriority",
-          Map("cutoff" -> java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
-            "status" -> "O"))
+          Map("cutoff" -> "1996-01-01", "status" -> "O"))
       }),
 
     // LATERAL correlated subquery: top-2 customers per nation written as
