@@ -35,6 +35,27 @@ class OpsSpec extends AnyFunSuite {
     } finally reader.close()
   }
 
+  test("permissive CSV: _corrupt preserves the raw malformed line for quarantine") {
+    run("scan_csv_corrupt_permissive").collect() // materializes the scratch layout
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_corrupt_${Integer.toHexString(sf.hashCode)}"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType)))
+    val bad = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir).where(col("_corrupt").isNotNull).collect()
+    assert(bad.nonEmpty)
+    bad.foreach { r =>
+      // the raw line survives verbatim (quarantine needs the original bytes)
+      assert(r.getString(3).matches("""\d+,[a-z]{2},bad\d+"""), r.getString(3))
+      // parseable fields of the bad row still loaded; the corruption rule holds
+      assert(r.getLong(0) % 7 == 0, s"doc_id ${r.getLong(0)} should not be corrupt")
+      assert(r.isNullAt(2), "malformed n_chars must be null")
+    }
+  }
+
   test("every query key has either an oracle or a spec-backed behavior test") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
