@@ -476,6 +476,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [In(l_orderkey"), p.take(1500))
   }
 
+  test("F6b: built-in session windows merge inside one user-keyed exchange, no join") {
+    val p = plan("window_session_builtin")
+    assert(!p.contains("Join"), "session merge must not plan as a self-join")
+    assert(p.contains("SessionWindow") || p.contains("session_window"), p.take(800))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"expected the user-keyed exchange + presentation sort only, saw $exchanges:\n${p.take(1500)}")
+  }
+
   test("Q13: outer join survives to keep the zero-order bucket") {
     val p = plan("sql_api_q13")
     assert(p.contains("LeftOuter"), p.take(1500))
