@@ -177,6 +177,44 @@ object Windows {
           .orderBy("user_id", "session_start_ms")
       }),
 
+    // F6c — DYNAMIC-GAP session windows: the gap is a per-event COLUMN
+    // (10/20/30 min by event-id class — e.g. page views time out faster
+    // than checkouts). Merging semantics differ from the fixed-gap case:
+    // each event proposes [ts, ts+gap(event)) and a session's end is the
+    // RUNNING MAX of proposed ends, so a long-gap event keeps the session
+    // alive past later short-gap ones. The oracle mirrors exactly that
+    // with a cumulative-max window: break when ts >= max over all previous
+    // proposed ends.
+    QueryDef(
+      "window_session_dynamic_gap",
+      Some(
+        "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value, " +
+          "600000 * (1 + event_id % 3) AS gap_ms FROM events), " +
+          "m AS (SELECT *, CASE WHEN max(ts_ms + gap_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL " +
+          "OR ts_ms >= max(ts_ms + gap_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS brk FROM e), " +
+          "s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM m) " +
+          "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+          "CAST(min(ts_ms) AS BIGINT) AS session_start_ms, " +
+          "CAST(max(ts_ms + gap_ms) AS BIGINT) AS session_end_ms, " +
+          s"CAST(CAST(sum(CAST(value AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_value " +
+          "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_ms"),
+      (s, d) => {
+        Tables.events(s, d)
+          .withColumn("gap_s", (lit(600) * (lit(1) + pmod(col("event_id"), lit(3)))).cast("int"))
+          .groupBy(col("user_id"),
+            session_window(col("ts_ts"), concat(col("gap_s").cast("string"), lit(" seconds"))))
+          .agg(count(lit(1)).as("n_events"),
+            Q.out6(sum(Q.dec4(col("value")))).as("sum_value"))
+          .select(col("user_id"), col("n_events"),
+            expr("unix_millis(session_window.start)").as("session_start_ms"),
+            expr("unix_millis(session_window.end)").as("session_end_ms"),
+            col("sum_value"))
+          .orderBy("user_id", "session_start_ms")
+      }),
+
     // F7 — time-series resample + forward fill: each user's events snap to
     // a 1-hour grid (last observation per bucket wins, keyed by
     // ts_ms·10⁶+event_id so both engines break ties identically), gaps
