@@ -150,6 +150,73 @@ object Ivf {
           .select(col("qid"), col("cid"), col("sim"), row_number().over(w).cast("long").as("rn"))
           .where(col("rn") <= TopK)
           .orderBy("qid", "rn")
+      }),
+
+    // SemDeDup-style cluster-first embedding dedup — the 100 TB path next
+    // to the exact all-pairs operator (dedup_embed_cosine, which is
+    // quadratic by design): the IVF coarse quantizer scopes the pair
+    // search to clusters, so total work is Σ_c n_c² instead of N². Within
+    // a cluster, pairs run through the same (cluster, block-pair)
+    // shuffle-key kernel shape as the exact operator, so one giant cluster
+    // spreads over B² tasks instead of melting one executor; at real scale
+    // K grows with the corpus (K ≈ N/10⁴ keeps clusters bounded) and B
+    // grows with the largest cluster. Approximate by construction: a
+    // cross-cluster pair is never compared, so drops ⊆ the exact drop set
+    // (precision 1, recall < 1). No oracle — OpsSpec asserts the subset
+    // property and a recall floor vs dedup_embed_cosine.
+    QueryDef(
+      "dedup_semdedup_cluster",
+      None,
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val (assigned, _) = index(s, d)
+        val tau = 0.35
+        val B = 4
+        val vecs = Tables.t(s, d, "embeddings")
+          .join(assigned, "vec_id")
+          .select(col("vec_id"), col("cluster"), col("embedding"))
+          .as[(Long, Int, Array[Float])]
+        vecs.flatMap { case (id, cl, emb) =>
+            val b = (id % B).toInt
+            (0 until B).map { o =>
+              val (p, q) = if (b <= o) (b, o) else (o, b)
+              ((cl, p * B + q), id, emb)
+            }
+          }
+          .groupByKey(_._1)
+          .flatMapGroups { (key, it) =>
+            val p = key._2 / B
+            val q = key._2 % B
+            val rows = it.toArray.sortBy(_._2).map { case (_, id, emb) =>
+              val v = new Array[Double](emb.length)
+              var acc = 0.0; var k = 0
+              while (k < emb.length) { v(k) = emb(k).toDouble; acc += v(k) * v(k); k += 1 }
+              (id, v, math.sqrt(acc))
+            }
+            // diagonal group (p == q): all i < j in the block; off-diagonal:
+            // only cross-block pairs (ascending-id sort normalizes i < j) —
+            // each unordered within-cluster pair meets in exactly one task
+            val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var a = 0
+            while (a < rows.length) {
+              val (ia, va, na) = rows(a)
+              val ba = (ia % B).toInt
+              var bi = a + 1
+              while (bi < rows.length) {
+                val (ib, vb, nb) = rows(bi)
+                if (p == q || ba != (ib % B).toInt) {
+                  var dot = 0.0; var k = 0
+                  while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+                  if (dot / (na * nb) >= tau) out += ib // drop the higher id
+                }
+                bi += 1
+              }
+              a += 1
+            }
+            out.iterator
+          }
+          .toDF("drop_id").distinct().orderBy("drop_id")
       })
   )
 }

@@ -61,6 +61,13 @@ object Llm {
     * Double accumulation runs in ascending index order, matching DuckDB's
     * list_dot_product, so values agree bit-for-bit before rounding; the dot
     * loop is role-symmetric, so block orientation can't change the value.
+    *
+    * With sameLabelOnly the LABEL joins the shuffle key: tasks become
+    * (label, block-pair), so vectors of different labels are never shuffled
+    * into the same group (a label-blind key paid O(|task|²) label checks
+    * per task — the round-6 watch item) and a hot label spreads across its
+    * own B² tasks instead of melting one; grow B when a group outgrows two
+    * blocks per executor.
     */
   private def cosinePairsFast(
       s: SparkSession, d: String, sameLabelOnly: Boolean, tau: Double): DataFrame = {
@@ -77,13 +84,13 @@ object Llm {
         val b = (id % B).toInt
         (0 until B).map { o =>
           val (p, q) = if (b <= o) (b, o) else (o, b)
-          (p * B + q, id, label, emb)
+          ((if (sameLabelOnly) label else -1, p * B + q), id, label, emb)
         }
       }
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
-        val p = key / B
-        val q = key % B
+        val p = key._2 / B
+        val q = key._2 % B
         val rows = it.toArray.sortBy(_._2).map { case (_, id, label, emb) =>
           val v = new Array[Double](emb.length)
           var acc = 0.0
@@ -644,6 +651,9 @@ object Llm {
       }),
 
     // Embedding-cosine near-dup: pairs ≥ τ, emit the dropped (higher) ids.
+    // EXACT by design (the oracle is all-pairs), hence quadratic — fine for
+    // a bounded corpus slice; at 100 TB use dedup_semdedup_cluster
+    // (Ivf.scala), which scopes the same kernel to k-means clusters.
     QueryDef(
       "dedup_embed_cosine",
       Some(

@@ -62,7 +62,7 @@ class OpsSpec extends AnyFunSuite {
     assert(o.subsetOf(q))
     val noOracle = q -- o
     val covered = Set("agg_approx_distinct", "udaf_imperative_minhash",
-      "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf",
+      "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "dedup_semdedup_cluster",
       "agg_sketch_merge", "agg_quantile_merge")
     assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
   }
@@ -266,6 +266,23 @@ class OpsSpec extends AnyFunSuite {
     // nprobe=2 of 8 clusters: random candidate subsetting would land near
     // 0.25 recall; the quantizer must do materially better
     assert(recall >= 0.3, f"IVF recall $recall%.2f no better than random clusters")
+  }
+
+  test("dedup_semdedup_cluster: drops are a subset of the exact drop set with usable recall") {
+    val clustered = run("dedup_semdedup_cluster").collect().map(_.getLong(0)).toSet
+    val exact = run("dedup_embed_cosine").collect().map(_.getLong(0)).toSet
+    assert(clustered.nonEmpty)
+    // precision 1 by construction: every within-cluster pair ≥ τ is a real
+    // τ-pair, so the cluster-first operator can only MISS drops, never
+    // invent them
+    assert(clustered.subsetOf(exact),
+      s"false drops: ${(clustered -- exact).take(5)}")
+    // recall floor: K=8 clusters on this corpus must capture well over a
+    // random-partition baseline (which would land near 1/K ≈ 0.125 of pairs
+    // and below it on ids)
+    val recall = (clustered & exact).size.toDouble / exact.size
+    info(f"cluster-first drop recall vs exact: $recall%.2f (${clustered.size}/${exact.size})")
+    assert(recall >= 0.3, f"cluster-first recall $recall%.2f no better than random clusters")
   }
 
   test("cache hygiene: repeated dedup runs do not accumulate persisted blocks") {
