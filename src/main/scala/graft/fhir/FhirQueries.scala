@@ -166,20 +166,24 @@ object FhirQueries {
           .orderBy(col("id"), col("gender").asc_nulls_first, col("birthDate").asc_nulls_first)
       }),
 
-    // A5 — conformance over ALL golden tables: resourceType presence and
-    // uniformity (README.md:29-41) per table, + the FHIR R4 value-format
-    // regexes for every string-typed primitive present (README.md:84-86
-    // defers to hl7.org/fhir/datatypes.html — date, dateTime, instant,
-    // decimal, id below are that page's published patterns). One row per
-    // (table, field) check; same regex text runs in Spark rlike and DuckDB
-    // regexp_matches (both RE2-compatible subsets).
+    // A5 — conformance over ALL golden tables: resourceType presence,
+    // uniformity, AND membership in the FHIR R4 resource-types ValueSet
+    // (README.md:29-41 — the value "SHALL be drawn from" that set, so a
+    // well-formed-but-unknown name like "Pateint" is a violation), + the
+    // FHIR R4 value-format regexes for every string-typed primitive present
+    // (README.md:84-86 defers to hl7.org/fhir/datatypes.html — date,
+    // dateTime, instant, decimal, id below are that page's published
+    // patterns). One row per (table, field) check; same regex text runs in
+    // Spark rlike and DuckDB regexp_matches (both RE2-compatible subsets).
     QueryDef(
       "fhir_conformance_check",
       Some(
         (Seq("ExplanationOfBenefit", "Observation", "Patient").map { n =>
-          s"SELECT '$n' AS tbl, 'resourceType' AS field, 'uniform' AS fhir_type, " +
+          val vs = FhirConformance.resourceTypes.toSeq.sorted.map(t => s"'$t'").mkString(", ")
+          s"SELECT '$n' AS tbl, 'resourceType' AS field, 'resource-types' AS fhir_type, " +
             "CAST(count(resourceType) AS BIGINT) AS n_checked, " +
-            "CAST(count(*) - count(resourceType) + CASE WHEN count(DISTINCT resourceType) = 1 THEN 0 ELSE 1 END AS BIGINT) AS n_bad " +
+            "CAST(count(*) - count(resourceType) + CASE WHEN count(DISTINCT resourceType) = 1 THEN 0 ELSE 1 END " +
+            s"+ count(CASE WHEN resourceType NOT IN ($vs) THEN 1 END) AS BIGINT) AS n_bad " +
             s"FROM read_parquet('$G/$n.parquet')"
         } ++ FhirConformance.checks.map { case (tbl, field, typ) =>
           val re = FhirConformance.regex(typ)
@@ -191,12 +195,14 @@ object FhirQueries {
       ),
       (s, d) =>
         (Seq("ExplanationOfBenefit", "Observation", "Patient").map { n =>
+          val vs = FhirConformance.resourceTypes.toSeq.sorted
           Tables.golden(s, n).agg(
             count(col("resourceType")).as("n_checked"),
             (count(lit(1)) - count(col("resourceType")) +
-              when(countDistinct(col("resourceType")) === 1, 0L).otherwise(1L)).as("n_bad"))
+              when(countDistinct(col("resourceType")) === 1, 0L).otherwise(1L) +
+              count(when(!col("resourceType").isin(vs: _*), 1))).as("n_bad"))
             .select(lit(n).as("tbl"), lit("resourceType").as("field"),
-              lit("uniform").as("fhir_type"), col("n_checked"), col("n_bad"))
+              lit("resource-types").as("fhir_type"), col("n_checked"), col("n_bad"))
         } ++ FhirConformance.checks.map { case (tbl, field, typ) =>
           val re = FhirConformance.regex(typ)
           Tables.golden(s, tbl).select(expr(field).as("v")).agg(

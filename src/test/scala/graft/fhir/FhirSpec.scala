@@ -247,8 +247,12 @@ class FhirSpec extends AnyFunSuite {
 
   // --- A1b definition-driven derivation (README.md:8-9) ---
 
-  test("definition derive: golden Patient/Observation schemas reproduce from StructureDefinitions") {
-    for (r <- Seq("Patient", "Observation")) {
+  test("definition derive: golden Patient/Observation/ExplanationOfBenefit schemas reproduce from StructureDefinitions") {
+    // ExplanationOfBenefit is the largest golden file (66 leaf columns) and
+    // exercises registry paths the other two never touch: Money numeric
+    // twins, multi-arm choice elements (diagnosis[x], serviced[x],
+    // location[x]), and three-deep backbones (item.adjudication.amount).
+    for (r <- Seq("Patient", "Observation", "ExplanationOfBenefit")) {
       val golden = graft.Tables.golden(spark, r).schema
       val requested = FhirSchema.leaves(golden)
         .map(_._1.replace("[]", ""))
@@ -385,6 +389,35 @@ class FhirSpec extends AnyFunSuite {
     assert(ok("positiveInt", "12")); assert(!ok("positiveInt", "0"))
     assert(ok("unsignedInt", "0")); assert(!ok("unsignedInt", "01"))
     assert(ok("integer", "-5")); assert(ok("integer", "0")); assert(!ok("integer", "007"))
+  }
+
+  test("annotation collisions: non-standard names pass, standard-name misuse is flagged (README.md:311-312)") {
+    // golden files and our own annotated frames are collision-free
+    for (r <- Seq("Patient", "Observation", "ExplanationOfBenefit"))
+      assert(FhirConformance.annotationCollisions(graft.Tables.golden(spark, r).schema).isEmpty, r)
+    val annotated = FhirAnnotations.annotateRange(
+      graft.Tables.golden(spark, "Patient"), "birthDate").schema
+    assert(FhirConformance.annotationCollisions(annotated).isEmpty)
+    // a non-standard annotation with a fresh name is permitted…
+    val okExtra = StructType(Seq(
+      StructField("resourceType", StringType, nullable = false),
+      StructField("score", StringType),
+      StructField("__score_zscore", DoubleType)))
+    assert(FhirConformance.annotationCollisions(okExtra).isEmpty)
+    // …but reusing a spec-defined name with non-conforming semantics collides
+    val badType = StructType(Seq(
+      StructField("birthDate", StringType),
+      StructField("__birthDate_start", StringType))) // start SHALL be a timestamp
+    assert(FhirConformance.annotationCollisions(badType).exists(_.contains("non-conforming type")))
+    // an annotation claiming a base element that does not exist collides too,
+    // including nested inside a repeated group
+    val orphan = StructType(Seq(
+      StructField("item", ArrayType(StructType(Seq(
+        StructField("net", StructType(Seq(
+          StructField("currency", StringType),
+          StructField("__value_numeric", DecimalType(38, 6)))))))))))
+    val hits = FhirConformance.annotationCollisions(orphan)
+    assert(hits.exists(h => h.contains("no base element 'value'") && h.startsWith("item[].net")), hits)
   }
 
   test("UCUM canonicalization: clinical units (mm[Hg], kPa, mg/dL, /min, %)") {
