@@ -75,7 +75,10 @@ object Bench {
     val penalty = math.max(30.0, results.values.filter(_ >= 0).maxOption.getOrElse(0.0))
     val total = results.values.filter(_ >= 0).sum + errors * penalty
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeat":$repeat,"agg":"min","errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
-    val totalOnly = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"errors":$errors,"sf":"$sfDir"}"""
+    // "agg"/"repeat" appear in BOTH artifacts: the round-5 estimator change
+    // (median -> min) moved the headline total, and a consumer reading only
+    // BENCH_total.json must be able to tell estimator change from plan change.
+    val totalOnly = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"sf":"$sfDir"}"""
     // Driver-parse posture (BENCH_r01/r02 lesson): the driver's stdout tail
     // capture truncates long lines from the HEAD, so the ~3 KB per-query map
     // must never be the last line. Persist the full detail to a file, print

@@ -12,8 +12,10 @@ object Probe {
     val n = if (args.length > 1) args(1).toInt else 3
     val keys = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // same scratch posture as Bench so probe numbers are comparable
-    val scratch = "/dev/shm/graft_bench_scratch"
+    // Same scratch posture as Bench so probe numbers are comparable, but
+    // PID-suffixed: Probe launched while a Bench run is in flight must not
+    // delete the live spark.local.dir out from under it.
+    val scratch = s"/dev/shm/graft_probe_scratch_${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
     new java.io.File(scratch).mkdirs()
     sys.props("java.io.tmpdir") = scratch
@@ -36,5 +38,7 @@ object Probe {
       }
     }
     spark.stop()
+    // PID-suffixed dirs would otherwise accumulate in /dev/shm across runs.
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
   }
 }

@@ -390,8 +390,11 @@ object Pipeline {
     QueryDef(
       "er_blocked_levenshtein",
       Some(
+        // [-1] = LAST token, matching the Spark side's substring_index(…,-1):
+        // the two sides must block on the same token or they silently diverge
+        // the day p_name grows a third token (round-6 advisor finding).
         "WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts, " +
-          "split_part(p_name, ' ', 2) AS blk FROM part GROUP BY p_name) " +
+          "string_split(p_name, ' ')[-1] AS blk FROM part GROUP BY p_name) " +
           "SELECT a.p_name AS name_a, b.p_name AS name_b, " +
           "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist, " +
           "a.n_parts AS n_a, b.n_parts AS n_b " +

@@ -135,10 +135,18 @@ object Scale {
           "FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1 ORDER BY 1"),
       (s, d) => {
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_prune_orders_${Integer.toHexString(d.hashCode)}"
-        Tables.t(s, d, "orders")
-          .withColumn("yr", year(col("o_orderdate")).cast("long"))
-          .repartition(col("yr"))
-          .write.mode("overwrite").partitionBy("yr").parquet(tmp)
+        // _done guard like the sibling bloom/bucketed layouts: bench repeats
+        // must time the pruned READ, not re-pay the layout write+shuffle.
+        // Spark's file listing ignores underscore-prefixed files, so the
+        // marker can live at the dataset root.
+        val done = java.nio.file.Paths.get(s"$tmp/_done")
+        if (!java.nio.file.Files.exists(done)) {
+          Tables.t(s, d, "orders")
+            .withColumn("yr", year(col("o_orderdate")).cast("long"))
+            .repartition(col("yr"))
+            .write.mode("overwrite").partitionBy("yr").parquet(tmp)
+          java.nio.file.Files.writeString(done, "ok")
+        }
         s.read.parquet(tmp)
           .where(col("yr").isin(1996L, 1997L))
           .groupBy("yr")

@@ -210,7 +210,9 @@ object Streams {
         val counts = { import scala.jdk.CollectionConverters._; batches.asScala.toSeq }
         val sp = s
         import sp.implicits._
-        Seq((counts.size.toLong, counts.sum, counts.max))
+        // maxOption: an empty/corrupt staged layout must surface as an oracle
+        // mismatch (0 batches), not an UnsupportedOperationException.
+        Seq((counts.size.toLong, counts.sum, counts.maxOption.getOrElse(0L)))
           .toDF("n_batches", "total_rows", "max_batch_rows")
           .orderBy("n_batches")
       }),
