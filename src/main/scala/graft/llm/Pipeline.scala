@@ -178,19 +178,21 @@ object Pipeline {
           "GROUP BY d.source ORDER BY d.source"),
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
-        // the rates table is one row per source (20 here; thousands at
-        // most in any corpus), so the empty-frame windows below run over a
-        // broadcast-sized frame and the fact side never shuffles
-        val whole = org.apache.spark.sql.expressions.Window
-          .partitionBy().rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing)
-        val rates = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        // corpus totals as a second aggregation LEVEL: one combinable agg
+        // collapses the source rollup to TWO longs, which the driver
+        // inlines as literals (bounded metadata, the agg_exact_percentile
+        // class — a constant-key join back would constant-fold into a
+        // BNLJ, and empty-partition windows over the rollup are the shape
+        // the plan audit bans). Every distributed operator stays
+        // partition-parallel; the rollup recomputes once for the totals
+        // (checkpoint it at true scale).
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
           .withColumn("w", (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long"))
-          .withColumn("total", sum(col("cnt")).over(whole))
-          .withColumn("totw", sum(col("w")).over(whole))
+        val t = counts.agg(sum(col("cnt")).as("total"), sum(col("w")).as("totw")).head()
+        val (budget, totw) = (t.getLong(0) / 2, t.getLong(1))
+        val rates = counts
           .withColumn("rate20",
-            least(lit(1048576L), expr("(((total div 2) * w) div totw) * 1048576 div cnt")))
+            least(lit(1048576L), expr(s"((${budget}L * w) div ${totw}L) * 1048576 div cnt")))
           .select("source", "cnt", "rate20")
         docs.join(broadcast(rates), "source")
           .where(pmod(col("doc_id") * lit(2654435761L), lit(1048576L)) < col("rate20"))

@@ -1,11 +1,15 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExecBase
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Whole-surface plan audit: no operator may *accidentally* plan a
-  * Cartesian product or a nested-loop join — the two shapes that stop
-  * scaling first. Keys where the shape is the documented intent (explicit
-  * cross join; non-equi band/interval predicates) are allowlisted.
+  * Cartesian product, a nested-loop join, or a single-partition window —
+  * the three shapes that stop scaling first. Keys where the shape is the
+  * documented intent (explicit cross join; non-equi band/interval
+  * predicates; a provably-tiny window input) are allowlisted.
   *
   * Streaming keys are excluded: their QueryDef.run executes the stream and
   * returns a collected result table, so the interesting plan is the
@@ -14,6 +18,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val sf = SparkTestBase.sf
+
+  /** Window nodes whose partition spec is EMPTY — Spark moves the whole
+    * input to one partition for these ("No Partition Defined for Window"),
+    * the first shape to die at scale. Tree walk instead of string parse:
+    * the printed form doesn't distinguish an empty partition spec reliably,
+    * and with AQE on, the root is an AdaptiveSparkPlanExec LEAF whose inner
+    * plan `collect` never visits.
+    */
+  private def globalWindows(p: SparkPlan): Seq[String] = p match {
+    case a: AdaptiveSparkPlanExec => globalWindows(a.inputPlan)
+    case w: WindowExecBase if w.partitionSpec.isEmpty =>
+      w.nodeName +: w.children.flatMap(globalWindows)
+    case other => other.children.flatMap(globalWindows)
+  }
 
   // The allowlists must contain ONLY keys whose executed plan contains the
   // shape TODAY (round-5 judge: stale entries mask future regressions) —
@@ -28,29 +46,37 @@ class PlanAuditSpec extends AnyFunSuite {
     // 5-row query set, so candidate×query NLJ is the intended plan — every
     // candidate partition streams once past an O(1) broadcast table
     "sim_cosine_topk", "knn_label_vote", "sim_topk_int8")
+  private val globalWindowOk = Set(
+    // skyline_pareto's boundary carry: the window input is the per-block
+    // Pareto frontier meet — ≤ 8 rows by construction (one row per block),
+    // so the single partition holds a handful of rows at any corpus size
+    "skyline_pareto")
 
-  test("no accidental CartesianProduct or BroadcastNestedLoopJoin anywhere") {
+  test("no accidental CartesianProduct, BroadcastNestedLoopJoin, or global window anywhere") {
     val skip = (k: String) => k.startsWith("stream_") ||
       k == "opt_annotation_rewrite" || k == "opt_numeric_rewrite" || // install a session rule (+ temp table)
       k == "sink_partitioned_write" || k == "sink_parquet_roundtrip" ||
       k == "join_bucketed_colocated" // saveAsTable side effects; plan asserted in PlanSpec
     val plans = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).map { k =>
-      val plan =
-        try SparkEntry.queries(k)(spark, sf).queryExecution.executedPlan.toString
+      val qe =
+        try SparkEntry.queries(k)(spark, sf).queryExecution
         catch { case e: Throwable => fail(s"$k failed to plan: ${e.getMessage}") }
-      k -> plan
+      (k, qe.executedPlan.toString, globalWindows(qe.executedPlan))
     }
-    val offenders = plans.flatMap { case (k, plan) =>
+    val offenders = plans.flatMap { case (k, plan, gw) =>
       (if (plan.contains("CartesianProduct") && !cartesianOk(k)) Seq(s"$k: CartesianProduct") else Nil) ++
-        (if (plan.contains("BroadcastNestedLoopJoin") && !bnljOk(k)) Seq(s"$k: BroadcastNestedLoopJoin") else Nil)
+        (if (plan.contains("BroadcastNestedLoopJoin") && !bnljOk(k)) Seq(s"$k: BroadcastNestedLoopJoin") else Nil) ++
+        (if (gw.nonEmpty && !globalWindowOk(k)) Seq(s"$k: single-partition ${gw.mkString(",")}") else Nil)
     }
     assert(offenders.isEmpty, s"\nunplanned scale hazards:\n${offenders.mkString("\n")}")
     // the allowlist is self-pruning: an entry whose plan no longer contains
     // the shape is stale and would mask a future regression — fail it out
-    val byKey = plans.toMap
+    val byKey = plans.map(p => p._1 -> p._2).toMap
+    val gwByKey = plans.map(p => p._1 -> p._3).toMap
     val stale =
       cartesianOk.filter(k => byKey.get(k).exists(p => !p.contains("CartesianProduct"))).map(k => s"$k: cartesianOk") ++
-        bnljOk.filter(k => byKey.get(k).exists(p => !p.contains("BroadcastNestedLoopJoin"))).map(k => s"$k: bnljOk")
+        bnljOk.filter(k => byKey.get(k).exists(p => !p.contains("BroadcastNestedLoopJoin"))).map(k => s"$k: bnljOk") ++
+        globalWindowOk.filter(k => gwByKey.get(k).exists(_.isEmpty)).map(k => s"$k: globalWindowOk")
     assert(stale.isEmpty, s"\nstale allowlist entries (plan no longer has the shape):\n${stale.mkString("\n")}")
   }
 }

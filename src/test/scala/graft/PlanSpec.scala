@@ -289,13 +289,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "TWA sums have no map-side combine")
   }
 
-  test("rfm_segmentation: orders roll up map-side before any window touches them") {
+  test("rfm_segmentation: window-free tile assignment from broadcast boundaries") {
     val p = plan("rfm_segmentation")
     assert("Scan parquet".r.findAllIn(p).size == 1, "orders must be scanned once")
     // the per-customer rollup must combine BEFORE the exchange: plans print
     // top-down, so the partial agg line sits BELOW its exchange
     assert(p.contains("partial_count"), "customer rollup has no map-side combine")
     assert(!p.contains("Join"), p.take(1200))
+    // the round-6 weak mark: tiles come from nine broadcast-literal boundary
+    // tuples, so the returned plan has NO window at all — in particular no
+    // global single-partition ntile sort
+    assert(!p.contains("Window"), s"tile assignment regressed to a window:\n${p.take(1200)}")
   }
 
   test("er_blocked_levenshtein: vocabulary self-join broadcasts, no all-pairs") {
