@@ -37,17 +37,46 @@ object Tables {
       (spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
 
-  /** events.ts is parquet TIMESTAMP(NANOS): Spark 4.x refuses it unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (then: LongType nanos).
-    * Derived columns:
-    *   ts_ms — epoch millis (oracle-comparable with DuckDB `epoch_ms(ts)`)
-    *   ts_ts — TimestampType at micros (ns values are µs-aligned in the data)
+  /** events.ts has shipped in three physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (readable only as int64 nanos
+    * under `spark.sql.legacy.parquet.nanosAsLong`), naive µs TIMESTAMP_NTZ,
+    * and µs instant TIMESTAMP. All three map to the same derived columns —
+    * naive values are interpreted at UTC, which is exactly what DuckDB's
+    * `epoch_ms(ts)` computes on its side of the oracle, so the mapping is
+    * session-timezone-proof:
+    *   ts_ms — epoch millis (BIGINT)
+    *   ts_ts — TimestampType instant at µs precision
     */
+  def withEventTime(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => // legacy nanos-as-long
+      df.withColumn("ts_ms", expr("ts div 1000000"))
+        .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType =>
+      // epoch micros of the naive value AT UTC, independent of the session
+      // timezone (a cast to TIMESTAMP would silently shift with it)
+      val us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+      df.withColumn("ts_ms", expr(s"$us div 1000"))
+        .withColumn("ts_ts", expr(s"timestamp_micros($us)"))
+    case TimestampType =>
+      df.withColumn("ts_ms", expr("unix_millis(ts)"))
+        .withColumn("ts_ts", col("ts"))
+    case other =>
+      throw new IllegalStateException(s"unsupported events.ts type: $other")
+  }
+
+  /** A synthetic `ts` value (for sentinel rows staged beside events.parquet)
+    * typed to match whatever the current generation's schema declares.
+    */
+  def tsSentinel(dt: DataType, epochSeconds: Long): Any = dt match {
+    case LongType => epochSeconds * 1000000000L
+    case TimestampNTZType =>
+      java.time.LocalDateTime.ofEpochSecond(epochSeconds, 0, java.time.ZoneOffset.UTC)
+    case _ => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(epochSeconds))
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+    withEventTime(t(spark, dir, "events"))
   }
 
   def golden(spark: SparkSession, name: String): DataFrame =

@@ -48,10 +48,11 @@ object Streams {
     try body finally s.conf.set(key, prev)
   }
 
-  /** Sentinel timestamp (2090-01-01 as int64 nanos) used to push the
-    * watermark past every real window in a bounded append-mode run.
+  /** Sentinel timestamp (2090-01-01, typed per the events schema at stage
+    * time) used to push the watermark past every real window in a bounded
+    * append-mode run.
     */
-  private val SentinelNanos1 = 3786825600L * 1000000000L
+  private val SentinelEpochSec = 3786825600L
   private val SentinelType = "__wm__"
 
   /** Bounded append-mode run of a windowed aggregation — the SAME plan you
@@ -78,22 +79,23 @@ object Streams {
     Files.createSymbolicLink(
       inDir.resolve("events.parquet"), Paths.get(s"$dir/events.parquet"))
     val sch = s.read.parquet(s"$dir/events.parquet").schema
-    def writeSentinel(tsNanos: Long, sub: String): Unit = {
+    def writeSentinel(epochSec: Long, sub: String): Unit = {
       import org.apache.spark.sql.Row
-      val row = Row(-1L, tsNanos, -1L, SentinelType, 0.0, "{}")
+      val row = Row(-1L, Tables.tsSentinel(sch("ts").dataType, epochSec),
+        -1L, SentinelType, 0.0, "{}")
       s.createDataFrame(s.sparkContext.parallelize(Seq(row), 1), sch)
         .write.parquet(s"$base/in/$sub")
     }
     def runOnce(): Unit = {
-      val src = s.readStream.schema(sch).parquet(s"$base/in/*")
-        .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+      val src = Tables.withEventTime(
+        s.readStream.schema(sch).parquet(s"$base/in/*"))
       val q = agg(src).writeStream.outputMode("append").format("parquet")
         .option("path", s"$base/out")
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    writeSentinel(SentinelNanos1, "s1")
+    writeSentinel(SentinelEpochSec, "s1")
     // One AvailableNow run: the data batch advances the watermark past every
     // real window (thanks to the sentinel), and Spark's no-data micro-batch
     // (spark.sql.streaming.noDataMicroBatches.enabled, default on) then
@@ -115,8 +117,7 @@ object Streams {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
     val sch = s.read.parquet(path).schema
-    s.readStream.schema(sch).parquet(streamDir.toString)
-      .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.withEventTime(s.readStream.schema(sch).parquet(streamDir.toString))
   }
 
   /** Scratch file-stream source: events.parquet symlinked beside sentinel
@@ -141,12 +142,12 @@ object Streams {
     Files.createSymbolicLink(
       inDir.resolve("events.parquet"), Paths.get(s"$dir/events.parquet"))
     val sch = s.read.parquet(s"$dir/events.parquet").schema
+    val sentTs = Tables.tsSentinel(sch("ts").dataType, SentinelEpochSec)
     val rows = types.map(t =>
-      org.apache.spark.sql.Row(-1L, SentinelNanos1, -1L, t, 0.0, "{}"))
+      org.apache.spark.sql.Row(-1L, sentTs, -1L, t, 0.0, "{}"))
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), sch)
       .write.parquet(s"$base/in/sentinels")
-    () => s.readStream.schema(sch).parquet(s"$base/in/*")
-      .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+    () => Tables.withEventTime(s.readStream.schema(sch).parquet(s"$base/in/*"))
   }
 
   /** Run a bounded streaming query into a memory sink and return the table. */
@@ -293,7 +294,7 @@ object Streams {
         val twice = once.union(streamEvents(s, d))
           .withWatermark("ts_ts", "10 minutes")
           .dropDuplicatesWithinWatermark("event_id")
-          .select(col("event_id"), expr("ts div 1000000").as("ts_ms"),
+          .select(col("event_id"), col("ts_ms"),
             col("event_type"), col("value"))
         runToTable(twice, "graft_j4", "append").orderBy("event_id")
       }),
@@ -354,7 +355,7 @@ object Streams {
       (s, d) => withStreamShuffle(s) {
         val purchases = streamEvents(s, d).where(col("event_type") === "purchase")
           .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-            col("ts_ts").as("p_ts"), expr("ts div 1000000").as("p_ms"))
+            col("ts_ts").as("p_ts"), col("ts_ms").as("p_ms"))
           .withWatermark("p_ts", "1 hour")
         val clicks = streamEvents(s, d).where(col("event_type") === "click")
           .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts_ts").as("c_ts"))
@@ -387,7 +388,7 @@ object Streams {
           s, d, "lojoin", Seq("purchase", "click"))
         val purchases = src().where(col("event_type") === "purchase")
           .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-            col("ts_ts").as("p_ts"), expr("ts div 1000000").as("p_ms"))
+            col("ts_ts").as("p_ts"), col("ts_ms").as("p_ms"))
           .withWatermark("p_ts", "1 hour")
         val clicks = src().where(col("event_type") === "click")
           .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts_ts").as("c_ts"))
@@ -483,7 +484,7 @@ object Streams {
           .orderBy(col("ts").desc, col("event_id").desc)
         val q = streamEvents(s, d)
           .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
-            expr("ts div 1000000").as("ts_ms"), col("value"))
+            col("ts_ms"), col("value"))
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val prev = new java.io.File(s"$stateBase/v${batchId - 1}")
