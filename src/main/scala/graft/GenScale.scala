@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: replicates the driver's sf tables K×
+  * (default 10×, i.e. sf0.1 → sf1) with consistent key offsets, so
+  * per-query scaling exponents can be measured one decade above the bench
+  * scale — the cheapest way to catch a quadratic kernel the sf0.1 bench
+  * hides behind fixed overhead.
+  *
+  * One narrow scan per table: explode a literal 0..K-1 array, then shift
+  * every key column by rep·10⁹ — larger than any base key so copies never
+  * collide, a multiple of 4 so `user_id % 4` bucketing semantics survive,
+  * and applied to BOTH sides of every PK/FK pair so referential integrity
+  * (and therefore join fan-out per key) is exactly preserved. All value
+  * distributions are preserved verbatim; text/embedding payloads repeat
+  * exactly, so dedup operators see K-sized duplicate groups (work grows
+  * K× per group — the intended linear-total load, never all-pairs).
+  * Dimension tables (region/nation) stay 1×, like real dims at scale.
+  */
+object GenScale {
+  private val Off = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("target/testdata_sf1")
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val keyCols = Map(
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    val dims = Seq("region", "nation")
+
+    dims.foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    keyCols.foreach { case (t, keys) =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      val reps = df.withColumn("__rep", explode(lit((0 until k).toArray)))
+      val shifted = keys.foldLeft(reps) { (d, c) =>
+        d.withColumn(c, col(c) + col("__rep").cast("long") * Off)
+      }
+      shifted.select(df.columns.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    spark.stop()
+    println(s"""{"gen":"ok","src":"$src","dst":"$dst","k":$k}""")
+  }
+}
