@@ -25,6 +25,7 @@ object SparkEntry {
       udx.TypedOps.defs ++
       llm.Llm.defs ++
       llm.Ivf.defs ++
+      llm.Pca.defs ++
       llm.Pipeline.defs ++
       llm.Corpus.defs ++
       llm.Multimodal.defs ++

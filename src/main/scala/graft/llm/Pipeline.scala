@@ -455,6 +455,55 @@ object Pipeline {
           .where(col("rn") <= 2)
           .select(col("doc_id"), col("rn").as("neg_rank"), col("neg_id"))
           .orderBy("doc_id", "neg_rank")
+      }),
+
+    // Token-balanced shard assignment — the "write the corpus as K
+    // equal-token training shards" step that follows packing. The semantics
+    // are a GLOBAL exclusive prefix sum over a total order (shard =
+    // prior_tokens div budget), which naively is one all-data
+    // single-partition window — the first shape to die at scale. Here it is
+    // the classic two-level scan instead: doc_id-RANGE buckets (so bucket
+    // order extends the global order), an intra-bucket prefix window
+    // (partitioned ✓), a ≤B-row bucket-totals prefix (the only
+    // single-partition window, over B=32 rows by construction — PlanAudit
+    // allowlisted), and a broadcast join of bucket offsets back. min/max/
+    // total are 3 longs of bounded metadata inlined as literals (the
+    // sample_mixture_weighted posture: a 1-row join back would
+    // constant-fold into a BNLJ).
+    QueryDef(
+      "shard_balance_tokens",
+      Some(
+        "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+          "p AS (SELECT doc_id, n_tok, COALESCE(sum(n_tok) OVER (ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior FROM t) " +
+          "SELECT doc_id, n_tok, CAST(prior // (SELECT (sum(n_tok) + 7) // 8 FROM t) AS BIGINT) AS shard " +
+          "FROM p ORDER BY doc_id"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.t(s, d, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val stats = docs.agg(min("doc_id"), max("doc_id"), sum("n_tok")).head()
+        val (minId, maxId, total) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+        val nBuckets = 32L
+        val width = (maxId - minId) / nBuckets + 1
+        val budget = (total + 7) / 8 // ceil; exact long arithmetic both engines
+        val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bucketed = docs
+          .withColumn("bucket", expr(s"(doc_id - $minId) div $width"))
+        // per-bucket totals: ≤32 rows, one per range bucket — the tiny
+        // second level of the scan; its unpartitioned prefix window is
+        // bounded by construction at any corpus size
+        val wB = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = bucketed.groupBy("bucket").agg(sum("n_tok").as("btot"))
+          .withColumn("offset", coalesce(sum(col("btot")).over(wB), lit(0L)))
+          .select("bucket", "offset")
+        bucketed
+          .withColumn("local_prior", coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+          .join(broadcast(offsets), "bucket")
+          .select(col("doc_id"), col("n_tok"),
+            expr(s"(local_prior + offset) div $budget").cast("long").as("shard"))
+          .orderBy("doc_id")
       })
   )
 

@@ -63,7 +63,7 @@ class OpsSpec extends AnyFunSuite {
     val noOracle = q -- o
     val covered = Set("agg_approx_distinct", "udaf_imperative_minhash",
       "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "dedup_semdedup_cluster",
-      "agg_sketch_merge", "agg_quantile_merge")
+      "agg_sketch_merge", "agg_quantile_merge", "embed_pca_project")
     assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
   }
 
@@ -472,5 +472,32 @@ class OpsSpec extends AnyFunSuite {
       .select(greatest(size(split(col("text"), " ")) - 1, lit(0)).cast("long").as("n"))
       .agg(sum("n")).collect()(0).getLong(0)
     assert(rows.map(_._2).sum == total)
+  }
+
+  test("embed_pca_project: orthonormal basis, axis-beating variance, stable output") {
+    val (cov, n) = llm.Pca.covariance(spark, sf)
+    assert(n > 0 && cov.length == cov.head.length)
+    val dim = cov.length
+    val evecs = llm.Pca.topEigenvectors(cov, 8)
+    // orthonormality (by construction of the reorthogonalized iteration)
+    for (a <- evecs.indices; b <- a until evecs.length) {
+      val dot = (0 until dim).map(i => evecs(a)(i) * evecs(b)(i)).sum
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"<v$a,v$b> = $dot")
+    }
+    // PCA optimality proxy: variance captured by the k eigendirections must
+    // beat the k best coordinate axes (the axis-aligned projection any
+    // column-subset "PCA" would give)
+    def quad(v: Array[Double]): Double =
+      (0 until dim).map(i => v(i) * (0 until dim).map(j => cov(i)(j) * v(j)).sum).sum
+    val eigVar = evecs.map(quad).sum
+    val axisVar = (0 until dim).map(i => cov(i)(i)).sorted.reverse.take(8).sum
+    assert(eigVar >= axisVar * 0.999, s"eigen $eigVar < axes $axisVar")
+    // deterministic end-to-end: two runs produce identical rounded rows
+    // (decimal gram sums are shuffle-order-independent)
+    val r1 = run("embed_pca_project").collect().toSeq
+    val r2 = run("embed_pca_project").collect().toSeq
+    assert(r1 == r2)
+    assert(r1.size == spark.read.parquet(s"$sf/embeddings.parquet").count())
   }
 }

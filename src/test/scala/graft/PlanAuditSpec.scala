@@ -50,7 +50,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // skyline_pareto's boundary carry: the window input is the per-block
     // Pareto frontier meet — ≤ 8 rows by construction (one row per block),
     // so the single partition holds a handful of rows at any corpus size
-    "skyline_pareto")
+    "skyline_pareto",
+    // shard_balance_tokens' second scan level: the prefix over per-bucket
+    // totals — ≤ 32 rows by construction (one per doc_id-range bucket),
+    // the tiny top of the two-level distributed prefix sum; the all-data
+    // prefix runs bucket-partitioned
+    "shard_balance_tokens")
 
   test("no accidental CartesianProduct, BroadcastNestedLoopJoin, or global window anywhere") {
     val skip = (k: String) => k.startsWith("stream_") ||
