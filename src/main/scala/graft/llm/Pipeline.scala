@@ -504,6 +504,78 @@ object Pipeline {
           .select(col("doc_id"), col("n_tok"),
             expr(s"(local_prior + offset) div $budget").cast("long").as("shard"))
           .orderBy("doc_id")
+      }),
+
+    // Exact repeated-substring detection — the character-level memorization
+    // hazard scan (the ExactSubstr idea behind suffix-array training-data
+    // dedup, re-expressed relationally): a 40-char window sampled every 10
+    // chars, a gram shared by ≥2 distinct documents marks both as carrying
+    // verbatim cross-document text. Per-doc count of shared windows is the
+    // dedup signal. All joins/aggs are gram- or doc-keyed (combinable,
+    // skew-bounded by the stride); nothing global, nothing quadratic —
+    // candidate volume is corpus_chars/10 rows of 40 bytes.
+    QueryDef(
+      "dedup_substring_exact",
+      Some(
+        "WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 40) AS g " +
+          "FROM documents, unnest(generate_series(1, greatest(length(text) - 39, 0), 10)) AS t(i)), " +
+          "s AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2), " +
+          "c AS (SELECT doc_id, count(*) AS n_shared FROM g JOIN s USING (g) GROUP BY doc_id) " +
+          "SELECT d.doc_id, CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared " +
+          "FROM documents d LEFT JOIN c USING (doc_id) ORDER BY doc_id"),
+      (s, d) => {
+        val w = 40
+        val stride = 10
+        val docs = Tables.t(s, d, "documents")
+        val grams = docs.select(col("doc_id"), explode(expr(
+          s"CASE WHEN length(text) >= $w THEN " +
+            s"transform(sequence(1, length(text) - ${w - 1}, $stride), i -> substring(text, i, $w)) " +
+            "ELSE array() END")).as("g"))
+          .distinct()
+        val shared = grams.groupBy("g").agg(count(lit(1)).as("nd")).where(col("nd") >= 2)
+        val counts = grams.join(shared.select("g"), Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_shared"))
+        docs.select(col("doc_id"))
+          .join(counts, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+          .orderBy("doc_id")
+      }),
+
+    // Corpus-trained char-bigram language-model scoring — quality filtering
+    // with LEARNED statistics rather than surface heuristics, in exact
+    // integer micro-units so both engines agree bit-for-bit (the text_quality
+    // discipline; no cross-engine libm log, no order-dependent double sums):
+    // per-position typicality q = 1e6·count(c1c2) div count(c1·), per-doc
+    // score = mean q. Model building is a combinable bigram count (shuffles
+    // ~|alphabet|² partials), scoring is a broadcast join of that tiny model
+    // against the exploded positions — the exact shape a 100 TB scorer runs.
+    QueryDef(
+      "quality_perplexity_proxy",
+      Some(
+        "WITH pos AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg, substr(text, CAST(i AS INT), 1) AS c1 " +
+          "FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)), " +
+          "cb AS (SELECT bg, count(*) AS nb FROM pos GROUP BY bg), " +
+          "cu AS (SELECT c1, count(*) AS nu FROM pos GROUP BY c1) " +
+          "SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bg, " +
+          "CAST(sum(cb.nb * 1000000 // cu.nu) // count(*) AS BIGINT) AS score_micro " +
+          "FROM pos p JOIN cb ON p.bg = cb.bg JOIN cu ON p.c1 = cu.c1 " +
+          "GROUP BY p.doc_id ORDER BY p.doc_id"),
+      (s, d) => {
+        val pos = Tables.t(s, d, "documents")
+          .where(length(col("text")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+          .withColumn("c1", substring(col("bg"), 1, 1))
+        val cb = pos.groupBy("bg").agg(count(lit(1)).as("nb"))
+        val cu = pos.groupBy("c1").agg(count(lit(1)).as("nu"))
+        pos
+          .join(broadcast(cb), "bg")
+          .join(broadcast(cu), "c1")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast("long").as("n_bg"),
+            expr("sum(nb * 1000000 div nu) div count(*)").cast("long").as("score_micro"))
+          .orderBy("doc_id")
       })
   )
 
