@@ -87,6 +87,90 @@ object ImageKernel {
       }
     }
 
+  /** Deterministic structured test frame for the perceptual-hash fixture:
+    * gray(x,y) = seed + (a·x + b·y + (x·y)%97) % 200, plus a fixed
+    * perturbation rectangle raised by `delta`. The (a,b) coefficients give
+    * each group its own gradient STRUCTURE (dHash is invariant to the
+    * constant `seed`, so brightness alone cannot distinguish groups), and
+    * `delta` perturbs only a rectangle spanning a couple of downscale
+    * cells, so same-structure variants land a small Hamming distance
+    * apart — the near-duplicate geometry the phash operator must recover.
+    */
+  def gradientFrame(w: Int, h: Int, a: Int, b: Int, seed: Int, delta: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+    val samples = Array.tabulate(w * h) { idx =>
+      val x = idx % w
+      val y = idx / w
+      val base = seed + (a * x + b * y + (x * y) % 97) % 200
+      val inRect = x >= w / 3 && x < w / 3 + math.max(1, w / 9) &&
+        y >= h / 4 && y < h / 4 + math.max(1, h / 8)
+      math.min(255, base + (if (inRect) delta else 0))
+    }
+    img.getRaster.setSamples(0, 0, w, h, 0, samples)
+    img
+  }
+
+  /** Single-frame PNG encode (lossless, so decode→hash is exact). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit difference hash: area-average the integer luma onto a 9×8 grid,
+    * bit = "left cell brighter than its right neighbour" (8 comparisons ×
+    * 8 rows). The compare cross-multiplies sums by counts so it is exact
+    * integer math — no float averages, bit-identical everywhere. Constant
+    * brightness shifts cancel in the differences, which is the invariance
+    * perceptual dedup needs (same image, different exposure).
+    */
+  def dHash(img: BufferedImage): Long = {
+    val gw = 9
+    val gh = 8
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = Array.ofDim[Long](gh, gw)
+    val cnts = Array.ofDim[Long](gh, gw)
+    // single-band images (TYPE_BYTE_GRAY / indexed) are read as RAW raster
+    // samples: getRGB would run them through a linear-gray → sRGB gamma
+    // conversion, which is monotone per pixel but NOT average-preserving —
+    // it silently broke the encode→decode hash equality this kernel
+    // promises (a grayscale PNG decodes as TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    val singleBand = raster.getNumBands == 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val l =
+          if (singleBand) raster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+          }
+        val cx = x * gw / w
+        val cy = y * gh / h
+        sums(cy)(cx) += l
+        cnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw - 1) {
+        val lhs = sums(cy)(cx) * cnts(cy)(cx + 1)
+        val rhs = sums(cy)(cx + 1) * cnts(cy)(cx)
+        bits = (bits << 1) | (if (lhs > rhs) 1L else 0L)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
   /** Integer-luminance histogram over all pixels: l = (299r+587g+114b)/1000,
     * bucket = l * buckets / 256. The real analog of the stub token-initial
     * histogram — fixed-length numeric features from a binary payload.

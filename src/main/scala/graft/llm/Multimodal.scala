@@ -243,6 +243,58 @@ object Multimodal {
           }
           .toDF("doc_id", "frame_id", "energy")
           .orderBy("doc_id", "frame_id")
+      }),
+
+    // Perceptual-hash near-duplicate detection over image payloads — the
+    // image-side analog of the text MinHash family: every doc carries a
+    // real PNG (a structured gradient whose SHAPE is shared within groups
+    // of 10 consecutive doc_ids and perturbed per member), the kernel
+    // DECODES the container and computes a 64-bit difference hash (exact
+    // integer math, brightness-invariant), and near-dups are recovered by
+    // 8×8-bit LSH band equi-join + Hamming ≤ 6 verify — never all-pairs.
+    // dHash recomputes per consumer (3 narrow passes) instead of caching:
+    // at 100 TB you would persist the hash column once; here the encode/
+    // decode is the point under test. No SQL oracle (PNG decode); OpsSpec
+    // proves brightness invariance, group recall, and cross-group
+    // separation.
+    QueryDef(
+      "multimodal_phash_neardup",
+      None,
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val hashed = Tables.t(s, d, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val g = id / 10
+              val img = ImageKernel.gradientFrame(36, 32,
+                2 + (g % 23).toInt, 3 + (g % 29).toInt,
+                ((g * 7) % 40).toInt, ((id % 10) * 3).toInt)
+              val bytes = ImageKernel.encodePng(img)
+              // hash the DECODED container bytes: a broken decode path
+              // changes every hash and collapses the group structure the
+              // spec asserts
+              (id, ImageKernel.dHash(ImageKernel.decode(bytes).get))
+            }
+          }.toDF("doc_id", "ph")
+        val bands = hashed.select(col("doc_id"), col("ph"),
+          explode(expr("sequence(0, 7)")).as("band"))
+          .withColumn("v", expr("shiftright(ph, 8 * band) & 255"))
+        val left = bands.select(col("band"), col("v"), col("doc_id").as("ida"), col("ph").as("pha"))
+        val right = bands.select(col("band"), col("v"), col("doc_id").as("idb"), col("ph").as("phb"))
+        val pairs = left.join(right, Seq("band", "v"))
+          .where(col("ida") < col("idb"))
+          .select("ida", "idb", "pha", "phb").distinct()
+          .where(expr("bit_count(pha ^ phb) <= 6"))
+        val perDoc = pairs.select(col("ida").as("doc_id"))
+          .union(pairs.select(col("idb").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_neardup"))
+        hashed.select(col("doc_id"), expr("lpad(hex(ph), 16, '0')").as("phash"))
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("phash"),
+            coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+          .orderBy("doc_id")
       })
   )
 }

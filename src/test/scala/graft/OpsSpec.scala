@@ -63,7 +63,8 @@ class OpsSpec extends AnyFunSuite {
     val noOracle = q -- o
     val covered = Set("agg_approx_distinct", "udaf_imperative_minhash",
       "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "dedup_semdedup_cluster",
-      "agg_sketch_merge", "agg_quantile_merge", "embed_pca_project")
+      "agg_sketch_merge", "agg_quantile_merge", "embed_pca_project",
+      "multimodal_phash_neardup")
     assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
   }
 
@@ -499,5 +500,30 @@ class OpsSpec extends AnyFunSuite {
     val r2 = run("embed_pca_project").collect().toSeq
     assert(r1 == r2)
     assert(r1.size == spark.read.parquet(s"$sf/embeddings.parquet").count())
+  }
+
+  test("multimodal_phash_neardup: brightness-invariant hash, group recall, separation") {
+    import llm.ImageKernel
+    // dHash invariances the operator depends on, checked on the kernel
+    val base = ImageKernel.dHash(ImageKernel.gradientFrame(36, 32, 5, 7, 10, 0))
+    val bright = ImageKernel.dHash(ImageKernel.gradientFrame(36, 32, 5, 7, 40, 0))
+    assert(base == bright, "constant brightness shift must not change dHash")
+    val pert = ImageKernel.dHash(ImageKernel.gradientFrame(36, 32, 5, 7, 10, 21))
+    assert(java.lang.Long.bitCount(base ^ pert) <= 6, "rect perturbation must stay near")
+    val other = ImageKernel.dHash(ImageKernel.gradientFrame(36, 32, 6, 11, 10, 0))
+    assert(java.lang.Long.bitCount(base ^ other) > 6, "different structure must be far")
+    // PNG round trip feeds the hash (decode path is load-bearing)
+    val png = ImageKernel.encodePng(ImageKernel.gradientFrame(36, 32, 5, 7, 10, 0))
+    assert(ImageKernel.dHash(ImageKernel.decode(png).get) == base)
+    val rows = run("multimodal_phash_neardup").collect()
+    val n = rows.length.toLong
+    assert(n == spark.read.parquet(s"$sf/documents.parquet").count())
+    // recall: members of complete 10-doc groups see most siblings
+    val full = rows.filter(_.getLong(0) / 10 < n / 10)
+    assert(full.count(_.getLong(2) >= 5) * 10 >= full.length * 9,
+      "too few group members recovered ≥5 near-dups")
+    // separation: structures are distinct for the first 667 groups, so no
+    // doc can exceed its group's 9 siblings
+    assert(rows.forall(_.getLong(2) <= 9), "cross-group collision")
   }
 }
