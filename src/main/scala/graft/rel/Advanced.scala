@@ -215,6 +215,54 @@ object Advanced {
       "SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist " +
       "FROM co GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
 
+  /** TPC-H Q4 shape: correlated EXISTS whose condition mixes the equi key
+    * with a correlated date-arithmetic inequality — the decorrelation must
+    * keep the non-equi predicate as a semi-join residual. (Adapted: this
+    * schema has no l_commitdate/l_receiptdate, so "shipped more than 30
+    * days after ordering" stands in for TPC-H's late-commit predicate.)
+    */
+  private val q4Sql =
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count " +
+      "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1996-07-01' " +
+      "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+      "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+
+  /** TPC-H Q16 shape: NOT IN (subquery) — the null-aware anti-join plan
+    * class none of the other keys exercise — feeding a count(DISTINCT)
+    * aggregate. (Adapted: lineitem stands in for partsupp as the
+    * part↔supplier pair source; the excluded suppliers are a name-pattern
+    * subset.)
+    */
+  private val q16Sql =
+    "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, " +
+      "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "WHERE p_brand <> 'Brand#13' AND p_size IN (1, 4, 7, 10, 13) " +
+      "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7') " +
+      "GROUP BY p_brand, p_size ORDER BY supplier_cnt DESC, p_brand, p_size"
+
+  /** TPC-H Q22 shape: scalar aggregate subquery + NOT EXISTS anti-join.
+    * The above-average-balance cut is spelled as an exact decimal
+    * cross-multiplication (balance·n > total) instead of comparing against
+    * avg(): division rounds differently across engines at the last digit,
+    * and a customer sitting on the boundary would flip the row set; the
+    * cross-multiplied form is integer-exact in both. (Adapted: "never
+    * placed an urgent order" stands in for TPC-H's no-orders cut — this
+    * data has no orderless customers — and c_mktsegment for cntrycode.)
+    */
+  private val q22Sql =
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust, " +
+      "CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS totacctbal " +
+      "FROM customer " +
+      "WHERE CAST(c_acctbal AS DECIMAL(18,4)) * (SELECT CAST(count(*) AS DECIMAL(18,0)) " +
+      "FROM customer WHERE c_acctbal > 0) > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) " +
+      "AS DECIMAL(38,4)) FROM customer WHERE c_acctbal > 0) " +
+      "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+      "AND o_orderpriority LIKE '1-%') " +
+      "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+
   /** SQL-standard LATERAL correlated subquery (top-n per group). */
   private val lateralSql =
     "SELECT n_name, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal " +
@@ -418,6 +466,36 @@ object Advanced {
         Seq("customer", "orders")
           .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
         s.sql(q13Sql)
+      }),
+
+    // Q4 shape (correlated EXISTS with date-arithmetic residual): q4Sql.
+    QueryDef(
+      "sql_api_q4",
+      Some(q4Sql),
+      (s, d) => {
+        Seq("orders", "lineitem")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q4Sql)
+      }),
+
+    // Q16 shape (NOT IN null-aware anti + count DISTINCT): q16Sql.
+    QueryDef(
+      "sql_api_q16",
+      Some(q16Sql),
+      (s, d) => {
+        Seq("part", "lineitem", "supplier")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q16Sql)
+      }),
+
+    // Q22 shape (scalar subquery + NOT EXISTS anti-join): q22Sql.
+    QueryDef(
+      "sql_api_q22",
+      Some(q22Sql),
+      (s, d) => {
+        Seq("customer", "orders")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q22Sql)
       }),
 
     // Named-parameter SQL: the injection-safe templating path — dashboard /
