@@ -502,6 +502,25 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.size == spark.read.parquet(s"$sf/embeddings.parquet").count())
   }
 
+  test("shard_balance_tokens: greedy prefix bound and contiguous shard ids") {
+    val rows = run("shard_balance_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = rows.map(_._2).sum
+    val budget = (total + 7) / 8
+    val maxDoc = rows.map(_._2).max
+    val byShard = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    // shards are exactly 0..7 and contiguous
+    assert(byShard.keySet == (0L until 8L).toSet, byShard.keySet)
+    // greedy prefix property: a shard can exceed its budget only by the doc
+    // that straddles the boundary
+    byShard.foreach { case (sid, toks) =>
+      assert(toks <= budget + maxDoc, s"shard $sid holds $toks > $budget + $maxDoc")
+    }
+    // prefix order: shard ids are monotone in doc_id order
+    val shardSeq = rows.sortBy(_._1).map(_._3)
+    assert(shardSeq.zip(shardSeq.tail).forall { case (a, b) => a <= b })
+  }
+
   test("multimodal_phash_neardup: brightness-invariant hash, group recall, separation") {
     import llm.ImageKernel
     // dHash invariances the operator depends on, checked on the kernel

@@ -494,4 +494,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftOuter"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
+
+  test("Q16: NOT IN plans as a null-aware anti join, not a nested loop") {
+    val p = plan("sql_api_q16")
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("shard_balance_tokens: all-data window is bucket-partitioned; offsets broadcast back") {
+    val p = plan("shard_balance_tokens")
+    // the doc-level prefix window must carry the bucket partition key; the
+    // only unpartitioned window (the ≤32-row bucket-totals level) is
+    // separately allowlisted and bounded in PlanAuditSpec
+    assert(p.contains("Window [sum(n_tok"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
