@@ -3,68 +3,87 @@ package graft.llm
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Distributed PCA projection of the embedding column — the dimensionality
   * step in front of clustering/ANN when the stored dimension is wider than
   * the signal (and the standard preprocessing for SemDeDup-style pipelines).
   *
   * Shape, built for 100 TB:
-  *   1. second-moment (gram) matrix + mean via ONE posexplode-pair pass:
-  *      per-(i,j) partial sums combine map-side, so the shuffle carries
-  *      dim·(dim+1)/2 partials per map task — never vectors. Products are
-  *      float×float in double (exact: 24+24 ≤ 53 mantissa bits) and the
-  *      cross-partition sums run in DECIMAL, so the gram matrix is
-  *      bit-identical under any partitioning or merge order.
+  *   1. second-moment (gram) matrix + mean via per-partition primitive
+  *      kernels: one dim×dim double array folds per partition, ≤
+  *      numPartitions partials of bounded size return to the driver —
+  *      vectors never shuffle, nothing explodes.
   *   2. covariance eigendecomposition on the driver: dim×dim doubles of
   *      bounded metadata (the IVF-centroid posture), deterministic power
-  *      iteration with deflation, sign-canonicalized eigenvectors.
+  *      iteration with reorthogonalization, sign-canonicalized.
   *   3. projection as a narrow codegen pass: the k×dim projection matrix
   *      inlines as literal arrays into zip_with/aggregate HOFs — no UDF, no
   *      broadcast variable, no shuffle.
   *
   * No DuckDB oracle (eigendecomposition is not SQL-expressible); OpsSpec
   * proves orthonormality, variance-optimality vs every coordinate axis,
-  * and bit-identical output under repartitioning.
+  * and run-stable output.
   */
 object Pca {
 
   private val K = 8
   private val PowerIters = 60
 
-  /** Mean-centered covariance (dim×dim) of the embedding column, exactly
-    * accumulated: per-pair DECIMAL sums make the result independent of
-    * partitioning and shuffle merge order.
+  /** Mean-centered covariance (dim×dim) of the embedding column via a
+    * per-partition primitive kernel (the IVF centroid-update posture):
+    * each partition folds its vectors into one dim×dim upper-triangle
+    * gram + dim-length sum array in a tight double loop, and the ≤
+    * numPartitions partials (a few KB each — bounded metadata) merge on
+    * the driver in partition-index order, so the result is deterministic
+    * for a given input layout. Products are float×float in double (exact:
+    * 24+24 ≤ 53 mantissa bits). This shuffles NOTHING and moves dim²
+    * doubles per partition — the previous posexplode-pair formulation
+    * materialized n·dim² array-carrying rows and cost 50× more wall-clock.
     */
   private[graft] def covariance(s: SparkSession, d: String): (Array[Array[Double]], Long) = {
-    val vecs = Tables.t(s, d, "embeddings").select(col("embedding"))
-    // products |x·y| ≤ ~few hundred for unit-ish embeddings; 12 decimal
-    // digits of fraction round identically everywhere, keeping the sum
-    // order-independent (the embed_label_centroid discipline)
-    val dec = DecimalType(28, 12)
-    val pairs = vecs
-      .select(posexplode(col("embedding")).as(Seq("i", "vi")), col("embedding"))
-      .select(col("i"), col("vi").cast("double").as("vi"),
-        posexplode(col("embedding")).as(Seq("j", "vj")))
-      .where(col("j") >= col("i"))
-      .groupBy("i", "j")
-      .agg(
-        sum((col("vi") * col("vj").cast("double")).cast(dec)).cast("double").as("sxy"),
-        sum(col("vi").cast(dec)).cast("double").as("sx"),
-        count(lit(1)).as("n"))
-      .collect()
-    val dim = pairs.map(_.getInt(0)).max + 1
-    val n = pairs.collectFirst { case r if r.getInt(0) == 0 && r.getInt(1) == 0 => r.getLong(4) }.get
-    val sxy = Array.ofDim[Double](dim, dim)
-    val sx = Array.ofDim[Double](dim)
-    pairs.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      sxy(i)(j) = r.getDouble(2); sxy(j)(i) = r.getDouble(2)
-      if (i == j) sx(i) = r.getDouble(3) // diagonal rows carry dim i's value sum
+    val sp = s
+    import sp.implicits._
+    val partials = Tables.t(s, d, "embeddings").select(col("embedding"))
+      .as[Array[Float]]
+      .mapPartitions { it =>
+        var dim = -1
+        var gram: Array[Double] = null
+        var sums: Array[Double] = null
+        var n = 0L
+        it.foreach { v =>
+          if (dim < 0) {
+            dim = v.length
+            gram = new Array[Double](dim * dim)
+            sums = new Array[Double](dim)
+          }
+          var i = 0
+          while (i < dim) {
+            val vi = v(i).toDouble
+            sums(i) += vi
+            var j = i
+            while (j < dim) { gram(i * dim + j) += vi * v(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (dim < 0) Iterator.empty else Iterator((dim, n, gram, sums))
+      }
+      .collect() // partition-index order: deterministic merge
+    val dim = partials.head._1
+    val sxy = new Array[Double](dim * dim)
+    val sx = new Array[Double](dim)
+    var n = 0L
+    partials.foreach { case (_, pn, g, sm) =>
+      n += pn
+      var k = 0
+      while (k < dim * dim) { sxy(k) += g(k); k += 1 }
+      k = 0
+      while (k < dim) { sx(k) += sm(k); k += 1 }
     }
-    // centering: cov = sxy/n - mean·meanᵀ
+    // centering: cov = sxy/n - mean·meanᵀ (upper triangle mirrored)
     val cov = Array.tabulate(dim, dim) { (i, j) =>
-      sxy(i)(j) / n - (sx(i) / n) * (sx(j) / n)
+      val s2 = if (i <= j) sxy(i * dim + j) else sxy(j * dim + i)
+      s2 / n - (sx(i) / n) * (sx(j) / n)
     }
     (cov, n)
   }

@@ -565,12 +565,16 @@ object Pipeline {
           .where(length(col("text")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
-          .withColumn("c1", substring(col("bg"), 1, 1))
         val cb = pos.groupBy("bg").agg(count(lit(1)).as("nb"))
-        val cu = pos.groupBy("c1").agg(count(lit(1)).as("nu"))
+        // unigram prefix counts derive FROM the bigram model (count(c1·) =
+        // Σ over bigrams starting with c1) — one corpus pass builds both
+        // model levels instead of re-exploding the text
+        val cu = cb.groupBy(substring(col("bg"), 1, 1).as("c1"))
+          .agg(sum(col("nb")).as("nu"))
+        val model = cb.withColumn("c1", substring(col("bg"), 1, 1))
+          .join(cu, "c1")
         pos
-          .join(broadcast(cb), "bg")
-          .join(broadcast(cu), "c1")
+          .join(broadcast(model.select("bg", "nb", "nu")), "bg")
           .groupBy("doc_id")
           .agg(
             count(lit(1)).cast("long").as("n_bg"),
