@@ -264,6 +264,29 @@ object Joins {
           .agg(count(lit(1)).as("n"), min(col("n_right")).as("n_right"),
             Q.out6(sum(Q.dec4(col("o_totalprice")))).as("sum_total"))
           .orderBy(col("k").asc_nulls_first)
+      }),
+
+    // D12 — shuffled hash join: the third equi-join strategy beside
+    // broadcast (D1) and sort-merge (D2). The hint builds a hash table on
+    // the (smaller) orders side per partition INSTEAD of sorting both
+    // sides — the right call when one side is much smaller than the other
+    // but too big to broadcast, because it skips both sorts. PlanSpec pins
+    // ShuffledHashJoin in the executed plan.
+    QueryDef(
+      "join_shuffle_hash",
+      Some(
+        s"SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(sum(CAST(l_quantity AS ${Q.D4})) AS ${Q.D6})::DOUBLE AS qty " +
+          "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, d) => {
+        val o = Tables.t(s, d, "orders").hint("SHUFFLE_HASH")
+        val li = Tables.t(s, d, "lineitem")
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            Q.out6(sum(Q.dec4(col("l_quantity")))).as("qty"))
+          .orderBy("o_orderpriority")
       })
   )
 }

@@ -495,6 +495,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("shuffled hash join: the hint actually picks the third strategy") {
+    val p = plan("join_shuffle_hash")
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
   test("Q16: NOT IN plans as a null-aware anti join, not a nested loop") {
     val p = plan("sql_api_q16")
     assert(p.contains("LeftAnti"), p.take(1500))
