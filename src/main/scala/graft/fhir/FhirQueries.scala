@@ -175,6 +175,10 @@ object FhirQueries {
     // dateTime, instant, decimal, id below are that page's published
     // patterns). One row per (table, field) check; same regex text runs in
     // Spark rlike and DuckDB regexp_matches (both RE2-compatible subsets).
+    // All of a table's rules fuse into ONE scan + ONE agg row (the
+    // dq_expectation_suite discipline — round 7 ran 17 separate
+    // scan+agg jobs over the same 3 files), then the agg row unpivots to
+    // the per-(table, field) shape via a literal struct-array explode.
     QueryDef(
       "fhir_conformance_check",
       Some(
@@ -194,23 +198,36 @@ object FhirQueries {
         }).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl, field"),
       ),
       (s, d) =>
-        (Seq("ExplanationOfBenefit", "Observation", "Patient").map { n =>
+        Seq("ExplanationOfBenefit", "Observation", "Patient").map { tbl =>
+          val fields = FhirConformance.checks.filter(_._1 == tbl)
           val vs = FhirConformance.resourceTypes.toSeq.sorted
-          Tables.golden(s, n).agg(
-            count(col("resourceType")).as("n_checked"),
-            (count(lit(1)) - count(col("resourceType")) +
-              when(countDistinct(col("resourceType")) === 1, 0L).otherwise(1L) +
-              count(when(!col("resourceType").isin(vs: _*), 1))).as("n_bad"))
-            .select(lit(n).as("tbl"), lit("resourceType").as("field"),
-              lit("resource-types").as("fhir_type"), col("n_checked"), col("n_bad"))
-        } ++ FhirConformance.checks.map { case (tbl, field, typ) =>
-          val re = FhirConformance.regex(typ)
-          Tables.golden(s, tbl).select(expr(field).as("v")).agg(
-            count(col("v")).as("n_checked"),
-            count(when(!col("v").rlike(s"^($re)$$"), 1)).as("n_bad"))
-            .select(lit(tbl).as("tbl"), lit(field).as("field"),
-              lit(typ).as("fhir_type"), col("n_checked"), col("n_bad"))
-        }).reduce(_ union _).orderBy("tbl", "field")),
+          val aggCols: Seq[org.apache.spark.sql.Column] =
+            Seq(
+              count(col("resourceType")).as("nc_rt"),
+              (count(lit(1)) - count(col("resourceType")) +
+                when(countDistinct(col("resourceType")) === 1, 0L).otherwise(1L) +
+                count(when(!col("resourceType").isin(vs: _*), 1))).as("nb_rt")) ++
+              fields.zipWithIndex.flatMap { case ((_, f, typ), i) =>
+                val re = FhirConformance.regex(typ)
+                Seq(
+                  count(expr(f)).as(s"nc_$i"),
+                  count(when(!expr(f).rlike(s"^($re)$$"), 1)).as(s"nb_$i"))
+              }
+          val entries =
+            struct(
+              lit("resourceType").as("field"), lit("resource-types").as("fhir_type"),
+              col("nc_rt").as("n_checked"), col("nb_rt").as("n_bad")) +:
+              fields.zipWithIndex.map { case ((_, f, typ), i) =>
+                struct(
+                  lit(f).as("field"), lit(typ).as("fhir_type"),
+                  col(s"nc_$i").as("n_checked"), col(s"nb_$i").as("n_bad"))
+              }
+          Tables.golden(s, tbl)
+            .agg(aggCols.head, aggCols.tail: _*)
+            .select(explode(array(entries: _*)).as("r"))
+            .select(lit(tbl).as("tbl"), col("r.field").as("field"),
+              col("r.fhir_type").as("fhir_type"), col("r.n_checked"), col("r.n_bad"))
+        }.reduce(_ union _).orderBy("tbl", "field")),
 
     // A6 — date-range annotation columns. Golden data has date-precision
     // birthDate and second-precision offset dateTimes; partial-precision

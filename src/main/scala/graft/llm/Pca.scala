@@ -32,20 +32,36 @@ object Pca {
   /** Mean-centered covariance (dim×dim) of the embedding column via a
     * per-partition primitive kernel (the IVF centroid-update posture):
     * each partition folds its vectors into one dim×dim upper-triangle
-    * gram + dim-length sum array in a tight double loop, and the ≤
-    * numPartitions partials (a few KB each — bounded metadata) merge on
-    * the driver in partition-index order, so the result is deterministic
-    * for a given input layout. Products are float×float in double (exact:
-    * 24+24 ≤ 53 mantissa bits). This shuffles NOTHING and moves dim²
-    * doubles per partition — the previous posexplode-pair formulation
-    * materialized n·dim² array-carrying rows and cost 50× more wall-clock.
+    * gram + dim-length sum array in a tight double loop. The ≤
+    * numPartitions partials (a few KB each) merge in a FIXED-STRUCTURE
+    * tree keyed by partition index (fanout 32), so the driver holds
+    * O(dim²) — never O(numPartitions·dim²) — and every level's combine
+    * order is index-sorted, keeping the double-sum bit-deterministic for a
+    * given input layout (a plain `treeReduce` merges in shuffle-arrival
+    * order, which varies run to run). Products are float×float in double
+    * (exact: 24+24 ≤ 53 mantissa bits). Vectors never shuffle — only
+    * dim²-double partials move, log₃₂(numPartitions) levels deep.
     */
+  private type GramPartial = (Int, Long, Array[Double], Array[Double])
+
+  private def mergePartials(a: GramPartial, b: GramPartial): GramPartial = {
+    val (dim, na, ga, sa) = a
+    val (_, nb, gb, sb) = b
+    var k = 0
+    while (k < dim * dim) { ga(k) += gb(k); k += 1 }
+    k = 0
+    while (k < dim) { sa(k) += sb(k); k += 1 }
+    (dim, na + nb, ga, sa)
+  }
+
   private[graft] def covariance(s: SparkSession, d: String): (Array[Array[Double]], Long) = {
     val sp = s
     import sp.implicits._
-    val partials = Tables.t(s, d, "embeddings").select(col("embedding"))
+    val fanout = 32
+    var cur = Tables.t(s, d, "embeddings").select(col("embedding"))
       .as[Array[Float]]
-      .mapPartitions { it =>
+      .rdd
+      .mapPartitionsWithIndex { (pidx, it) =>
         var dim = -1
         var gram: Array[Double] = null
         var sums: Array[Double] = null
@@ -66,20 +82,23 @@ object Pca {
           }
           n += 1
         }
-        if (dim < 0) Iterator.empty else Iterator((dim, n, gram, sums))
+        if (dim < 0) Iterator.empty
+        else Iterator((pidx, (dim, n, gram, sums): GramPartial))
       }
-      .collect() // partition-index order: deterministic merge
-    val dim = partials.head._1
-    val sxy = new Array[Double](dim * dim)
-    val sx = new Array[Double](dim)
-    var n = 0L
-    partials.foreach { case (_, pn, g, sm) =>
-      n += pn
-      var k = 0
-      while (k < dim * dim) { sxy(k) += g(k); k += 1 }
-      k = 0
-      while (k < dim) { sx(k) += sm(k); k += 1 }
+    var width = cur.getNumPartitions
+    while (width > 1) {
+      val groups = (width + fanout - 1) / fanout
+      cur = cur
+        .map { case (i, p) => (i / fanout, (i, p)) }
+        .groupByKey(groups)
+        .map { case (g, ps) =>
+          // index-sorted left fold: merge order is a pure function of the
+          // input layout, not of task completion order
+          (g, ps.toArray.sortBy(_._1).map(_._2).reduceLeft(mergePartials))
+        }
+      width = groups
     }
+    val (dim, n, sxy, sx) = cur.map(_._2).collect().head
     // centering: cov = sxy/n - mean·meanᵀ (upper triangle mirrored)
     val cov = Array.tabulate(dim, dim) { (i, j) =>
       val s2 = if (i <= j) sxy(i * dim + j) else sxy(j * dim + i)

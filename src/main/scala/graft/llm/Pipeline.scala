@@ -546,9 +546,14 @@ object Pipeline {
     // integer micro-units so both engines agree bit-for-bit (the text_quality
     // discipline; no cross-engine libm log, no order-dependent double sums):
     // per-position typicality q = 1e6·count(c1c2) div count(c1·), per-doc
-    // score = mean q. Model building is a combinable bigram count (shuffles
-    // ~|alphabet|² partials), scoring is a broadcast join of that tiny model
-    // against the exploded positions — the exact shape a 100 TB scorer runs.
+    // score = mean q. Model building is a combinable bigram count (one
+    // explode pass, shuffles ~|alphabet|² partials); scoring then FOLDS each
+    // doc in a single codegen HOF pass against the model inlined as a dense
+    // (c1,c2)-indexed literal array — no per-position row explosion, no
+    // per-position join (the round-7 shape multiplied every doc into L rows
+    // and was the most expensive key in the suite). The model is
+    // O(|alphabet|²) longs — driver-collectable at any corpus size, the
+    // exact shape a 100 TB scorer broadcasts.
     QueryDef(
       "quality_perplexity_proxy",
       Some(
@@ -561,24 +566,40 @@ object Pipeline {
           "FROM pos p JOIN cb ON p.bg = cb.bg JOIN cu ON p.c1 = cu.c1 " +
           "GROUP BY p.doc_id ORDER BY p.doc_id"),
       (s, d) => {
-        val pos = Tables.t(s, d, "documents")
-          .where(length(col("text")) >= 2)
+        val docs = Tables.t(s, d, "documents").where(length(col("text")) >= 2)
+        val cb = docs
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
-        val cb = pos.groupBy("bg").agg(count(lit(1)).as("nb"))
+          .groupBy("bg").agg(count(lit(1)).as("nb"))
         // unigram prefix counts derive FROM the bigram model (count(c1·) =
         // Σ over bigrams starting with c1) — one corpus pass builds both
         // model levels instead of re-exploding the text
-        val cu = cb.groupBy(substring(col("bg"), 1, 1).as("c1"))
-          .agg(sum(col("nb")).as("nu"))
-        val model = cb.withColumn("c1", substring(col("bg"), 1, 1))
-          .join(cu, "c1")
-        pos
-          .join(broadcast(model.select("bg", "nb", "nu")), "bg")
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).cast("long").as("n_bg"),
-            expr("sum(nb * 1000000 div nu) div count(*)").cast("long").as("score_micro"))
+        val bigrams = cb.collect().map(r => (r.getString(0), r.getLong(1)))
+        val nu = bigrams.groupBy(_._1.charAt(0)).map { case (c1, bs) => c1 -> bs.map(_._2).sum }
+        // dense q lookup indexed by (c1-minC)*span + (c2-minC): every char
+        // of every scored doc appears in some corpus bigram (the model and
+        // the scored rows are the same filtered corpus), so lookups cannot
+        // fall outside [minC, maxC] and the per-position q is an O(1)
+        // array read inside whole-stage codegen
+        val chars = bigrams.flatMap { case (bg, _) => Seq(bg.charAt(0), bg.charAt(1)) }
+        val minC = chars.min.toInt
+        val span = chars.max.toInt - minC + 1
+        val q = new Array[Long](span * span)
+        bigrams.foreach { case (bg, nb) =>
+          q((bg.charAt(0).toInt - minC) * span + (bg.charAt(1).toInt - minC)) =
+            nb * 1000000L / nu(bg.charAt(0))
+        }
+        val t = col("text")
+        val sumQ = aggregate(
+          sequence(lit(1), length(t) - 1),
+          lit(0L),
+          (acc, i) => acc + element_at(
+            typedlit(q.toSeq),
+            (ascii(t.substr(i, lit(1))) - minC) * span +
+              (ascii(t.substr(i + 1, lit(1))) - minC) + 1))
+        docs
+          .select(col("doc_id"), (length(t) - 1).cast("long").as("n_bg"), sumQ.as("sq"))
+          .select(col("doc_id"), col("n_bg"), expr("sq div n_bg").cast("long").as("score_micro"))
           .orderBy("doc_id")
       })
   )
