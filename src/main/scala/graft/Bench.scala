@@ -1,6 +1,49 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 object Bench {
+
+  /** Micro-anchor: four FROZEN single-shape queries (the BASELINE.md
+    * headline singles — Q1-style agg, 3-way join + agg, window rank top-3,
+    * group + top-10) timed FIRST each run and recorded in the artifact next
+    * to frozen reference timings. This box is snapshot-restored between
+    * rounds and its speed drifts 2-5× (round 7 measured a UNIFORM 2.17×
+    * per-query inflation down to fixed-overhead no-op queries), so a raw
+    * total cannot distinguish VM drift from a plan regression. The anchor
+    * ratio (measured / reference on identical frozen plans) captures pure
+    * box speed; `value_norm` = raw total ÷ ratio is the cross-round
+    * comparable number. The query TEXTS and the reference values must never
+    * change — comparability depends on both being frozen.
+    */
+  private val anchorDefs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "anchor_q1_agg" -> ((s: SparkSession, d: String) => Tables.t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity"), sum("l_extendedprice"), avg("l_discount"), count(lit(1)))),
+    "anchor_join3" -> ((s: SparkSession, d: String) => Tables.t(s, d, "lineitem")
+      .join(Tables.t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))),
+    "anchor_window_rank" -> ((s: SparkSession, d: String) => Tables.t(s, d, "orders")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .where(col("rk") <= 3)),
+    "anchor_group_topk" -> ((s: SparkSession, d: String) => Tables.t(s, d, "lineitem")
+      .groupBy("l_partkey").agg(sum("l_quantity").as("q"))
+      .orderBy(col("q").desc, col("l_partkey")).limit(10)))
+
+  /** Frozen anchor reference timings: steady-state min-of-3 on sf0.1,
+    * local[4], measured 2026-08-14 (round 8) on this box. Denominators of
+    * the drift ratio — do not re-measure.
+    */
+  private val anchorRef: Map[String, Double] = Map(
+    "anchor_q1_agg" -> 0.193,
+    "anchor_join3" -> 0.560,
+    "anchor_window_rank" -> 0.356,
+    "anchor_group_topk" -> 0.157)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,7 +80,7 @@ object Bench {
     // vs ~70 s steady on the same box); the full pass also absorbs
     // classloader/codegen and parquet-footer costs per query. Timed runs
     // then measure the steady state a long-lived cluster actually runs at.
-    SparkEntry.queries.values.foreach { fn =>
+    (anchorDefs.map(_._2) ++ SparkEntry.queries.values).foreach { fn =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // A throwing query must NOT contribute a plausible-looking median
@@ -48,6 +91,12 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // Anchors run FIRST (immediately after warm-up), same estimator as the
+    // suite, so the drift ratio reflects the box during THIS run.
+    val anchorTimes = anchorDefs.map { case (name, fn) =>
+      name -> Seq.fill(repeat)(time(fn)).map(_._1).min
+    }
+    val anchorRatio = anchorTimes.map(_._2).sum / anchorDefs.map(a => anchorRef(a._1)).sum
     // Optional CLI args = subset of query keys (local iteration only; the
     // driver invokes with no args and gets the full set).
     val selected =
@@ -74,11 +123,18 @@ object Bench {
     // (round-5 advisor finding).
     val penalty = math.max(30.0, results.values.filter(_ >= 0).maxOption.getOrElse(0.0))
     val total = results.values.filter(_ >= 0).sum + errors * penalty
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","repeat":$repeat,"agg":"min","errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
+    // anchor block: per-anchor seconds, frozen refs' drift ratio, and the
+    // anchor-normalized total — the number comparable across rounds. ratio
+    // is only meaningful at the refs' scale (sf0.1); at other sf dirs it is
+    // reported but value_norm should be read with that caveat.
+    val anchorJson = anchorTimes.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", s""","ratio":${r3(anchorRatio)}}""")
+    val valueNorm = total / anchorRatio
+    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"unit":"sec","repeat":$repeat,"agg":"min","errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
     // "agg"/"repeat" appear in BOTH artifacts: the round-5 estimator change
     // (median -> min) moved the headline total, and a consumer reading only
     // BENCH_total.json must be able to tell estimator change from plan change.
-    val totalOnly = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"sf":"$sfDir"}"""
+    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatio)},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"sf":"$sfDir"}"""
     // Driver-parse posture (BENCH_r01/r02 lesson): the driver's stdout tail
     // capture truncates long lines from the HEAD, so the ~3 KB per-query map
     // must never be the last line. Persist the full detail to a file, print

@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * One narrow scan per table: explode a literal 0..K-1 array, then shift
   * every key column by rep·10⁹ — larger than any base key so copies never
-  * collide, a multiple of 4 so `user_id % 4` bucketing semantics survive,
-  * and applied to BOTH sides of every PK/FK pair so referential integrity
+  * collide. 10⁹ ≡ 0 (mod 4) and (mod 10), so `% 4` / `% 10` key-bucketing
+  * derivations survive replication EXACTLY; other moduli are NOT preserved
+  * (10⁹ ≡ 6 mod 7, so e.g. a `doc_id % 7` derivation shifts per replica —
+  * acceptable for a timing rehearsal, where only load shape matters, but
+  * never compare rehearsal VALUES against base-scale oracles). Offsets
+  * apply to BOTH sides of every PK/FK pair so referential integrity
   * (and therefore join fan-out per key) is exactly preserved. All value
   * distributions are preserved verbatim; text/embedding payloads repeat
   * exactly, so dedup operators see K-sized duplicate groups (work grows

@@ -268,8 +268,15 @@ object Multimodal {
           .mapPartitions { it =>
             it.map { id =>
               val g = id / 10
+              // slope pair (a, b) must stay distinct across groups at any
+              // corpus size: a bare (g%23, g%29) repeats every lcm = 667
+              // groups (6,670 docs — sf1-rehearsal territory), and dHash is
+              // seed-invariant, so repeats would alias as cross-group
+              // near-dups. Mixing g/667 into b pushes the first systematic
+              // repeat past 23·29·667 groups (~4.4M docs) while keeping b
+              // bounded in [3, 31].
               val img = ImageKernel.gradientFrame(36, 32,
-                2 + (g % 23).toInt, 3 + (g % 29).toInt,
+                2 + (g % 23).toInt, 3 + ((g + g / 667) % 29).toInt,
                 ((g * 7) % 40).toInt, ((id % 10) * 3).toInt)
               val bytes = ImageKernel.encodePng(img)
               // hash the DECODED container bytes: a broken decode path

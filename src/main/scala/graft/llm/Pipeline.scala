@@ -482,15 +482,27 @@ object Pipeline {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.t(s, d, "documents")
           .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-        val stats = docs.agg(min("doc_id"), max("doc_id"), sum("n_tok")).head()
-        val (minId, maxId, total) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-        val nBuckets = 32L
-        val width = (maxId - minId) / nBuckets + 1
+        // bucket boundaries from doc_id QUANTILES, not uniform id-range
+        // slicing: quantile cuts hold each bucket near n/32 rows under ANY
+        // id distribution, where a uniform (max-min)/32 width degenerates
+        // to a near-global window when 90% of ids share one narrow range
+        // (the adversarial-skew ScalaCheck case in OpsSpec). Boundaries
+        // only group rows — every downstream number is an exact prefix
+        // sum — so approximation error shifts work, never results. One
+        // driver action computes totals and cuts together (~31 longs).
+        val nBuckets = 32
+        val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+        val stats = docs.agg(
+          sum("n_tok"),
+          expr(s"percentile_approx(doc_id, array(${probs.mkString(", ")}), 10000)")).head()
+        val total = stats.getLong(0)
+        val bounds = stats.getSeq[Long](1)
         val budget = (total + 7) / 8 // ceil; exact long arithmetic both engines
         val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val bucketed = docs
-          .withColumn("bucket", expr(s"(doc_id - $minId) div $width"))
+          .withColumn("bucket", aggregate(typedlit(bounds), lit(0),
+            (acc, b) => acc + when(col("doc_id") > b, lit(1)).otherwise(lit(0))))
         // per-bucket totals: ≤32 rows, one per range bucket — the tiny
         // second level of the scan; its unpartitioned prefix window is
         // bounded by construction at any corpus size

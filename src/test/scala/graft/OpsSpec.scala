@@ -269,21 +269,25 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"IVF recall $recall%.2f no better than random clusters")
   }
 
-  test("dedup_semdedup_cluster: drops are a subset of the exact drop set with usable recall") {
-    val clustered = run("dedup_semdedup_cluster").collect().map(_.getLong(0)).toSet
-    val exact = run("dedup_embed_cosine").collect().map(_.getLong(0)).toSet
+  test("dedup_semdedup_cluster: drops ⊆ exact drop set, recall ≥ 0.9 vs the oracle fixture (sf0.01)") {
+    // the exact/approx PAIRING bound (SURVEY §2): dedup_embed_cosine is the
+    // declared-exact oracle fixture, semdedup the production path — run at
+    // the driver's correctness scale so the bound is load-bearing, not a
+    // toy-corpus artifact
+    val sf01 = "/root/testdata/sf0.01"
+    val clustered = SparkEntry.queries("dedup_semdedup_cluster")(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("dedup_embed_cosine")(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
     assert(clustered.nonEmpty)
     // precision 1 by construction: every within-cluster pair ≥ τ is a real
-    // τ-pair, so the cluster-first operator can only MISS drops, never
-    // invent them
+    // τ-pair verified by exact cosine, so the cluster-first operator can
+    // only MISS drops, never invent them
     assert(clustered.subsetOf(exact),
       s"false drops: ${(clustered -- exact).take(5)}")
-    // recall floor: K=8 clusters on this corpus must capture well over a
-    // random-partition baseline (which would land near 1/K ≈ 0.125 of pairs
-    // and below it on ids)
     val recall = (clustered & exact).size.toDouble / exact.size
     info(f"cluster-first drop recall vs exact: $recall%.2f (${clustered.size}/${exact.size})")
-    assert(recall >= 0.3, f"cluster-first recall $recall%.2f no better than random clusters")
+    assert(recall >= 0.9, f"cluster-first recall $recall%.2f below the 0.9 pairing bound")
   }
 
   test("cache hygiene: repeated dedup runs do not accumulate persisted blocks") {
@@ -519,6 +523,55 @@ class OpsSpec extends AnyFunSuite {
     // prefix order: shard ids are monotone in doc_id order
     val shardSeq = rows.sortBy(_._1).map(_._3)
     assert(shardSeq.zip(shardSeq.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("shard_balance_tokens: adversarial doc_id skew keeps buckets balanced, results engine-exact") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val sp = spark
+    import sp.implicits._
+    // seeded sampling (PropertySpec posture — scalatestplus forAll is not
+    // in the offline cache). Each case packs ~90% of doc_ids into one
+    // NARROW id range with the rest flung across a 10⁹ id space — the
+    // distribution that collapses uniform (max-min)/32 range-bucketing
+    // into a near-global window (one bucket owns ~everything).
+    val gen = for {
+      n <- Gen.choose(150, 300)
+      skewPct <- Gen.choose(85, 95)
+      denseStart <- Gen.choose(0L, 1000000L)
+      spread <- Gen.choose(10000000L, 1000000000L)
+    } yield (n, skewPct, denseStart, spread)
+    val cases = (1 to 4).flatMap(i => gen(Gen.Parameters.default, Seed(i.toLong)))
+    assert(cases.size == 4)
+    cases.zipWithIndex.foreach { case ((n, skewPct, denseStart, spread), ci) =>
+      val nDense = n * skewPct / 100
+      val ids = (0 until nDense).map(i => denseStart + i) ++
+        (0 until (n - nDense)).map(j => denseStart + spread + j.toLong * (spread / 64 + 1))
+      val docs = ids.map(id => (id, Seq.fill((id % 37 + 1).toInt)("w").mkString(" ")))
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_shard_skew_$ci"
+      docs.toDF("doc_id", "text").repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("shard_balance_tokens")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // engine-exact: the two-level scan must reproduce the single-pass
+      // greedy prefix shard assignment bit-for-bit
+      val toks = docs.map { case (id, text) => (id, text.split(" ", -1).length.toLong) }.sortBy(_._1)
+      val total = toks.map(_._2).sum
+      val budget = (total + 7) / 8
+      var prior = 0L
+      val want = toks.map { case (id, nt) =>
+        val row = (id, nt, prior / budget); prior += nt; row
+      }
+      assert(got.sortBy(_._1).toSeq == want, s"case $ci: two-level scan diverged from exact prefix")
+      // balance: quantile-cut buckets hold ~n/32 rows each even under this
+      // skew (uniform range-width bucketing would put ~90% in one bucket)
+      val bounds = spark.read.parquet(s"$dir/documents.parquet")
+        .agg(expr(s"percentile_approx(doc_id, array(${(1 until 32).map(i => i / 32.0).mkString(", ")}), 10000)"))
+        .head().getSeq[Long](0)
+      val maxBucket = ids.groupBy(id => bounds.count(_ < id)).values.map(_.size).max
+      assert(maxBucket <= n / 32 + 8,
+        s"case $ci: largest bucket holds $maxBucket of $n rows — bucketing degenerated")
+    }
   }
 
   test("multimodal_phash_neardup: brightness-invariant hash, group recall, separation") {

@@ -508,10 +508,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("shard_balance_tokens: all-data window is bucket-partitioned; offsets broadcast back") {
     val p = plan("shard_balance_tokens")
-    // the doc-level prefix window must carry the bucket partition key; the
-    // only unpartitioned window (the ≤32-row bucket-totals level) is
-    // separately allowlisted and bounded in PlanAuditSpec
+    // the doc-level prefix window must carry the bucket partition key —
+    // asserting on the windowspecdefinition's partition column (not just
+    // the window function) so a regression to an unpartitioned doc-level
+    // window cannot slip past as a substring match; the only unpartitioned
+    // window (the ≤32-row bucket-totals level) is separately allowlisted
+    // and count-bounded in PlanAuditSpec
     assert(p.contains("Window [sum(n_tok"), p.take(2000))
+    assert(p.contains("windowspecdefinition(bucket"), p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 }
