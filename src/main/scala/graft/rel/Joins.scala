@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * fact-fact joins shuffle on their equi keys with AQE skew handling (D2),
   * the band join (D8) is rewritten from a theta BNLJ into an
   * explode-then-equi-join so it shuffles instead of nested-looping, and the
-  * as-of join (D9) is an equi-join on the entity key + per-key window dedup,
-  * which partitions cleanly by key at any scale.
+  * as-of joins (D9/D9n) are equi-joins on the entity key + map-side-combined
+  * `max_by`/`min_by` picks, so the per-event exchange carries one row per
+  * event at any scale.
   */
 object Joins {
 
@@ -156,8 +157,13 @@ object Joins {
       }),
 
     // D9 — as-of join: for each event, the latest order of the same user at
-    // or before the event time. Equi-join on the user key + windowed dedup:
-    // partitions by key, no driver state, AQE-safe.
+    // or before the event time. Equi-join on the user key, then `max_by`
+    // over the (o_orderdate, o_orderkey) total order instead of a per-event
+    // window: the partial agg combines map-side in the SAME stage as the
+    // join, so the event_id exchange carries ONE row per event and needs no
+    // sort — where the window formulation shuffled and sorted the entire
+    // per-user join fan-out. The unique o_orderkey in the ordering struct
+    // makes the pick total-ordered (max_by ties are unreachable).
     QueryDef(
       "join_asof",
       Some(
@@ -169,12 +175,14 @@ object Joins {
         val e = Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("ts_ts"), col("ts_ms"))
         val o = Tables.t(s, d, "orders")
-        val w = Window.partitionBy(col("event_id"))
-          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
         e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts_ts"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("event_id"), col("ts_ms"), col("o_orderkey"), col("o_orderdate"))
+          .groupBy(col("event_id"), col("ts_ms"))
+          .agg(max_by(
+            struct(col("o_orderkey"), col("o_orderdate")),
+            struct(col("o_orderdate"), col("o_orderkey"))).as("pick"))
+          .select(col("event_id"), col("ts_ms"),
+            col("pick.o_orderkey").as("o_orderkey"),
+            col("pick.o_orderdate").as("o_orderdate"))
           .orderBy("event_id")
       }),
 
@@ -182,10 +190,11 @@ object Joins {
     // customer) whose date is CLOSEST in absolute time, forward or
     // backward — the sensor-alignment twin of backward-only join_asof
     // (join each reading to the closest calibration, not the preceding
-    // one). Same user-equi join + per-event window shape; only the
-    // ordering changes, so the 100 TB posture is identical: work bounded
-    // per user, no range-scan fan-out. Tie-break on (distance, orderkey)
-    // keeps the pick total-ordered and engine-exact in integer millis.
+    // one). Same user-equi join + map-side-combined `min_by` pick (see
+    // D9); only the ordering changes, so the 100 TB posture is identical:
+    // work bounded per user, no range-scan fan-out, one row per event on
+    // the exchange. Tie-break on (distance, orderkey) keeps the pick
+    // total-ordered and engine-exact in integer millis.
     QueryDef(
       "join_asof_nearest",
       Some(
@@ -202,12 +211,14 @@ object Joins {
           .select(col("o_orderkey"), col("o_custkey"),
             unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"))
         val dist = abs(col("ts_ms") - col("od_ms"))
-        val w = Window.partitionBy(col("event_id")).orderBy(dist, col("o_orderkey"))
         e.join(o, e("user_id") === o("o_custkey"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("event_id"), col("ts_ms"), col("o_orderkey"),
-            dist.cast("long").as("dist_ms"))
+          .groupBy(col("event_id"), col("ts_ms"))
+          .agg(min_by(
+            struct(col("o_orderkey"), dist.cast("long").as("dist_ms")),
+            struct(dist, col("o_orderkey"))).as("pick"))
+          .select(col("event_id"), col("ts_ms"),
+            col("pick.o_orderkey").as("o_orderkey"),
+            col("pick.dist_ms").as("dist_ms"))
           .orderBy("event_id")
       }),
 

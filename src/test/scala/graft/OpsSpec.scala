@@ -598,4 +598,33 @@ class OpsSpec extends AnyFunSuite {
     // doc can exceed its group's 9 siblings
     assert(rows.forall(_.getLong(2) <= 9), "cross-group collision")
   }
+
+  test("join_asof/_nearest: map-side max_by/min_by pick ≡ window formulation") {
+    // The shipped as-of joins pick the match with a combinable max_by/min_by
+    // agg (one row per event on the exchange); this pins their results to
+    // the windowed-dedup formulation they replaced, proving the ordering
+    // structs encode the same total order as the window ORDER BY.
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_ts"), col("ts_ms"))
+    val o = Tables.t(spark, sf, "orders")
+    val wB = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val windowed = e
+      .join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts_ts"))
+      .withColumn("rn", row_number().over(wB)).where(col("rn") === 1)
+      .select(col("event_id"), col("ts_ms"), col("o_orderkey"), col("o_orderdate"))
+    assert(run("join_asof").exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(run("join_asof")).isEmpty, "join_asof pick diverged")
+    val dist = abs(col("ts_ms") - unix_millis(col("o_orderdate").cast("timestamp")))
+    val wN = Window.partitionBy(col("event_id")).orderBy(dist, col("o_orderkey"))
+    val windowedN = e.select(col("event_id"), col("user_id"), col("ts_ms"))
+      .join(o, col("user_id") === col("o_custkey"))
+      .withColumn("rn", row_number().over(wN)).where(col("rn") === 1)
+      .select(col("event_id"), col("ts_ms"), col("o_orderkey"),
+        dist.cast("long").as("dist_ms"))
+    assert(run("join_asof_nearest").exceptAll(windowedN).isEmpty &&
+      windowedN.exceptAll(run("join_asof_nearest")).isEmpty,
+      "join_asof_nearest pick diverged")
+  }
 }
