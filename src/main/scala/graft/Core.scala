@@ -79,8 +79,12 @@ object Tables {
     withEventTime(t(spark, dir, "events"))
   }
 
+  // Golden FHIR files are immutable; cache their readers like the sf tables
+  // (a dozen FHIR keys each re-listed + re-footer-read these 3 files).
   def golden(spark: SparkSession, name: String): DataFrame =
-    spark.read.parquet(s"$goldenDir/$name.parquet")
+    readCache.computeIfAbsent(
+      (spark, s"$goldenDir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 }
 
 /** Hash-match helpers (SURVEY §7.4): double measures are cast to

@@ -16,6 +16,43 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  import org.apache.spark.sql.DataFrame
+
+  /** As-of pick core (D9): latest order at or before each event's time.
+    * `e` must carry (event_id, user_id, ts_ts, ts_ms); `o` is the orders
+    * table. Grouped by event_id ALONE — ts_ms travels inside the picked
+    * struct and closes the ordering, so duplicate event_ids with divergent
+    * ts values still collapse to one deterministic row per event (round-8
+    * advisor finding). Exposed so the spec can drive it with a
+    * dup-event_id input the real events table never exhibits.
+    */
+  private[graft] def asofPick(e: DataFrame, o: DataFrame): DataFrame =
+    e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts_ts"))
+      .groupBy(col("event_id"))
+      .agg(max_by(
+        struct(col("ts_ms"), col("o_orderkey"), col("o_orderdate")),
+        struct(col("o_orderdate"), col("o_orderkey"), col("ts_ms"))).as("pick"))
+      .select(col("event_id"), col("pick.ts_ms").as("ts_ms"),
+        col("pick.o_orderkey").as("o_orderkey"),
+        col("pick.o_orderdate").as("o_orderdate"))
+      .orderBy("event_id")
+
+  /** Nearest-match pick core (D9n); `e` carries (event_id, user_id, ts_ms). */
+  private[graft] def asofNearestPick(e: DataFrame, o: DataFrame): DataFrame = {
+    val od = o.select(col("o_orderkey"), col("o_custkey"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"))
+    val dist = abs(col("ts_ms") - col("od_ms"))
+    e.join(od, e("user_id") === od("o_custkey"))
+      .groupBy(col("event_id"))
+      .agg(min_by(
+        struct(col("ts_ms"), col("o_orderkey"), dist.cast("long").as("dist_ms")),
+        struct(dist, col("o_orderkey"), col("ts_ms"))).as("pick"))
+      .select(col("event_id"), col("pick.ts_ms").as("ts_ms"),
+        col("pick.o_orderkey").as("o_orderkey"),
+        col("pick.dist_ms").as("dist_ms"))
+      .orderBy("event_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // D1 — broadcast hash join: fact ⋈ small dim.
     QueryDef(
@@ -162,29 +199,25 @@ object Joins {
     // window: the partial agg combines map-side in the SAME stage as the
     // join, so the event_id exchange carries ONE row per event and needs no
     // sort — where the window formulation shuffled and sorted the entire
-    // per-user join fan-out. The unique o_orderkey in the ordering struct
-    // makes the pick total-ordered (max_by ties are unreachable).
+    // per-user join fan-out. The group key is event_id ALONE — ts_ms rides
+    // inside the picked struct, so a duplicate event_id with divergent ts
+    // values still collapses to one output row per event, exactly like the
+    // oracle's PARTITION BY event_id (grouping by (event_id, ts_ms) would
+    // silently assume ts is functionally dependent on event_id — round-8
+    // advisor finding). ts_ms closes the ordering struct so the pick stays
+    // total-ordered even then; o_orderkey alone already breaks all ties
+    // when event_id is unique.
     QueryDef(
       "join_asof",
       Some(
         "SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, o_orderkey, o_orderdate " +
           "FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
-          "QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 " +
+          "QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY o_orderdate DESC, o_orderkey DESC, ts DESC) = 1 " +
           "ORDER BY event_id"),
-      (s, d) => {
-        val e = Tables.events(s, d)
-          .select(col("event_id"), col("user_id"), col("ts_ts"), col("ts_ms"))
-        val o = Tables.t(s, d, "orders")
-        e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts_ts"))
-          .groupBy(col("event_id"), col("ts_ms"))
-          .agg(max_by(
-            struct(col("o_orderkey"), col("o_orderdate")),
-            struct(col("o_orderdate"), col("o_orderkey"))).as("pick"))
-          .select(col("event_id"), col("ts_ms"),
-            col("pick.o_orderkey").as("o_orderkey"),
-            col("pick.o_orderdate").as("o_orderdate"))
-          .orderBy("event_id")
-      }),
+      (s, d) => asofPick(
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts_ts"), col("ts_ms")),
+        Tables.t(s, d, "orders"))),
 
     // D9n — NEAREST as-of: align each event to the single order (same
     // customer) whose date is CLOSEST in absolute time, forward or
@@ -193,8 +226,10 @@ object Joins {
     // one). Same user-equi join + map-side-combined `min_by` pick (see
     // D9); only the ordering changes, so the 100 TB posture is identical:
     // work bounded per user, no range-scan fan-out, one row per event on
-    // the exchange. Tie-break on (distance, orderkey) keeps the pick
-    // total-ordered and engine-exact in integer millis.
+    // the exchange. Group key is event_id alone with ts_ms inside the pick
+    // struct (see D9 — no functional-dependence assumption); tie-break on
+    // (distance, orderkey, ts) keeps the pick total-ordered and
+    // engine-exact in integer millis.
     QueryDef(
       "join_asof_nearest",
       Some(
@@ -202,25 +237,11 @@ object Joins {
           "CAST(abs(epoch_ms(ts) - epoch_ms(o_orderdate)) AS BIGINT) AS dist_ms " +
           "FROM events e JOIN orders o ON o.o_custkey = e.user_id " +
           "QUALIFY row_number() OVER (PARTITION BY event_id " +
-          "ORDER BY abs(epoch_ms(ts) - epoch_ms(o_orderdate)), o_orderkey) = 1 " +
+          "ORDER BY abs(epoch_ms(ts) - epoch_ms(o_orderdate)), o_orderkey, ts) = 1 " +
           "ORDER BY event_id"),
-      (s, d) => {
-        val e = Tables.events(s, d)
-          .select(col("event_id"), col("user_id"), col("ts_ms"))
-        val o = Tables.t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey"),
-            unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"))
-        val dist = abs(col("ts_ms") - col("od_ms"))
-        e.join(o, e("user_id") === o("o_custkey"))
-          .groupBy(col("event_id"), col("ts_ms"))
-          .agg(min_by(
-            struct(col("o_orderkey"), dist.cast("long").as("dist_ms")),
-            struct(dist, col("o_orderkey"))).as("pick"))
-          .select(col("event_id"), col("ts_ms"),
-            col("pick.o_orderkey").as("o_orderkey"),
-            col("pick.dist_ms").as("dist_ms"))
-          .orderBy("event_id")
-      }),
+      (s, d) => asofNearestPick(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts_ms")),
+        Tables.t(s, d, "orders"))),
 
     // D10 — interval overlap: orders of the same customer within ±30 days.
     // Equi key (customer) + range residual ⇒ shuffle join, not a BNLJ.

@@ -626,5 +626,40 @@ class OpsSpec extends AnyFunSuite {
     assert(run("join_asof_nearest").exceptAll(windowedN).isEmpty &&
       windowedN.exceptAll(run("join_asof_nearest")).isEmpty,
       "join_asof_nearest pick diverged")
+
+    // Dup-event_id robustness (round-8 advisor finding): the as-of cores
+    // group by event_id ALONE, so an event_id occurring twice with
+    // divergent ts values must still collapse to one row per event — and
+    // that row must equal the window formulation extended with the same ts
+    // tie-break. The real events table has unique event_ids, so this case
+    // is driven synthetically: each sampled event duplicated a year later.
+    val base = e.orderBy("event_id").limit(5)
+    val dup = base.union(base
+      .withColumn("ts_ts", col("ts_ts") + expr("INTERVAL 365 DAYS"))
+      .withColumn("ts_ms", col("ts_ms") + lit(365L * 86400000L)))
+    val picked = graft.rel.Joins.asofPick(dup, o)
+    // inner-join semantics: an event with no qualifying order emits nothing,
+    // so assert one-row-per-EMITTED-event, not one per sampled event
+    assert(picked.count() == picked.select("event_id").distinct().count(),
+      "dup event_id emitted multiple rows per event")
+    val wDup = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc, col("ts_ms").desc)
+    val windowedDup = dup
+      .join(o, dup("user_id") === o("o_custkey") && o("o_orderdate") <= dup("ts_ts"))
+      .withColumn("rn", row_number().over(wDup)).where(col("rn") === 1)
+      .select(col("event_id"), col("ts_ms"), col("o_orderkey"), col("o_orderdate"))
+    assert(picked.exceptAll(windowedDup).isEmpty &&
+      windowedDup.exceptAll(picked).isEmpty, "dup-event_id asof pick diverged")
+    val dupN = dup.select(col("event_id"), col("user_id"), col("ts_ms"))
+    val pickedN = graft.rel.Joins.asofNearestPick(dupN, o)
+    assert(pickedN.count() == pickedN.select("event_id").distinct().count(),
+      "dup event_id emitted multiple nearest rows per event")
+    val wDupN = Window.partitionBy(col("event_id")).orderBy(dist, col("o_orderkey"), col("ts_ms"))
+    val windowedDupN = dupN.join(o, col("user_id") === col("o_custkey"))
+      .withColumn("rn", row_number().over(wDupN)).where(col("rn") === 1)
+      .select(col("event_id"), col("ts_ms"), col("o_orderkey"),
+        dist.cast("long").as("dist_ms"))
+    assert(pickedN.exceptAll(windowedDupN).isEmpty &&
+      windowedDupN.exceptAll(pickedN).isEmpty, "dup-event_id nearest pick diverged")
   }
 }
