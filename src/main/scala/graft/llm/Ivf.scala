@@ -49,8 +49,11 @@ object Ivf {
     acc
   }
 
-  /** (vec_id, cluster) assignment DataFrame + final centroids (memoized). */
-  private[llm] def index(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) =
+  /** (vec_id, cluster) assignment DataFrame + final centroids (memoized).
+    * graft-visible so the spec can assert the built geometry (cluster count
+    * past the floor) on a replicated corpus.
+    */
+  private[graft] def index(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) =
     idxMemo.computeIfAbsent((s, d), { case (ss, dd) => buildIndex(ss, dd) })
 
   private def buildIndex(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) = {
