@@ -37,8 +37,18 @@ def canon(df):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # optional: --json <path> writes a driver-style CORRECTNESS artifact
+    # (per-query rows/schema/hash booleans) alongside the console report —
+    # used for the committed second-scale-factor correctness record.
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
+    record = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -54,9 +64,14 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        def rec(rows=None, schema=None, hsh=None, s_rows=None, d_rows=None, err=None):
+            record[name] = {"rows_match": rows, "schema_match": schema,
+                            "hash_match": hsh, "spark_rows": s_rows,
+                            "oracle_rows": d_rows, "err": err}
         res_dir = Path(out_dir) / name
         if not res_dir.exists():
             print(f"FAIL {name}: no spark result written")
+            rec(err="no_result")
             n_fail += 1
             continue
         try:
@@ -64,10 +79,12 @@ def main():
             sc, sr = canon(s_df)
         except Exception as e:
             print(f"FAIL {name}: spark-side {type(e).__name__}: {e}")
+            rec(err=f"spark:{type(e).__name__}")
             n_fail += 1
             continue
         if sql is None:
             print(f"PASS {name} (no oracle; {len(sr)} rows sortable)")
+            rec(s_rows=len(sr), err="no_oracle")
             n_pass += 1
             continue
         try:
@@ -75,14 +92,18 @@ def main():
             dc, dr = canon(d_df)
         except Exception as e:
             print(f"FAIL {name}: oracle-side {type(e).__name__}: {e}")
+            rec(s_rows=len(sr), err=f"oracle:{type(e).__name__}")
             n_fail += 1
             continue
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            rec(rows=len(sr) == len(dr), schema=False, hsh=False,
+                s_rows=len(sr), d_rows=len(dr))
             n_fail += 1
             continue
         if len(sr) != len(dr):
             print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
+            rec(rows=False, schema=True, hsh=False, s_rows=len(sr), d_rows=len(dr))
             n_fail += 1
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
@@ -92,11 +113,15 @@ def main():
             print(f"  cols  {sc}")
             print(f"  spark {a}")
             print(f"  duck  {b}")
+            rec(rows=True, schema=True, hsh=False, s_rows=len(sr), d_rows=len(dr))
             n_fail += 1
         else:
             print(f"PASS {name} ({len(sr)} rows)")
+            rec(rows=True, schema=True, hsh=True, s_rows=len(sr), d_rows=len(dr))
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        Path(json_out).write_text(json.dumps(record, indent=1))
     sys.exit(1 if n_fail else 0)
 
 

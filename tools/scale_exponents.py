@@ -11,6 +11,7 @@ with exponent null so a crash at scale is visible.
 import json
 import math
 import sys
+from pathlib import Path
 
 a_path, b_path = sys.argv[1], sys.argv[2]
 out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_sf1.json"
@@ -33,5 +34,11 @@ doc = {
     "repeat": a.get("repeat"),
     "queries": rows,
 }
+# OpsSpec's 50x-replicated semdedup case (k past the floor) records recall +
+# runtime to target/semdedup_scale.json; fold it in so the rehearsal
+# artifact carries the k-scaling evidence alongside the exponents.
+sem = Path("target/semdedup_scale.json")
+if sem.exists():
+    doc["semdedup_scale_50x"] = json.loads(sem.read_text())
 json.dump(doc, open(out, "w"), indent=1)
 print(json.dumps({k: v["exponent"] for k, v in rows.items()}, indent=0))
