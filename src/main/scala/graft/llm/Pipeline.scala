@@ -428,14 +428,24 @@ object Pipeline {
     // integer hashes, so the draw is reproducible across runs, engines, and
     // partitionings, which rand() is not) and WITHOUT a cross join: docs
     // land on a 32-bucket ring and negatives come only from the NEXT
-    // bucket, so the candidate join is bucket-keyed equi (per-doc fan-out =
-    // one bucket's population, bounded by growing the ring with the
-    // corpus), and a per-doc window keeps the 2 lowest-hash candidates.
+    // bucket. The oracle states this as candidate-join + per-doc window,
+    // but the window's ORDER BY (nhk, neg_id) is independent of the source
+    // doc — every doc targeting bucket b+1 picks the SAME two lowest-hash
+    // negatives — so the plan computes per-bucket top-2 with two
+    // map-side-combinable min(struct) passes (32 keys; the bucket-b+1
+    // candidate-join formulation is N²/32 candidate rows, measured
+    // exponent 2.4 at the sf1 rehearsal) and broadcast-joins the ≤64-row
+    // result back: data-linear at any corpus size, identical output.
+    // Hash arithmetic is MOD-BEFORE-MULTIPLY ((id % m)·(c % m) % m ≡
+    // (id·c) % m): the raw product overflows ANSI BIGINT once ids carry
+    // the rehearsal's rep·10⁹ offsets (~10¹⁰ · 2.6·10⁹ ≫ 2⁶³ — found by
+    // the sf1 rehearsal), and 100 TB ids are that large for real. The
+    // reduced operands bound every product below 2³⁶.
     QueryDef(
       "negative_sampling_pairs",
       Some(
-        "WITH h AS (SELECT doc_id, (doc_id * 2654435761) % 32 AS b, " +
-          "(doc_id * 40503) % 1048576 AS hk FROM documents), " +
+        "WITH h AS (SELECT doc_id, ((doc_id % 32) * (2654435761 % 32)) % 32 AS b, " +
+          "((doc_id % 1048576) * 40503) % 1048576 AS hk FROM documents), " +
           "c AS (SELECT a.doc_id, n.doc_id AS neg_id, n.hk AS nhk FROM h a " +
           "JOIN h n ON n.b = (a.b + 1) % 32) " +
           "SELECT doc_id, CAST(rn AS BIGINT) AS neg_rank, neg_id FROM (" +
@@ -444,16 +454,20 @@ object Pipeline {
       (s, d) => {
         val h = Tables.t(s, d, "documents")
           .select(col("doc_id"),
-            pmod(col("doc_id") * lit(2654435761L), lit(32L)).as("b"),
-            pmod(col("doc_id") * lit(40503L), lit(1048576L)).as("hk"))
-        val a = h.select(col("doc_id"), pmod(col("b") + 1, lit(32L)).as("nb"))
-        val n = h.select(col("doc_id").as("neg_id"), col("b").as("nb"), col("hk").as("nhk"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("nhk"), col("neg_id"))
-        a.join(n, "nb")
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .where(col("rn") <= 2)
-          .select(col("doc_id"), col("rn").as("neg_rank"), col("neg_id"))
+            pmod(pmod(col("doc_id"), lit(32L)) * lit(2654435761L % 32L), lit(32L)).as("b"),
+            pmod(pmod(col("doc_id"), lit(1048576L)) * lit(40503L), lit(1048576L)).as("hk"))
+        val pick = struct(col("hk"), col("doc_id"))
+        val m1 = h.groupBy("b").agg(min(pick).as("m1"))
+        val m2 = h.join(broadcast(m1), "b").where(pick > col("m1"))
+          .groupBy("b").agg(min(pick).as("m2"))
+        val top = m1.join(broadcast(m2), Seq("b"), "left")
+          .select(col("b"), explode(when(col("m2").isNull, array(col("m1")))
+            .otherwise(array(col("m1"), col("m2")))).as("neg"))
+          .withColumn("neg_rank", row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("b").orderBy(col("neg"))).cast("long"))
+        h.select(col("doc_id"), pmod(col("b") + 1, lit(32L)).as("nb"))
+          .join(broadcast(top), col("nb") === top("b"))
+          .select(col("doc_id"), col("neg_rank"), col("neg.doc_id").as("neg_id"))
           .orderBy("doc_id", "neg_rank")
       }),
 

@@ -544,7 +544,18 @@ object Advanced {
       "hierarchy_recursive_cte",
       Some(recursiveSql),
       (s, d) => {
-        Tables.t(s, d, "customer").createOrReplaceTempView("customer")
+        val c = Tables.t(s, d, "customer")
+        // Spark's cteRecursionRowLimit is a safety valve with a fixed 10⁶
+        // default; this traversal legitimately emits N·(⌊log₂ maxKey⌋+1)
+        // rows (~5·10⁷ at the 10× rehearsal scale — found by the sf1
+        // rehearsal, where the default aborted the query). Size it from
+        // table stats, exactly as a production job would from catalog
+        // stats, instead of hoping the default fits.
+        val st = c.agg(count(lit(1)), max(col("c_custkey"))).head()
+        val depth = 66 - java.lang.Long.numberOfLeadingZeros(math.max(st.getLong(1), 1L))
+        val rows = math.min(Int.MaxValue.toLong, st.getLong(0) * depth + 1000L)
+        s.conf.set("spark.sql.cteRecursionRowLimit", rows.toString)
+        c.createOrReplaceTempView("customer")
         s.sql(recursiveSql)
       }),
 

@@ -126,7 +126,14 @@ object Streams {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
     val sch = Tables.t(s, dir, "events").schema
-    Tables.withEventTime(s.readStream.schema(sch).parquet(streamDir.toString))
+    // The source path MUST be a glob (`dir/*`), not the bare dir: the
+    // events table is a single FILE in driver testdata but a DIRECTORY of
+    // part-files in Spark-written rehearsal data, and a non-glob listing
+    // skips nested directories — the bounded stream then sees ZERO files
+    // and every downstream result is silently empty (found by the sf1
+    // rehearsal: the foreach-batch upsert NPE'd on its never-created state
+    // dir). The glob expands to the symlink and lists through it either way.
+    Tables.withEventTime(s.readStream.schema(sch).parquet(s"$streamDir/*"))
   }
 
   /** Scratch file-stream source: events.parquet symlinked beside sentinel
@@ -515,7 +522,12 @@ object Streams {
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        val latest = new java.io.File(stateBase).listFiles()
+        // listFiles() is null when NO micro-batch ran (source saw zero
+        // files) — surface that as a diagnosis, not an opaque NPE.
+        val versions = Option(new java.io.File(stateBase).listFiles())
+          .getOrElse(throw new IllegalStateException(
+            s"no upsert state written — the bounded source processed zero batches ($stateBase)"))
+        val latest = versions
           .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong).max
         s.read.parquet(s"$stateBase/v$latest")
           .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ms"), col("value"))
