@@ -77,6 +77,16 @@ object Bench {
       .withExtensions(graft.opt.AnnotationRewrite.inject)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle WIDTH must scale with data even though the bench box has
+      // few cores: with shuffle.partitions pinned to cpus, the 10×
+      // rehearsal put ~10× more bytes in each reduce partition and a whole
+      // family of join/agg keys drifted to exponents 1.11-1.16 from spill
+      // alone. A real cluster over-partitions and lets AQE coalesce —
+      // same here: a high INITIAL partition count (AQE shrinks it right
+      // back for small shuffles, so sf0.1 plans are unchanged in practice)
+      // keeps reduce partitions bounded as the input grows.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) — unreadable without this.

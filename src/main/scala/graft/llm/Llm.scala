@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.{Q, QueryDef, Tables}
 import graft.udx.Udx
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -249,6 +249,99 @@ object Llm {
           }
         }
       }
+  }
+
+  /** Exact set-similarity self-join with exact-duplicate collapse.
+    *
+    * Production dedup pipelines run exact dedup BEFORE near-dup, and for
+    * good reason: replicated boilerplate makes identical gram sets the
+    * common case at corpus scale, and a pair kernel that re-verifies every
+    * identical copy does g² redundant merges per g-sized duplicate group —
+    * the 10× rehearsal measured exponents 1.62/1.39 on the two gram-set
+    * keys because pair work grew with raw row count, not distinct content.
+    * Here docs collapse to one representative per distinct
+    * (source, gram set) first (one map-side-combinable aggregation:
+    * `first(grams)` ships each partition's grams once, `collect_list` only
+    * the 8-byte ids), the block-partitioned sorted-merge kernel verifies
+    * DISTINCT pairs only, and matches expand back to id pairs through two
+    * gid-keyed equi joins plus an in-group pair enumeration — both bounded
+    * by the OUTPUT size, which the all-pairs oracle semantics demand
+    * anyway. Verify work scales with distinct content, not corpus size.
+    * Set identity is xxhash64 over the sorted gram-hash array — the same
+    * collision tolerance the grams themselves already carry via fnv64.
+    *
+    * `score(|A|, |B|, |A∩B|)` must be symmetric; `B` spreads a giant
+    * source over B² kernel tasks (raise with cluster size).
+    */
+  private def collapsedPairSim(
+      sp: SparkSession,
+      docs: Dataset[(String, Long, Array[Long])],
+      score: (Int, Int, Int) => Double,
+      tau: Double,
+      outCol: String): DataFrame = {
+    import sp.implicits._
+    val B = 4
+    val grouped = docs.toDF("source", "doc_id", "grams")
+      .groupBy(col("source"), xxhash64(col("grams")).as("gh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+        first(col("grams")).as("grams"))
+      .withColumn("gid", col("members")(0))
+    val reps = grouped.select(col("source"), col("gid"), col("grams"))
+      .as[(String, Long, Array[Long])]
+      .flatMap { case (src, gid, grams) =>
+        val b = (gid % B).toInt
+        (0 until B).map { o =>
+          val (p, q) = if (b <= o) (b, o) else (o, b)
+          ((src, p * B + q), gid, grams)
+        }
+      }
+    val matched = reps.groupByKey(_._1)
+      .flatMapGroups { (grpKey, it) =>
+        val (src, key) = grpKey
+        val p = key / B
+        val q = key % B
+        val gs = it.toArray.sortBy(_._2)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
+        var a = 0
+        while (a < gs.length) {
+          val (_, ia, ga) = gs(a)
+          val ba = (ia % B).toInt
+          var bi = a + 1
+          while (bi < gs.length) {
+            val (_, ib, gb) = gs(bi)
+            if (p == q || ba != (ib % B).toInt) {
+              var x = 0; var y = 0; var shared = 0
+              while (x < ga.length && y < gb.length) {
+                if (ga(x) == gb(y)) { shared += 1; x += 1; y += 1 }
+                else if (ga(x) < gb(y)) x += 1
+                else y += 1
+              }
+              val sc = score(ga.length, gb.length, shared)
+              if (sc >= tau) out += ((src, ia, ib, sc))
+            }
+            bi += 1
+          }
+          a += 1
+        }
+        out
+      }
+      .toDF("source", "ga", "gb", outCol)
+    val mem = grouped.select(col("gid"), explode(col("members")).as("d"))
+    val cross = matched
+      .join(mem.select(col("gid").as("ga"), col("d").as("da")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("d").as("db")), "gb")
+      .select(col("source"), least(col("da"), col("db")).as("i"),
+        greatest(col("da"), col("db")).as("j"), col(outCol))
+    val within = grouped.select(col("source"), col("members"), size(col("grams")).as("n"))
+      .as[(String, Array[Long], Int)]
+      .flatMap { case (src, ms, n) =>
+        val sc = score(n, n, n)
+        if (ms.length < 2 || sc.isNaN || sc < tau) Iterator.empty
+        else ms.indices.iterator.flatMap(x =>
+          (x + 1 until ms.length).iterator.map(y => (src, ms(x), ms(y), sc)))
+      }
+      .toDF("source", "i", "j", outCol)
+    cross.unionByName(within).orderBy("source", "i", "j")
   }
 
   /** Converged component labels memoized per (session, dataset), exactly
@@ -505,78 +598,40 @@ object Llm {
           "FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id) " +
           "SELECT source, i, j, jac FROM p WHERE jac >= 0.8 ORDER BY source, i, j"),
       (s, d) => {
-        // Exact per-source all-pairs via a block-partitioned self-join (the
-        // cosinePairsFast pattern). LSH banding is the wrong pruner HERE:
-        // this corpus's background char-3-gram similarity (~0.7) sits just
-        // under τ=0.8, so any recall-complete banding admits nearly every
-        // within-source pair as a candidate — and a banded build measured
-        // 79 s at sf0.1 because the verify joins shipped both gram arrays
-        // per candidate. Instead docs hash into B blocks per source, each
-        // (source, block-pair) is one shuffle key, and the sorted-merge
-        // kernel verifies inside the task: a giant source spreads over B²
-        // tasks (raise B with scale), gram sets ship B times total — not
-        // once per pair — and no task holds more than two blocks.
+        // Exact per-source all-pairs via exact-dup collapse + the
+        // block-partitioned self-join (the cosinePairsFast pattern) over
+        // DISTINCT gram sets — see [[collapsedPairSim]]. LSH banding is
+        // the wrong pruner HERE: this corpus's background char-3-gram
+        // similarity (~0.7) sits just under τ=0.8, so any recall-complete
+        // banding admits nearly every within-source pair as a candidate —
+        // and a banded build measured 79 s at sf0.1 because the verify
+        // joins shipped both gram arrays per candidate.
         val sp = s
         import sp.implicits._
-        val B = 4
-        Tables.t(s, d, "documents")
+        val grams = Tables.t(s, d, "documents")
           .select(col("source"), col("doc_id"), col("text"))
           .as[(String, Long, String)]
-          .flatMap { case (src, id, text) =>
-            val grams = new java.util.TreeSet[java.lang.Long]()
+          .map { case (src, id, text) =>
+            val gset = new java.util.TreeSet[java.lang.Long]()
             var i = 0
-            while (i + 3 <= text.length) { grams.add(fnv64(text.substring(i, i + 3))); i += 1 }
-            val arr = new Array[Long](grams.size)
-            val gi = grams.iterator(); var k = 0
+            while (i + 3 <= text.length) { gset.add(fnv64(text.substring(i, i + 3))); i += 1 }
+            val arr = new Array[Long](gset.size)
+            val gi = gset.iterator(); var k = 0
             while (gi.hasNext) { arr(k) = gi.next(); k += 1 }
-            val b = (id % B).toInt
-            (0 until B).map { o =>
-              val (p, q) = if (b <= o) (b, o) else (o, b)
-              ((src, p * B + q), id, arr)
-            }
+            (src, id, arr)
           }
-          .groupByKey(_._1)
-          .flatMapGroups { (grpKey, it) =>
-            val (src, key) = grpKey
-            val p = key / B
-            val q = key % B
-            val docs = it.toArray.sortBy(_._2)
-            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
-            var a = 0
-            while (a < docs.length) {
-              val (_, ia, ga) = docs(a)
-              val ba = (ia % B).toInt
-              var bi = a + 1
-              while (bi < docs.length) {
-                val (_, ib, gb) = docs(bi)
-                if (p == q || ba != (ib % B).toInt) {
-                  var x = 0; var y = 0; var shared = 0
-                  while (x < ga.length && y < gb.length) {
-                    if (ga(x) == gb(y)) { shared += 1; x += 1; y += 1 }
-                    else if (ga(x) < gb(y)) x += 1
-                    else y += 1
-                  }
-                  val jac = round6(shared.toDouble / (ga.length + gb.length - shared).toDouble)
-                  if (jac >= 0.8) out += ((src, ia, ib, jac))
-                }
-                bi += 1
-              }
-              a += 1
-            }
-            out
-          }
-          .toDF("source", "i", "j", "jac")
-          .orderBy("source", "i", "j")
+        collapsedPairSim(s, grams,
+          (na, nb, sh) => round6(sh.toDouble / (na + nb - sh).toDouble),
+          tau = 0.8, outCol = "jac")
       }),
 
     // Containment dedup: |A∩B| / min(|A|,|B|) over word 3-grams — the
     // asymmetric cousin of Jaccard that catches a document EMBEDDED in a
     // larger one (quotes, boilerplate wrappers, concat-of-docs), which
-    // symmetric Jaccard dilutes below any usable τ. Same block-partitioned
-    // self-join kernel as dedup_ngram_jaccard: docs hash into B blocks per
-    // source, each (source, block-pair) is one shuffle key, the
-    // sorted-merge intersection runs inside the task. τ = 0.5 (background
-    // containment on this corpus < 0.3, planted dups ≥ 0.9).
+    // symmetric Jaccard dilutes below any usable τ. Same collapse-first
+    // block-partitioned kernel as dedup_ngram_jaccard ([[collapsedPairSim]]),
+    // over word 3-gram sets. τ = 0.5 (background containment on this
+    // corpus < 0.3, planted dups ≥ 0.9).
     QueryDef(
       "dedup_containment",
       Some(
@@ -592,62 +647,28 @@ object Llm {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        val B = 4
-        Tables.t(s, d, "documents")
+        val grams = Tables.t(s, d, "documents")
           .select(col("source"), col("doc_id"), col("text"))
           .as[(String, Long, String)]
           .flatMap { case (src, id, text) =>
             val words = text.split(" ", -1)
-            val grams = new java.util.TreeSet[java.lang.Long]()
+            val gset = new java.util.TreeSet[java.lang.Long]()
             var i = 0
             while (i + 3 <= words.length) {
-              grams.add(fnv64(words(i) + " " + words(i + 1) + " " + words(i + 2)))
+              gset.add(fnv64(words(i) + " " + words(i + 1) + " " + words(i + 2)))
               i += 1
             }
-            if (grams.isEmpty) Seq.empty
+            if (gset.isEmpty) Seq.empty
             else {
-              val arr = new Array[Long](grams.size)
-              val gi = grams.iterator(); var k = 0
+              val arr = new Array[Long](gset.size)
+              val gi = gset.iterator(); var k = 0
               while (gi.hasNext) { arr(k) = gi.next(); k += 1 }
-              val b = (id % B).toInt
-              (0 until B).map { o =>
-                val (p, q) = if (b <= o) (b, o) else (o, b)
-                ((src, p * B + q), id, arr)
-              }
+              Seq((src, id, arr))
             }
           }
-          .groupByKey(_._1)
-          .flatMapGroups { (grpKey, it) =>
-            val (src, key) = grpKey
-            val p = key / B
-            val q = key % B
-            val docs = it.toArray.sortBy(_._2)
-            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
-            var a = 0
-            while (a < docs.length) {
-              val (_, ia, ga) = docs(a)
-              val ba = (ia % B).toInt
-              var bi = a + 1
-              while (bi < docs.length) {
-                val (_, ib, gb) = docs(bi)
-                if (p == q || ba != (ib % B).toInt) {
-                  var x = 0; var y = 0; var shared = 0
-                  while (x < ga.length && y < gb.length) {
-                    if (ga(x) == gb(y)) { shared += 1; x += 1; y += 1 }
-                    else if (ga(x) < gb(y)) x += 1
-                    else y += 1
-                  }
-                  val cont = round6(shared.toDouble / math.min(ga.length, gb.length).toDouble)
-                  if (cont >= 0.5) out += ((src, ia, ib, cont))
-                }
-                bi += 1
-              }
-              a += 1
-            }
-            out
-          }
-          .toDF("source", "i", "j", "cont")
-          .orderBy("source", "i", "j")
+        collapsedPairSim(s, grams,
+          (na, nb, sh) => round6(sh.toDouble / math.min(na, nb).toDouble),
+          tau = 0.5, outCol = "cont")
       }),
 
     // Embedding-cosine near-dup: pairs ≥ τ, emit the dropped (higher) ids.

@@ -172,9 +172,17 @@ object Joins {
         Tables.t(s, d, "region").crossJoin(Tables.t(s, d, "nation"))
           .select("r_name", "n_name").orderBy("r_name", "n_name")),
 
-    // D8 — band join |size1 - size2| <= 1, rewritten as explode + equi-join
-    // (the theta form would be an O(n^2) broadcast nested loop at scale).
-    // Ordered pairs k1 != k2, grouped by the probe side's size.
+    // D8 — band join |size1 - size2| <= 1. The query only needs pair
+    // COUNTS per size, and the band key has bounded cardinality, so the
+    // pair join is never materialized at all: aggregate the size histogram
+    // first (one map-side-combinable pass, ~50 rows), explode each bucket's
+    // count into its three neighbor sizes, re-aggregate to per-size
+    // neighborhood totals, and n_pairs(s) = c_s * (neighborhood(s) - 1)
+    // (the -1 removes each row's self-pair, which shares its own size
+    // bucket). The previous explode + equi-join plan enumerated every pair
+    // — Sigma c_s * neighborhood(s) rows, quadratic in table size at fixed
+    // size domain; the sf1 rehearsal measured exponent 1.89 (45 s at 10x).
+    // This form is one scan plus ~150-row arithmetic at ANY scale.
     QueryDef(
       "join_theta_range",
       Some(
@@ -182,14 +190,14 @@ object Joins {
           "FROM part p1 JOIN part p2 ON p1.p_size BETWEEN p2.p_size - 1 AND p2.p_size + 1 " +
           "AND p1.p_partkey != p2.p_partkey GROUP BY 1 ORDER BY 1"),
       (s, d) => {
-        val p = Tables.t(s, d, "part")
-        val probe = p.select(col("p_partkey").as("k1"), col("p_size").as("size1"))
-        val build = p.select(
-            col("p_partkey").as("k2"),
-            explode(sequence(col("p_size") - 1, col("p_size") + 1)).as("size1"))
-        probe.join(build, Seq("size1"))
-          .where(col("k1") =!= col("k2"))
-          .groupBy("size1").agg(count(lit(1)).as("n_pairs"))
+        val hist = Tables.t(s, d, "part")
+          .groupBy(col("p_size").as("size1")).agg(count(lit(1)).as("c"))
+        val neighborhood = hist
+          .select(explode(sequence(col("size1") - 1, col("size1") + 1)).as("size1"),
+            col("c"))
+          .groupBy("size1").agg(sum(col("c")).as("nb"))
+        hist.join(broadcast(neighborhood), Seq("size1"))
+          .select(col("size1"), (col("c") * (col("nb") - 1)).as("n_pairs"))
           .orderBy("size1")
       }),
 
