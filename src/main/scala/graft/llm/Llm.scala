@@ -74,47 +74,64 @@ object Llm {
     val sp = s
     import sp.implicits._
     val B = 8
-    val e = Tables.t(s, d, "embeddings")
+    // Exact-dup collapse first (same posture as [[collapsedPairSim]]): one
+    // representative per DISTINCT embedding (per label when the join is
+    // label-scoped), the block-partitioned kernel pays each dot product
+    // once per distinct pair, and matches expand back to vec_id pairs via
+    // gid-keyed joins bounded by output size. On distinct-content data
+    // this is still the declared quadratic exact baseline — the collapse
+    // only stops identical copies (the common case in any replicated
+    // corpus, and the 10x rehearsal's entire growth mode) from re-paying
+    // the kernel. Vector identity is xxhash64 over the float array.
+    val grouped = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
+      .groupBy((if (sameLabelOnly) Seq(col("label").as("gl")) else Nil) :+
+        xxhash64(col("embedding")).as("eh"): _*)
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("label")))).as("members"),
+        first(col("embedding")).as("emb"))
+      .select(col("members"), col("emb"),
+        col("members")(0)("vec_id").as("gid"),
+        col("members")(0)("label").as("glabel"))
+    // replicate each representative to the B block-pair groups it
+    // participates in: its own block's diagonal pair plus one per other
+    // block (normalized to p <= q, so each unordered pair meets in exactly
+    // one group)
+    val matched = grouped.select(col("gid"), col("glabel"), col("emb"))
       .as[(Long, Int, Array[Float])]
-    // replicate each vector to the B block-pair groups it participates in:
-    // its own block's diagonal pair plus one per other block (normalized to
-    // p <= q, so each unordered vector pair meets in exactly one group)
-    e.flatMap { case (id, label, emb) =>
-        val b = (id % B).toInt
+      .flatMap { case (gid, label, emb) =>
+        val b = (gid % B).toInt
         (0 until B).map { o =>
           val (p, q) = if (b <= o) (b, o) else (o, b)
-          ((if (sameLabelOnly) label else -1, p * B + q), id, label, emb)
+          ((if (sameLabelOnly) label else -1, p * B + q), gid, emb)
         }
       }
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
         val p = key._2 / B
         val q = key._2 % B
-        val rows = it.toArray.sortBy(_._2).map { case (_, id, label, emb) =>
+        val rows = it.toArray.sortBy(_._2).map { case (_, gid, emb) =>
           val v = new Array[Double](emb.length)
           var acc = 0.0
           var k = 0
           while (k < emb.length) { v(k) = emb(k).toDouble; acc += v(k) * v(k); k += 1 }
-          (id, label, v, math.sqrt(acc))
+          (gid, v, math.sqrt(acc))
         }
-        // diagonal group (p == q): all i < j within the block; off-diagonal:
-        // only cross pairs between the two blocks (id order normalizes i < j)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        // diagonal group (p == q): all pairs within the block; off-diagonal:
+        // only cross pairs between the two blocks
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         var a = 0
         while (a < rows.length) {
-          val (ia, la, va, na) = rows(a)
+          val (ia, va, na) = rows(a)
           val ba = (ia % B).toInt
           var bIdx = a + 1
           while (bIdx < rows.length) {
-            val (ib, lb, vb, nb) = rows(bIdx)
-            val crossOk = p == q || ba != (ib % B).toInt
-            if (crossOk && (!sameLabelOnly || la == lb)) {
+            val (ib, vb, nb) = rows(bIdx)
+            if (p == q || ba != (ib % B).toInt) {
               var dot = 0.0
               var k = 0
               while (k < va.length) { dot += va(k) * vb(k); k += 1 }
               val sim = round6(dot / (na * nb))
-              if (sim >= tau) out += ((la.toLong, ia, ib, sim))
+              if (sim >= tau) out += ((ia, ib, sim))
             }
             bIdx += 1
           }
@@ -122,7 +139,37 @@ object Llm {
         }
         out
       }
+      .toDF("ga", "gb", "sim")
+    val mem = grouped.select(col("gid"), explode(col("members")).as("m"))
+      .select(col("gid"), col("m.vec_id").as("v"), col("m.label").as("l"))
+    val cross = matched
+      .join(mem.select(col("gid").as("ga"), col("v").as("va"), col("l").as("la")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("v").as("vb"), col("l").as("lb")), "gb")
+      .select(
+        when(col("va") < col("vb"), col("la")).otherwise(col("lb")).cast("long").as("label"),
+        least(col("va"), col("vb")).as("i"),
+        greatest(col("va"), col("vb")).as("j"), col("sim"))
+    // within-group pairs: identical vectors, self-cosine computed from the
+    // representative (round6 lands on 1.0 except the all-zero vector,
+    // whose NaN drops exactly like the per-pair form did)
+    val within = grouped
+      .select(col("members.vec_id").as("ids"), col("members.label").as("ls"), col("emb"))
+      .as[(Array[Long], Array[Int], Array[Float])]
+      .flatMap { case (ids, ls, emb) =>
+        if (ids.length < 2) Iterator.empty
+        else {
+          var dot = 0.0
+          var k = 0
+          while (k < emb.length) { val x = emb(k).toDouble; dot += x * x; k += 1 }
+          val n = math.sqrt(dot)
+          val sim = round6(dot / (n * n))
+          if (sim.isNaN || sim < tau) Iterator.empty
+          else ids.indices.iterator.flatMap(x =>
+            (x + 1 until ids.length).iterator.map(y => (ls(x).toLong, ids(x), ids(y), sim)))
+        }
+      }
       .toDF("label", "i", "j", "sim")
+    cross.unionByName(within)
   }
 
   /** Word 5-gram shingle set (documents with ≥5 tokens). */
