@@ -47,8 +47,14 @@ object Llm {
   }
 
   /** Spark-round-compatible rounding (BigDecimal HALF_UP, like functions.round). */
+  /** NaN passes through: BigDecimal.valueOf(NaN) THROWS, and similarity
+    * kernels legitimately produce NaN for empty gram sets / zero vectors —
+    * the callers' `>= tau` comparisons then drop it, matching the oracles'
+    * NULL-comparison semantics.
+    */
   private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (x.isNaN) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** All-pairs cosine ≥ tau via a block-partitioned self-join: vectors hash
     * into B blocks, each unordered block pair (p ≤ q) becomes one shuffle

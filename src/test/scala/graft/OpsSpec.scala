@@ -717,4 +717,143 @@ class OpsSpec extends AnyFunSuite {
     assert(pickedN.exceptAll(windowedDupN).isEmpty &&
       windowedDupN.exceptAll(pickedN).isEmpty, "dup-event_id nearest pick diverged")
   }
+
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("exact-dup collapse: gram kernels ≡ naive all-pairs on an adversarial corpus") {
+    // The round-9 collapse rewrite (verify distinct gram sets once, expand
+    // matches back through gid-keyed joins) must be OUTPUT-equivalent to
+    // the naive per-pair definition. The sf corpora exercise it lightly,
+    // so this drives the edge cases directly: duplicate groups of size 2
+    // and 3, identical text in DIFFERENT sources (must never pair),
+    // interleaved doc ids across groups (exercises least/greatest in the
+    // expansion), an empty and a sub-gram-length doc (NaN self-similarity
+    // must drop, exactly like the per-pair NaN comparison did), and a
+    // containment-only pair (subset gram sets below the Jaccard band).
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t1b = "alpha beta gamma delta epsilon zeta eta iota"
+    val t2 = "completely different content with no overlap at all whatsoever"
+    val docs = Seq(
+      (1L, t1, "A"), (10L, t1, "A"), (30L, t1, "A"), // dup group, interleaved ids
+      (20L, t1b, "A"), // near-dup of the group
+      (40L, "", "A"), (41L, "ab", "A"), // empty gram sets (NaN path)
+      (50L, t2, "A"),
+      (2L, t1, "B"), (25L, t1, "B"), // same text, other source
+      (35L, t1 + " omega psi chi rho sigma", "B")) // contains t1
+    val dir = "target/tmp_collapse_docs"
+    docs.map { case (id, tx, src) => (id, tx, "en", src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def charGrams(t: String): Set[String] =
+      (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet
+    def wordGrams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      (0 to w.length - 3).map(i => w(i) + " " + w(i + 1) + " " + w(i + 2)).toSet
+    }
+    def naive(grams: String => Set[String], score: (Int, Int, Int) => Double,
+        tau: Double, skipEmpty: Boolean): Seq[(String, Long, Long, Double)] =
+      (for {
+        (i, ti, si) <- docs; (j, tj, sj) <- docs
+        if si == sj && i < j
+        gi = grams(ti); gj = grams(tj)
+        if !skipEmpty || (gi.nonEmpty && gj.nonEmpty)
+        sc = score(gi.size, gj.size, (gi & gj).size)
+        if !sc.isNaN && sc >= tau
+      } yield (si, i, j, r6(sc))).sortBy(p => (p._1, p._2, p._3))
+
+    val gotJac = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2, p._3))
+    val expJac = naive(charGrams,
+      (na, nb, sh) => sh.toDouble / (na + nb - sh).toDouble, 0.8, skipEmpty = false)
+    assert(gotJac == expJac, s"jaccard collapse diverged:\n got $gotJac\n exp $expJac")
+    assert(expJac.count(_._4 == 1.0) == 3 + 1 && expJac.exists(_._4 < 1.0),
+      "fixture must exercise both within-group (sim 1.0) and cross-group pairs")
+    assert(!gotJac.exists(p => p._2 >= 40L && p._3 <= 41L), "empty-gram NaN pair leaked")
+
+    val gotCont = SparkEntry.queries("dedup_containment")(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2, p._3))
+    val expCont = naive(wordGrams,
+      (na, nb, sh) => sh.toDouble / math.min(na, nb).toDouble, 0.5, skipEmpty = true)
+    assert(gotCont == expCont, s"containment collapse diverged:\n got $gotCont\n exp $expCont")
+    assert(expCont.exists(p => p._1 == "B" && p._3 == 35L && p._4 == 1.0),
+      "fixture must exercise the asymmetric containment pair")
+  }
+
+  test("exact-dup collapse: cosine kernel ≡ naive all-pairs, labels and zero vectors") {
+    // Same contract for cosinePairsFast: identical vectors collapse to one
+    // representative per distinct (label, vector) — identical vectors with
+    // DIFFERENT labels must still pair in the unscoped mode but never in
+    // the label-scoped one, the all-zero vector's NaN cosine must drop,
+    // and the emitted label must be the lower-id member's.
+    import spark.implicits._
+    val e1 = Array(1f, 2f, 3f, 4f)
+    val e1n = Array(1.05f, 2f, 3f, 4f) // near e1, cosine ≈ 0.9996
+    val orth = Array(-4f, 3f, -2f, 1.5f) // cosine vs e1 ≈ 0
+    val zero = Array(0f, 0f, 0f, 0f)
+    val vecs = Seq(
+      (1L, e1, 1), (6L, e1, 1), (3L, e1, 2), // dup group straddling labels
+      (4L, e1n, 1),
+      (5L, zero, 1), (7L, zero, 1),
+      (8L, orth, 1))
+    val dir = "target/tmp_collapse_vecs"
+    vecs.toDF("vec_id", "embedding", "label")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (va, vb) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    }
+    def naive(sameLabel: Boolean): Seq[(Long, Long, Long, Double)] =
+      (for {
+        (i, vi, li) <- vecs; (j, vj, lj) <- vecs
+        if i < j && (!sameLabel || li == lj)
+        sc = cos(vi, vj)
+        if !sc.isNaN && r6(sc) >= 0.35
+      } yield (li.toLong, i, j, r6(sc))).sortBy(p => (p._1, p._2, p._3))
+
+    val gotSim = SparkEntry.queries("sim_join_threshold")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2, p._3))
+    assert(gotSim == naive(sameLabel = true),
+      s"label-scoped cosine collapse diverged: $gotSim vs ${naive(sameLabel = true)}")
+    assert(!gotSim.exists(p => Set(p._2, p._3).contains(3L)),
+      "cross-label pair leaked into the label-scoped join")
+
+    val gotDrop = SparkEntry.queries("dedup_embed_cosine")(spark, dir)
+      .as[Long].collect().toSeq.sorted
+    val expDrop = naive(sameLabel = false).map(_._3).distinct.sorted
+    assert(gotDrop == expDrop, s"unscoped drop set diverged: $gotDrop vs $expDrop")
+    assert(expDrop.contains(3L), "fixture must pair identical vectors across labels")
+    assert(!expDrop.contains(7L), "zero-vector NaN pair leaked")
+  }
+
+  test("negative_sampling_pairs: bucket top-2 rewrite is exact at replica-offset id scale") {
+    // The round-9 rewrite (per-bucket top-2 agg + broadcast join, replacing
+    // the N²/32 candidate join) and the mod-before-multiply hash fix are
+    // both driven at the id range that broke the originals: ids offset by
+    // rep·10⁹, where the raw product hash overflowed BIGINT. Reference is
+    // the ring definition computed directly in the driver.
+    import spark.implicits._
+    val ids = (1L to 40L) ++ (1L to 40L).map(_ + 10000000000L)
+    val dir = "target/tmp_negsamp"
+    ids.map(id => (id, s"doc $id", "en", "A", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def bucket(id: Long) = ((id % 32L) * (2654435761L % 32L)) % 32L
+    def hk(id: Long) = ((id % 1048576L) * 40503L) % 1048576L
+    val byBucket = ids.groupBy(bucket)
+    val expected = (for {
+      id <- ids
+      nb = (bucket(id) + 1L) % 32L
+      (neg, rank) <- byBucket.getOrElse(nb, Seq.empty)
+        .sortBy(n => (hk(n), n)).take(2).zipWithIndex
+    } yield (id, rank + 1L, neg)).sortBy(p => (p._1, p._2))
+    val got = SparkEntry.queries("negative_sampling_pairs")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected,
+      s"bucket top-2 rewrite diverged at offset ids: got ${got.take(5)}… exp ${expected.take(5)}…")
+  }
 }
