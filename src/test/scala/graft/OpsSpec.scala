@@ -347,11 +347,19 @@ class OpsSpec extends AnyFunSuite {
 
   test("cache hygiene: repeated dedup runs do not accumulate persisted blocks") {
     def persisted = spark.sparkContext.getPersistentRDDs.size
-    run("dedup_minhash_near").count()
-    run("dedup_cluster_components").count()
+    def sweep(): Unit = {
+      run("dedup_minhash_near").count()
+      run("dedup_cluster_components").count()
+      // round-9 collapse kernels checkpoint their representative table once
+      // per run; a repeat must swap it in place, not accumulate
+      run("dedup_ngram_jaccard").count()
+      run("dedup_containment").count()
+      run("sim_join_threshold").count()
+      run("dedup_embed_cosine").count()
+    }
+    sweep()
     val afterFirst = persisted
-    run("dedup_minhash_near").count()
-    run("dedup_cluster_components").count()
+    sweep()
     val afterSecond = persisted
     // superseded checkpoint blocks are released EXPLICITLY by id (not left
     // to ContextCleaner GC — the round-5 order-dependent flake): a repeat
