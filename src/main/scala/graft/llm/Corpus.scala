@@ -20,6 +20,13 @@ import graft.{QueryDef, Tables}
   */
 object Corpus {
 
+  /** Top-1000 corpus bigram set memoized per (session, dataset) — a corpus
+    * artifact like [[Pipeline]]'s trained LM; per-doc coverage always
+    * re-runs.
+    */
+  private val topPairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Array[String]]()
+
   /** BM25 sum over the three query terms — ONE string, spliced verbatim into
     * both the Spark projection and the DuckDB oracle so the IEEE double
     * arithmetic is the same expression tree in both engines. Inputs (n, sl,
@@ -259,9 +266,17 @@ object Corpus {
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(split(text, ' ')) - 1), " +
               "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")).as("pair"))
-        val top = pairs.groupBy("pair").agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("pair")).limit(1000)
-          .select(col("pair"), lit(1L).as("hit"))
+        // the top-1000 set is a corpus ARTIFACT (the bigramLmCache
+        // discipline): built once per (session, dataset), re-entered as a
+        // 1000-row broadcast; the per-doc coverage pass always re-runs
+        val topArr = topPairsCache.computeIfAbsent((s, d), { case _ =>
+          pairs.groupBy("pair").agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("pair")).limit(1000)
+            .collect().map(_.getString(0))
+        })
+        val sp = s
+        import sp.implicits._
+        val top = topArr.toSeq.toDF("pair").select(col("pair"), lit(1L).as("hit"))
         pairs.join(broadcast(top), Seq("pair"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bi"), count(col("hit")).as("n_hit"))
