@@ -198,6 +198,9 @@ object Joins {
           .groupBy("size1").agg(sum(col("c")).as("nb"))
         hist.join(broadcast(neighborhood), Seq("size1"))
           .select(col("size1"), (col("c") * (col("nb") - 1)).as("n_pairs"))
+          // a size whose whole neighborhood is its own single row has no
+          // pairs; the oracle's GROUP BY emits no row for it at all
+          .where(col("n_pairs") > 0)
           .orderBy("size1")
       }),
 
