@@ -838,6 +838,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!expDrop.contains(7L), "zero-vector NaN pair leaked")
   }
 
+  test("join_theta_range: histogram arithmetic ≡ pair enumeration on sparse size domains") {
+    // The round-9 histogram form (n_pairs = c·(neighborhood−1), no pair
+    // join) must match the pair-enumeration definition on distributions
+    // the part table never exhibits: an isolated size with a single row
+    // (zero pairs — the oracle emits NO row, not n_pairs=0), an isolated
+    // size with several rows (self-pairs only), and adjacent sparse sizes.
+    import spark.implicits._
+    val sizes = Seq(1, 1, 1, 2, 2, 3, 10, 20, 20, 21, 30, 30, 40)
+    val dir = "target/tmp_theta_parts"
+    sizes.zipWithIndex.map { case (sz, i) =>
+      (i.toLong + 1, s"part$i", "B", "T", sz, 1.0)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("join_theta_range")(spark, dir)
+      .as[(Int, Long)].collect().toSeq
+    val expected = sizes.distinct.sorted.flatMap { s =>
+      val neighborhood = sizes.count(a => math.abs(a - s) <= 1)
+      val pairs = sizes.count(_ == s).toLong * (neighborhood - 1)
+      if (pairs > 0) Some((s, pairs)) else None
+    }
+    assert(got == expected, s"got $got expected $expected")
+    assert(!got.exists(g => g._1 == 10 || g._1 == 40),
+      "single isolated rows must emit no group")
+    assert(got.contains((30, 2L)), "isolated multi-row size keeps its self-pairs")
+  }
+
   test("negative_sampling_pairs: bucket top-2 rewrite is exact at replica-offset id scale") {
     // The round-9 rewrite (per-bucket top-2 agg + broadcast join, replacing
     // the N²/32 candidate join) and the mod-before-multiply hash fix are
