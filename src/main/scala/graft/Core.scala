@@ -12,10 +12,22 @@ import org.apache.spark.sql.types._
   * hash-compares. Column names/types must line up on both sides; every
   * oracle query ends in a total ORDER BY (SURVEY §7.4).
   */
+/** @param memoized this key's timed bench repeats reuse an artifact built
+  *   once per (session, dataset) — a memoized corpus artifact (IVF index,
+  *   bigram LM, top-pair set, near-dup pairs/labels) or a done-marker-staged
+  *   input layout (bucketed tables, manifest dirs, stream input staging).
+  *   Warm-up populates it, so repeats measure post-artifact (probe/read)
+  *   work — the production posture for dataset-level artifacts, but a
+  *   MEASUREMENT-BOUNDARY property a cross-round per-key comparison must
+  *   know about: the bench artifact lists these keys under "memoized" so a
+  *   timing drop caused by moving work behind an artifact is never mistaken
+  *   for a plan improvement (round-9 advisor finding).
+  */
 final case class QueryDef(
     key: String,
     oracle: Option[String],
-    run: (SparkSession, String) => DataFrame)
+    run: (SparkSession, String) => DataFrame,
+    memoized: Boolean = false)
 
 /** Loaders for the driver's synthetic star schema (TESTDATA.md) and the
   * reference's golden FHIR files (/root/reference/examples).

@@ -10,8 +10,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def all: Seq[QueryDef] =
-    rel.Scans.defs ++
+  /** Keys whose timed bench repeats reuse an artifact built once per
+    * (session, dataset) during warm-up — see [[QueryDef.memoized]]. Two
+    * families:
+    *   - memoized corpus artifacts (computed Spark results held in a
+    *     per-session cache): the IVF index (sim_ann_ivf,
+    *     dedup_semdedup_cluster), the char-bigram LM
+    *     (quality_perplexity_proxy), the top-1000 bigram set
+    *     (text_bigram_coverage), the minhash near-pair table reused by the
+    *     component loop (dedup_cluster_components) and the converged labels
+    *     it feeds (dedup_corpus_filter);
+    *   - done-marker-staged input layouts (a Spark write job runs once per
+    *     JVM; repeats time only the read path, which IS the operator under
+    *     test): manifest/lineage dirs, bloom/partitioned/bucketed layouts,
+    *     the fhir merge projections, and the stream input staging
+    *     (events symlink + sentinel parquet).
+    * dedup_minhash_near is NOT here: it recomputes its pair pipeline fresh
+    * on every invocation and only swaps the cache for its siblings.
+    * Maintained centrally (the flag is a bench-protocol property, not plan
+    * semantics); the require() below fails fast on a typo or key rename.
+    */
+  private val memoizedKeys: Set[String] = Set(
+    "sim_ann_ivf", "dedup_semdedup_cluster", "quality_perplexity_proxy",
+    "text_bigram_coverage", "dedup_cluster_components", "dedup_corpus_filter",
+    "scan_manifest_snapshot", "scan_manifest_incremental",
+    "scan_manifest_stats_prune", "scan_metadata_lineage",
+    "scan_parquet_bloom_lookup", "scan_partition_prune",
+    "join_bucketed_colocated", "fhir_schema_merge",
+    "stream_rate_limited_ingest", "stream_tumbling_window",
+    "stream_sliding_window", "stream_session_window", "stream_chained_agg",
+    "stream_outer_join_nulls")
+
+  private def all: Seq[QueryDef] = {
+    val defs = rel.Scans.defs ++
       rel.Joins.defs ++
       rel.Aggs.defs ++
       rel.Windows.defs ++
@@ -31,6 +62,11 @@ object SparkEntry {
       llm.Multimodal.defs ++
       fhir.FhirQueries.defs ++
       stream.Streams.defs
+    val known = defs.map(_.key).toSet
+    require((memoizedKeys -- known).isEmpty,
+      s"memoizedKeys names unknown keys: ${memoizedKeys -- known}")
+    defs.map(q => q.copy(memoized = memoizedKeys.contains(q.key)))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-style scan + hash aggregate (SURVEY §2 E1 / §7.2).
@@ -47,4 +83,9 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(sql => q.key -> sql)).toMap
+
+  /** Keys flagged [[QueryDef.memoized]], for the bench artifact's protocol
+    * block (sorted for a stable artifact diff).
+    */
+  def memoized: Seq[String] = all.filter(_.memoized).map(_.key).sorted
 }

@@ -88,13 +88,24 @@ object Llm {
     // this is still the declared quadratic exact baseline — the collapse
     // only stops identical copies (the common case in any replicated
     // corpus, and the 10x rehearsal's entire growth mode) from re-paying
-    // the kernel. Vector identity is xxhash64 over the float array.
+    // the kernel. Vector identity is xxhash64 over the float array PLUS
+    // structural discriminators (length, first/last element): a bare
+    // 64-bit hash makes birthday collisions expected at ~10^10 vectors,
+    // and a collision here silently merges DISTINCT vectors into one
+    // representative — false duplicate pairs and missed pairs, a far
+    // larger blast radius than a per-gram fnv64 collision. The extra key
+    // columns keep the shuffle key O(1) bytes (unlike grouping by the
+    // full array) while shrinking the collision surface to same-hash,
+    // same-length, same-endpoint arrays.
     // Checkpointed once per run for the same four-consumer reason as
     // [[collapsedPairSim]].
     val (grouped, ckptIds) = ckpt(Tables.t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
-      .groupBy((if (sameLabelOnly) Seq(col("label").as("gl")) else Nil) :+
-        xxhash64(col("embedding")).as("eh"): _*)
+      .groupBy((if (sameLabelOnly) Seq(col("label").as("gl")) else Nil) ++
+        Seq(xxhash64(col("embedding")).as("eh"),
+          size(col("embedding")).as("en"),
+          try_element_at(col("embedding"), lit(1)).as("e0"),
+          try_element_at(col("embedding"), lit(-1)).as("e1")): _*)
       .agg(sort_array(collect_list(struct(col("vec_id"), col("label")))).as("members"),
         first(col("embedding")).as("emb"))
       .select(col("members"), col("emb"),
@@ -324,8 +335,10 @@ object Llm {
     * gid-keyed equi joins plus an in-group pair enumeration — both bounded
     * by the OUTPUT size, which the all-pairs oracle semantics demand
     * anyway. Verify work scales with distinct content, not corpus size.
-    * Set identity is xxhash64 over the sorted gram-hash array — the same
-    * collision tolerance the grams themselves already carry via fnv64.
+    * Set identity is xxhash64 over the sorted gram-hash array plus
+    * length/endpoint discriminators — a bare 64-bit key would make
+    * collision-merges expected at ~10^10 distinct sets, with a far larger
+    * blast radius than the per-gram fnv64 collisions inside one pair.
     *
     * `score(|A|, |B|, |A∩B|)` must be symmetric; `B` spreads a giant
     * source over B² kernel tasks (raise with cluster size).
@@ -347,7 +360,14 @@ object Llm {
     import sp.implicits._
     val B = 4
     val (grouped, ckptIds) = ckpt(docs.toDF("source", "doc_id", "grams")
-      .groupBy(col("source"), xxhash64(col("grams")).as("gh"))
+      // gh alone is a 64-bit birthday hazard at corpus scale (see the
+      // cosine collapse): length + endpoint discriminators ride along in
+      // the group key so a hash collision can only merge same-hash,
+      // same-length, same-endpoint gram sets.
+      .groupBy(col("source"), xxhash64(col("grams")).as("gh"),
+        size(col("grams")).as("gn"),
+        try_element_at(col("grams"), lit(1)).as("g0"),
+        try_element_at(col("grams"), lit(-1)).as("g1"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),
         first(col("grams")).as("grams"))
       .withColumn("gid", col("members")(0)))

@@ -544,7 +544,15 @@ object Advanced {
       "hierarchy_recursive_cte",
       Some(recursiveSql),
       (s, d) => {
-        val c = Tables.t(s, d, "customer")
+        // The loosened recursion valve is scoped to a CHILD session (own
+        // SQLConf + temp-view catalog, shared SparkContext): setting it on
+        // the caller's session would leave the safety limit raised — up to
+        // Int.MaxValue — for every later query in a long-lived JVM
+        // (round-9 advisor finding). A finally-restore cannot work here:
+        // the conf is read at EXECUTION time, after this lazy plan is
+        // returned.
+        val cs = s.newSession()
+        val c = Tables.t(cs, d, "customer")
         // Spark's cteRecursionRowLimit is a safety valve with a fixed 10⁶
         // default; this traversal legitimately emits N·(⌊log₂ maxKey⌋+1)
         // rows (~5·10⁷ at the 10× rehearsal scale — found by the sf1
@@ -554,9 +562,9 @@ object Advanced {
         val st = c.agg(count(lit(1)), max(col("c_custkey"))).head()
         val depth = 66 - java.lang.Long.numberOfLeadingZeros(math.max(st.getLong(1), 1L))
         val rows = math.min(Int.MaxValue.toLong, st.getLong(0) * depth + 1000L)
-        s.conf.set("spark.sql.cteRecursionRowLimit", rows.toString)
+        cs.conf.set("spark.sql.cteRecursionRowLimit", rows.toString)
         c.createOrReplaceTempView("customer")
-        s.sql(recursiveSql)
+        cs.sql(recursiveSql)
       }),
 
     // Incremental aggregate merge: per-key partial state (count + exact

@@ -309,7 +309,28 @@ class OpsSpec extends AnyFunSuite {
     val sfDir = "/root/testdata/sf0.1"
     val K = 50
     val Off = 1000000000L
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_semdedup_scale"
+    // The staged 50x replica is keyed by an INPUT FINGERPRINT (total size +
+    // max mtime of the source embeddings), not a bare name: a bare
+    // /tmp/graft_semdedup_scale dir survives testdata regeneration, and a
+    // stale replica would silently compare mixed vintages (round-9 advisor
+    // finding). A regenerated source changes the fingerprint, so the stale
+    // dir is simply never looked at again.
+    val srcFp = {
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"))
+        .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toSeq
+      val sz = files.map(java.nio.file.Files.size).sum
+      val mt = files.map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+        .maxOption.getOrElse(0L)
+      java.lang.Long.toHexString(sz * 31L + mt)
+    }
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_semdedup_scale_$srcFp"
+    // Only THIS run's record may feed the rehearsal artifact: a leftover
+    // target/semdedup_scale.json from an aborted or older run must not be
+    // folded into BENCH_sf1.json by scale_exponents.py.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("target/semdedup_scale.json"))
     val done = java.nio.file.Paths.get(dir, "_done")
     if (!java.nio.file.Files.exists(done)) {
       Tables.t(spark, sfDir, "embeddings")
@@ -338,9 +359,15 @@ class OpsSpec extends AnyFunSuite {
     val recall0 = (drops0 & baseExact).size.toDouble / baseExact.size
     info(f"50x recall: overall $recall%.3f, rep-0 $recall0%.3f, " +
       f"${drops.size}/${exactFull.size} drops, k=10, $secs%.1f s")
+    // Locale.ROOT formatting: Scala's f-interpolator uses the JVM default
+    // locale, and a comma-decimal locale would write 0,9750 — breaking
+    // json.loads downstream in scale_exponents.py (round-9 advisor finding).
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/semdedup_scale.json"),
-      f"""{"n":100000,"k":10,"n_assign":3,"recall_overall":$recall%.4f,"recall_rep0":$recall0%.4f,"drops":${drops.size},"exact":${exactFull.size},"runtime_sec":$secs%.1f}""")
+      String.format(java.util.Locale.ROOT,
+        """{"n":100000,"k":10,"n_assign":3,"recall_overall":%.4f,"recall_rep0":%.4f,"drops":%d,"exact":%d,"runtime_sec":%.1f}""",
+        Double.box(recall), Double.box(recall0),
+        Int.box(drops.size), Int.box(exactFull.size), Double.box(secs)))
     assert(recall >= 0.9, f"overall recall $recall%.3f below 0.9 at k=10")
     assert(recall0 >= 0.9, f"rep-0 recall $recall0%.3f below 0.9 at k=10")
   }
