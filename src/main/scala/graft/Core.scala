@@ -49,6 +49,25 @@ object Tables {
       (spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
 
+  /** Parallelize an under-partitioned scan before a per-row compute kernel
+    * (JVM mapPartitions, interpreted HOFs): local testdata tables are
+    * single small parquet files — one row-group, one task — so without
+    * this every per-document/per-vector kernel runs on ONE core no matter
+    * the executor count (measured: the corpus-gram and minhash keys spent
+    * 80%+ of their time single-threaded). A numeric round-robin
+    * repartition spreads the rows and is exempt from AQE coalescing, so
+    * the tiny byte size cannot collapse it back to one partition. At
+    * production scale a 100 TB scan already carries far more partitions
+    * than defaultParallelism and this is a NO-OP (no shuffle node is ever
+    * added) — the shuffle only exists in the under-parallel small-file
+    * case, where it moves kilobytes. Only worth it when downstream
+    * per-row work dominates the scan; plain scans/aggs stay un-spread.
+    */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** events.ts has shipped in three physical forms across testdata
     * generations: parquet TIMESTAMP(NANOS) (readable only as int64 nanos
     * under `spark.sql.legacy.parquet.nanosAsLong`), naive µs TIMESTAMP_NTZ,

@@ -54,9 +54,12 @@ object Corpus {
           "SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram " +
           "ORDER BY df DESC, gram LIMIT 20"),
       (s, d) => {
-        Tables.t(s, d, "documents")
-          .where(size(split(col("text"), " ")) >= 5)
-          .select(explode(expr(Llm.shinglesExpr)).as("gram"))
+        // spread + pre-split: the gram generation is per-row interpreted-HOF
+        // work, so it must not run on a one-row-group scan's single task
+        Tables.spread(s, Tables.t(s, d, "documents"))
+          .select(split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 5)
+          .select(explode(expr(Llm.shinglesFromW)).as("gram"))
           .groupBy("gram")
           .agg(count(lit(1)).as("df"))
           .orderBy(col("df").desc, col("gram"))
@@ -80,11 +83,15 @@ object Corpus {
           "SELECT pair, CAST(count(*) AS BIGINT) AS freq FROM p " +
           "GROUP BY pair ORDER BY freq DESC, pair LIMIT 20"),
       (s, d) =>
-        Tables.t(s, d, "documents")
-          .where(size(split(col("text"), " ")) >= 2)
+        // spread + pre-split (see corpus_ngram_topk): the pair lambda
+        // indexes the staged token array with O(1) element_at instead of
+        // re-splitting + slicing per position
+        Tables.spread(s, Tables.t(s, d, "documents"))
+          .select(split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 2)
           .select(explode(expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1), " +
-              "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")).as("pair"))
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("pair"))
           .groupBy("pair")
           .agg(count(lit(1)).as("freq"))
           .orderBy(col("freq").desc, col("pair"))
@@ -158,12 +165,10 @@ object Corpus {
           "FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)))) " +
           "GROUP BY lang ORDER BY lang"),
       (s, d) => {
-        val toks = split(col("text"), " ")
         Tables.t(s, d, "documents")
-          .select(col("lang"), toks.as("w"),
-            expr("CASE WHEN size(split(text, ' ')) >= 5 THEN " +
-              "transform(sequence(1, size(split(text, ' ')) - 4), i -> concat_ws(' ', slice(split(text, ' '), i, 5))) " +
-              "ELSE array() END").as("g"))
+          .select(col("lang"), split(col("text"), " ").as("w"))
+          .select(col("lang"), col("w"),
+            expr(s"CASE WHEN size(w) >= 5 THEN ${Llm.gramsFromW} ELSE array() END").as("g"))
           .select(col("lang"),
             size(col("w")).cast("long").as("n_toks"),
             size(array_distinct(col("w"))).cast("long").as("nd_toks"),
@@ -261,11 +266,13 @@ object Corpus {
           "FROM p LEFT JOIN top t ON p.pair = t.pair " +
           "GROUP BY p.doc_id ORDER BY p.doc_id"),
       (s, d) => {
-        val pairs = Tables.t(s, d, "documents")
-          .where(size(split(col("text"), " ")) >= 2)
+        // spread + pre-split (see tokenizer_pair_counts)
+        val pairs = Tables.spread(s, Tables.t(s, d, "documents"))
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 2)
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1), " +
-              "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")).as("pair"))
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("pair"))
         // the top-1000 set is a corpus ARTIFACT (the bigramLmCache
         // discipline): built once per (session, dataset), re-entered as a
         // 1000-row broadcast; the per-doc coverage pass always re-runs

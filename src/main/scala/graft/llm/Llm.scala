@@ -193,10 +193,20 @@ object Llm {
     cross.unionByName(within)
   }
 
-  /** Word 5-gram shingle set (documents with ≥5 tokens). */
-  private[llm] val shinglesExpr =
-    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), " +
-      "i -> concat_ws(' ', slice(split(text, ' '), i, 5))))"
+  /** Word 5-gram shingle set over a pre-split token array column `w`
+    * (documents with ≥5 tokens — callers filter `size(w) >= 5`). The split
+    * array is staged ONCE as a column and the lambda indexes it with O(1)
+    * element_at: the previous form re-ran split(text) (O(L)) plus an O(i)
+    * slice copy INSIDE the per-position lambda — interpreted-HOF work
+    * quadratic in document length that dominated every corpus-gram key
+    * (measured 2.3-4x on the gram keys at sf0.1).
+    */
+  private[llm] val gramsFromW =
+    "transform(sequence(1, size(w) - 4), " +
+      "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), " +
+      "element_at(w, i+2), element_at(w, i+3), element_at(w, i+4)))"
+
+  private[llm] val shinglesFromW = s"array_distinct($gramsFromW)"
 
   private val duckShingles =
     "SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS sh " +
@@ -286,7 +296,9 @@ object Llm {
       s: SparkSession, d: String): org.apache.spark.sql.Dataset[(Long, Array[Long], Array[Long])] = {
     val sp = s
     import sp.implicits._
-    Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+    // spread: the signature fold is a pure per-row JVM kernel — on the
+    // local single-row-group scan it otherwise runs on ONE core
+    Tables.spread(s, Tables.t(s, d, "documents").select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -702,8 +714,8 @@ object Llm {
         // joins shipped both gram arrays per candidate.
         val sp = s
         import sp.implicits._
-        val grams = Tables.t(s, d, "documents")
-          .select(col("source"), col("doc_id"), col("text"))
+        val grams = Tables.spread(s, Tables.t(s, d, "documents")
+            .select(col("source"), col("doc_id"), col("text")))
           .as[(String, Long, String)]
           .map { case (src, id, text) =>
             val gset = new java.util.TreeSet[java.lang.Long]()
@@ -741,8 +753,8 @@ object Llm {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        val grams = Tables.t(s, d, "documents")
-          .select(col("source"), col("doc_id"), col("text"))
+        val grams = Tables.spread(s, Tables.t(s, d, "documents")
+            .select(col("source"), col("doc_id"), col("text")))
           .as[(String, Long, String)]
           .flatMap { case (src, id, text) =>
             val words = text.split(" ", -1)
@@ -927,7 +939,9 @@ object Llm {
           "SELECT qid, cid, score, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rn " +
           "FROM sims QUALIFY rn <= 5 ORDER BY qid, rn"),
       (s, d) => {
-        val q8 = Tables.t(s, d, "embeddings")
+        // spread: the normalize/quantize HOF chain is interpreted per-row
+        // work — parallelize it off the single-row-group local scan
+        val q8 = Tables.spread(s, Tables.t(s, d, "embeddings"))
           .select(col("vec_id"),
             expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
               "sqrt(aggregate(zip_with(embedding, embedding, (p, r) -> CAST(p AS DOUBLE) * CAST(r AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))").as("nv"))
@@ -1152,12 +1166,10 @@ object Llm {
           "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))) " +
           "ORDER BY doc_id"),
       (s, d) => {
-        val toks = split(col("text"), " ")
         Tables.t(s, d, "documents")
-          .select(col("doc_id"), toks.as("w"),
-            expr("CASE WHEN size(split(text, ' ')) >= 5 THEN " +
-              "transform(sequence(1, size(split(text, ' ')) - 4), i -> concat_ws(' ', slice(split(text, ' '), i, 5))) " +
-              "ELSE array() END").as("g"))
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("w"),
+            expr(s"CASE WHEN size(w) >= 5 THEN $gramsFromW ELSE array() END").as("g"))
           .select(col("doc_id"),
             size(col("w")).cast("long").as("n_toks"),
             size(array_distinct(col("w"))).cast("long").as("nd_toks"),

@@ -81,8 +81,8 @@ object Multimodal {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        Tables.t(s, d, "documents")
-          .select(col("doc_id"), col("text"))
+        Tables.spread(s, Tables.t(s, d, "documents")
+            .select(col("doc_id"), col("text")))
           .as[(Long, String)]
           .map { case (id, text) => (id, text, fixturePayload(id, text)) }
           .mapPartitions { it =>
@@ -126,8 +126,8 @@ object Multimodal {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        Tables.t(s, d, "documents")
-          .select(col("doc_id"), col("text"))
+        Tables.spread(s, Tables.t(s, d, "documents")
+            .select(col("doc_id"), col("text")))
           .as[(Long, String)]
           .map { case (id, text) => (id, fixturePayload(id, text)) }
           .mapPartitions { it =>
@@ -165,8 +165,8 @@ object Multimodal {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        Tables.t(s, d, "documents")
-          .select(col("doc_id"), col("text"))
+        Tables.spread(s, Tables.t(s, d, "documents")
+            .select(col("doc_id"), col("text")))
           .as[(Long, String)]
           .map { case (id, text) => (id, text, fixturePayload(id, text)) }
           .mapPartitions { it =>
@@ -212,8 +212,8 @@ object Multimodal {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        Tables.t(s, d, "documents")
-          .select(col("doc_id"))
+        Tables.spread(s, Tables.t(s, d, "documents")
+            .select(col("doc_id")))
           .as[Long]
           .map { id =>
             // encode: synthesize PCM and pack LITTLE-ENDIAN int16 bytes
@@ -263,8 +263,10 @@ object Multimodal {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        val hashed = Tables.t(s, d, "documents")
-          .select(col("doc_id")).as[Long]
+        // spread: PNG encode + decode + dHash per row is a pure JVM kernel
+        // — must not run on the single task of a one-row-group local scan
+        val hashed = Tables.spread(s, Tables.t(s, d, "documents")
+            .select(col("doc_id"))).as[Long]
           .mapPartitions { it =>
             it.map { id =>
               val g = id / 10

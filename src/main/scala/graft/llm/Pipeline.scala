@@ -127,9 +127,12 @@ object Pipeline {
           "FROM g JOIN b USING (gram) WHERE g.doc_id % 50 != 0 " +
           "GROUP BY g.doc_id ORDER BY g.doc_id"),
       (s, d) => {
-        val grams = Tables.t(s, d, "documents")
-          .where(size(split(col("text"), " ")) >= 5)
-          .select(col("doc_id"), explode(expr(Llm.shinglesExpr)).as("gram"))
+        // spread + pre-split: per-row gram HOF must not run single-task
+        // (see corpus_ngram_topk)
+        val grams = Tables.spread(s, Tables.t(s, d, "documents"))
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 5)
+          .select(col("doc_id"), explode(expr(Llm.shinglesFromW)).as("gram"))
         val bench = grams.where(col("doc_id") % 50 === 0).select("gram").distinct()
         grams.where(col("doc_id") % 50 =!= 0)
           .join(broadcast(bench), "gram")
