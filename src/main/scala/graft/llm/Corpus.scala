@@ -217,7 +217,9 @@ object Corpus {
           "FROM d, st WHERE tf1 + tf2 + tf3 > 0 " +
           "ORDER BY score DESC, doc_id LIMIT 20"),
       (s, d) => {
-        val scored = Tables.t(s, d, "documents")
+        // spread: the regex tokenize + term-filter HOFs are per-row work —
+        // parallelize off the single-row-group local scan
+        val scored = Tables.spread(s, Tables.t(s, d, "documents"))
           .select(col("doc_id"),
             expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").as("toks"))
           .select(col("doc_id"),

@@ -804,7 +804,9 @@ object Llm {
           "SELECT qid, cid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn " +
           "FROM sims QUALIFY rn <= 5 ORDER BY qid, rn"),
       (s, d) => {
-        val e = Tables.t(s, d, "embeddings")
+        // spread: the per-pair interpreted cosine runs on the candidate
+        // side — parallelize it off the single-row-group local scan
+        val e = Tables.spread(s, Tables.t(s, d, "embeddings"))
         val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
         val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
@@ -846,7 +848,8 @@ object Llm {
         val rnd = new scala.util.Random(42)
         val planes = Seq.fill(8)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
         val planesCol = typedLit(planes)
-        val e = Tables.t(s, d, "embeddings")
+        // spread: the 8-plane bucket fold is interpreted per-row work
+        val e = Tables.spread(s, Tables.t(s, d, "embeddings"))
           .withColumn("hp", planesCol)
           .withColumn("bucket", expr(
             "aggregate(sequence(0, 7), 0, (acc, p) -> acc + CASE WHEN " +
@@ -974,7 +977,9 @@ object Llm {
           "SELECT qid, label AS pred_label, n FROM votes " +
           "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) = 1 ORDER BY qid"),
       (s, d) => {
-        val e = Tables.t(s, d, "embeddings")
+        // spread: the per-pair interpreted cosine runs on the candidate
+        // side — parallelize it off the single-row-group local scan
+        val e = Tables.spread(s, Tables.t(s, d, "embeddings"))
         val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label").cast("long").as("label"))
         val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
