@@ -38,9 +38,12 @@ object Streams {
     * harness scale 32 partitions means 32 store open/commit cycles for a few
     * thousand rows — pure fixed overhead (the round-2 bench regression). At
     * real scale this number is sized to state volume; here it is scoped down
-    * for the duration of one bounded query and restored after.
+    * for the duration of one bounded query and restored after. 2, not 4:
+    * store open/commit cycles are the dominant per-micro-batch cost at
+    * harness state sizes, and halving the width measured 12-30% off the
+    * stateful stream keys with no semantic change (round 10).
     */
-  private val StreamShufflePartitions = "4"
+  private val StreamShufflePartitions = "2"
   private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
