@@ -518,4 +518,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(bucket"), p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("Tables.spread: widens an under-partitioned scan, no-op on a wide one") {
+    // The 100 TB posture claim: spread only exists for the small-file case.
+    // Under-partitioned input (the local one-row-group scan) must come out
+    // at defaultParallelism; an input already at/above it must be returned
+    // UNCHANGED — same plan object, no Exchange added — so a production
+    // scan never pays a repartition.
+    val narrow = Tables.t(spark, sf, "documents")
+    val spreadN = Tables.spread(spark, narrow)
+    assert(narrow.rdd.getNumPartitions < spark.sparkContext.defaultParallelism,
+      "fixture assumption broken: local scan is no longer under-partitioned")
+    assert(spreadN.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    val wide = narrow.repartition(spark.sparkContext.defaultParallelism)
+    assert(Tables.spread(spark, wide) eq wide,
+      "spread must be identity on an input at or above defaultParallelism")
+  }
 }
