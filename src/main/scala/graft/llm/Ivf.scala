@@ -194,10 +194,36 @@ object Ivf {
         // pair, so drops ⊆ the exact drop set regardless of assignment.
         val nAssign = 3
         val bcC = s.sparkContext.broadcast(centroids)
-        val vecs = Tables.t(s, d, "embeddings")
+        // Exact-dup collapse BEFORE the cluster kernel (the cosinePairsFast
+        // discipline): identical embeddings probe identical clusters, every
+        // within-group pair is cosine 1 ≥ τ, and the pairwise drop rule
+        // ("drop the higher id") resolves to "drop every non-minimum member"
+        // — provable without a single kernel comparison, and a rep-level
+        // cross drop implies nothing further (that rep's members are already
+        // dropped within-group). Without the collapse, a G-sized duplicate
+        // group pays G² comparisons inside its cluster — the second-decade
+        // (100×) rehearsal measured exponent 1.26 on replicated data. The
+        // drop SET is exactly the uncollapsed operator's (pair-by-pair
+        // case analysis: any cross pair's max is either a non-min member,
+        // caught within-group, or a representative, caught by the rep pair).
+        // Group key = xxhash64 + length/endpoint discriminators, as in
+        // cosinePairsFast.
+        val grouped = Tables.t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"))
+          .groupBy(xxhash64(col("embedding")).as("eh"),
+            size(col("embedding")).as("en"),
+            try_element_at(col("embedding"), lit(1)).as("e0"),
+            try_element_at(col("embedding"), lit(-1)).as("e1"))
+          .agg(sort_array(collect_list(col("vec_id"))).as("members"),
+            first(col("embedding")).as("emb"))
+          .select(col("members"), col("emb"), col("members")(0).as("gid"))
+        val memberDrops = grouped
+          .select(explode(col("members")).as("drop_id"), col("gid"))
+          .where(col("drop_id") > col("gid"))
+          .select("drop_id")
+        val reps = grouped.select(col("gid"), col("emb"))
           .as[(Long, Array[Float])]
-        vecs.flatMap { case (id, emb) =>
+        val repDrops = reps.flatMap { case (id, emb) =>
             val cs = bcC.value
             val v = new Array[Double](emb.length)
             var k = 0
@@ -245,7 +271,8 @@ object Ivf {
             }
             out.iterator
           }
-          .toDF("drop_id").distinct().orderBy("drop_id")
+          .toDF("drop_id")
+        repDrops.unionByName(memberDrops).distinct().orderBy("drop_id")
       })
   )
 }

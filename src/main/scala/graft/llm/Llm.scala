@@ -678,18 +678,47 @@ object Llm {
           while (b < 64) { if (cnt(b) > 0) sim |= (1L << b); b += 1 }
           sim
         }
-        val sims = docs.select(col("doc_id"), simhashUdf(col("text")).as("sim"))
-        val bands = sims.select(col("doc_id"), col("sim"),
+        val sp2 = s
+        import sp2.implicits._
+        val sims = Tables.spread(s, docs)
+          .select(col("doc_id"), simhashUdf(col("text")).as("sim"))
+        // Exact-dup collapse on the FULL 64-bit signature (the signature IS
+        // the content key for simhash semantics: identical sig ⟺ Hamming 0,
+        // so no secondary discriminator is needed — a "collision" is by
+        // definition a true Hamming-0 pair). Band join + Hamming verify run
+        // over DISTINCT signatures only; member pairs expand back through
+        // gid-keyed joins bounded by the output size, which the all-pairs
+        // semantics demand anyway. Without this, a G-sized duplicate group
+        // re-verifies G² identical comparisons inside one band bucket — the
+        // second-decade (100×) rehearsal measured exponent 1.85 on
+        // replicated data; with it, verify work scales with distinct
+        // content (the collapsedPairSim discipline).
+        val grouped = sims.groupBy(col("sim"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+          .withColumn("gid", col("members")(0))
+        val bands = grouped.select(col("gid"), col("sim"),
           explode(expr("transform(sequence(0, 3), p -> struct(p AS band, shiftright(sim, p*16) & 65535 AS bkey))")).as("bb"))
-          .select(col("doc_id"), col("sim"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-        bands.as("x").join(bands.as("y"),
+          .select(col("gid"), col("sim"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        val repPairs = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+              col("x.gid") < col("y.gid"))
+          .select(col("x.gid").as("ga"), col("y.gid").as("gb"),
             expr("bit_count(x.sim ^ y.sim)").cast("long").as("hamming"))
           .distinct()
           .where(col("hamming") <= 3)
-          .orderBy("i", "j")
+        val mem = grouped.select(col("gid"), explode(col("members")).as("d"))
+        val cross = repPairs
+          .join(mem.select(col("gid").as("ga"), col("d").as("da")), "ga")
+          .join(mem.select(col("gid").as("gb"), col("d").as("db")), "gb")
+          .select(least(col("da"), col("db")).as("i"),
+            greatest(col("da"), col("db")).as("j"), col("hamming"))
+        val within = grouped.select(col("members")).as[Array[Long]]
+          .flatMap { ms =>
+            ms.indices.iterator.flatMap(x =>
+              (x + 1 until ms.length).iterator.map(y => (ms(x), ms(y), 0L)))
+          }
+          .toDF("i", "j", "hamming")
+        cross.unionByName(within).orderBy("i", "j")
       }),
 
     // n-gram Jaccard dedup: char 3-grams, scoped per source, τ = 0.8
