@@ -250,13 +250,22 @@ object Multimodal {
     // real PNG (a structured gradient whose SHAPE is shared within groups
     // of 10 consecutive doc_ids and perturbed per member), the kernel
     // DECODES the container and computes a 64-bit difference hash (exact
-    // integer math, brightness-invariant), and near-dups are recovered by
-    // 8×8-bit LSH band equi-join + Hamming ≤ 6 verify — never all-pairs.
-    // dHash recomputes per consumer (3 narrow passes) instead of caching:
-    // at 100 TB you would persist the hash column once; here the encode/
-    // decode is the point under test. No SQL oracle (PNG decode); OpsSpec
-    // proves brightness invariance, group recall, and cross-group
-    // separation.
+    // integer math, brightness-invariant). Near-dups are recovered over
+    // DISTINCT hashes only (identical images collapse to one weighted row,
+    // so exact-dup groups never enumerate G² pairs) via 4×16-bit blocks
+    // with 1-bit multi-probe + Hamming ≤ 6 verify — never all-pairs.
+    // Pigeonhole: 6 bit errors over 4 blocks leave some block with ≤ 1
+    // error, and the probe side carries each block value plus its 16
+    // one-bit flips, so candidate recall at ham ≤ 6 is guaranteed. The
+    // previous 8×8-bit band join had only 256 bucket values per band —
+    // buckets grow linearly with corpus size and candidates quadratically
+    // (second-decade rehearsal exponent 1.07); 2^16-value blocks keep
+    // buckets sparse as N grows, and probe volume is a constant 68
+    // entries per distinct hash. dHash recomputes per consumer (3 narrow
+    // passes) instead of caching: at 100 TB you would persist the hash
+    // column once; here the encode/decode is the point under test. No SQL
+    // oracle (PNG decode); OpsSpec proves brightness invariance, group
+    // recall, and cross-group separation.
     QueryDef(
       "multimodal_phash_neardup",
       None,
@@ -287,22 +296,37 @@ object Multimodal {
               (id, ImageKernel.dHash(ImageKernel.decode(bytes).get))
             }
           }.toDF("doc_id", "ph")
-        val bands = hashed.select(col("doc_id"), col("ph"),
-          explode(expr("sequence(0, 7)")).as("band"))
-          .withColumn("v", expr("shiftright(ph, 8 * band) & 255"))
-        val left = bands.select(col("band"), col("v"), col("doc_id").as("ida"), col("ph").as("pha"))
-        val right = bands.select(col("band"), col("v"), col("doc_id").as("idb"), col("ph").as("phb"))
-        val pairs = left.join(right, Seq("band", "v"))
-          .where(col("ida") < col("idb"))
-          .select("ida", "idb", "pha", "phb").distinct()
+        // exact-dup collapse: the near-dup relation is a function of the
+        // hash alone, so all pair work runs over distinct hashes with
+        // multiplicity carried as a weight
+        val hcnt = hashed.groupBy("ph").agg(count(lit(1)).as("cnt"))
+        val exact = hcnt.select(col("ph"), explode(expr("sequence(0, 3)")).as("blk"))
+          .withColumn("v", expr("shiftright(ph, 16 * blk) & 65535"))
+        val probe = hcnt.select(col("ph"), explode(expr("sequence(0, 3)")).as("blk"))
+          .select(col("ph"), col("blk"), explode(expr(
+            "transform(sequence(0, 16), i -> CASE WHEN i = 16 " +
+              "THEN shiftright(ph, 16 * blk) & 65535 " +
+              "ELSE (shiftright(ph, 16 * blk) & 65535) ^ shiftleft(1, i) END)")).as("v"))
+        // ham_blk(x,y) ≤ 1 ⟺ x's exact-or-flipped value meets y's exact
+        // value (the flip is symmetric, so one orientation suffices)
+        val pairs = probe.as("x").join(exact.as("y"),
+            col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
+              col("x.ph") < col("y.ph"))
+          .select(col("x.ph").as("pha"), col("y.ph").as("phb")).distinct()
           .where(expr("bit_count(pha ^ phb) <= 6"))
-        val perDoc = pairs.select(col("ida").as("doc_id"))
-          .union(pairs.select(col("idb").as("doc_id")))
-          .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_neardup"))
-        hashed.select(col("doc_id"), expr("lpad(hex(ph), 16, '0')").as("phash"))
-          .join(perDoc, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), col("phash"),
-            coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+        val ca = hcnt.select(col("ph").as("pha"), col("cnt").as("ca"))
+        val cb = hcnt.select(col("ph").as("phb"), col("cnt").as("cb"))
+        val contrib = pairs.join(ca, "pha").join(cb, "phb")
+        val perHash = contrib.select(col("pha").as("ph"), col("cb").as("add"))
+          .unionByName(contrib.select(col("phb").as("ph"), col("ca").as("add")))
+          .groupBy("ph").agg(sum(col("add")).as("cross"))
+        val nn = hcnt.join(perHash, Seq("ph"), "left_outer")
+          .select(col("ph"),
+            (coalesce(col("cross"), lit(0L)) + col("cnt") - lit(1L))
+              .cast("long").as("n_neardup"))
+        hashed.join(nn, Seq("ph"))
+          .select(col("doc_id"), expr("lpad(hex(ph), 16, '0')").as("phash"),
+            col("n_neardup"))
           .orderBy("doc_id")
       })
   )

@@ -47,10 +47,12 @@ object Advanced {
   }
 
   /** One-slot registry of the final PageRank checkpoint per (session, dir):
-    * a re-run releases the superseded run's blocks deterministically.
+    * a re-run releases the superseded run's blocks deterministically. The
+    * entry pins the checkpointed DataFrame so the ContextCleaner cannot
+    * race the explicit release once the query result is discarded.
     */
   private val prFinal =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Int]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Seq[Int])]()
 
   /** Total PageRank mass in fixed-point units (1 rank = 1e-12). All rank
     * math is BIGINT floor division — deterministic and associative, so the
@@ -657,7 +659,8 @@ object Advanced {
         }
         val (fin, finIds) = ckpt(chained)
         release(s, adjIds ++ nodeIds)
-        Option(prFinal.put((s, d), finIds)).foreach(release(s, _))
+        Option(prFinal.put((s, d), (fin, finIds)))
+          .foreach { case (_, oldIds) => release(s, oldIds) }
         fin.orderBy("id")
       }),
 

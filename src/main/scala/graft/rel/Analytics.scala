@@ -54,10 +54,12 @@ object Analytics {
   }
 
   /** One-slot registry of triangle-count checkpoint blocks per
-    * (session, dir): a re-run releases the superseded run's blocks.
+    * (session, dir): a re-run releases the superseded run's blocks. The
+    * entry pins the checkpointed DataFrames so the ContextCleaner cannot
+    * race the explicit release once the query result is discarded.
     */
   private val triFinal =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Int]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Seq[DataFrame], Seq[Int])]()
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -182,7 +184,8 @@ object Analytics {
               .otherwise(struct(col("u").as("n"), col("du").as("dg"))).as("t"))
           .select(col("s.n").as("src"), col("t.n").as("dst"),
             col("t.dg").as("ddeg")))
-        Option(triFinal.put((s, d), edgeIds ++ orientIds)).foreach(release(s, _))
+        Option(triFinal.put((s, d), (Seq(edges, oriented), edgeIds ++ orientIds)))
+          .foreach { case (_, oldIds) => release(s, oldIds) }
         // wedges from each low corner: pairs of out-neighbours ordered by
         // (deg, id) so the closing edge is guaranteed oriented b→c
         val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
