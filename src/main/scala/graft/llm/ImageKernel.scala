@@ -14,6 +14,15 @@ import javax.imageio.ImageIO
   */
 object ImageKernel {
 
+  // javax.imageio defaults to DISK-backed stream caches: every
+  // ImageIO.read/write on a byte stream creates, fills, and deletes a temp
+  // file (measured ~5 ms per 36×32 PNG round trip — 82 s of an 84 s phash
+  // pass at the 100×-scale rehearsal was this). Payloads here are in-memory
+  // byte arrays, so force the memory-cached stream implementations; the
+  // toggle is a JVM-wide static, applied when the first kernel classloads
+  // on each executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def isPng(b: Array[Byte]): Boolean =
     b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
 

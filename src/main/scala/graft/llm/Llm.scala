@@ -535,7 +535,7 @@ object Llm {
   private val collapseFinal =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Seq[Int])]()
 
-  private def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
+  private[llm] def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
@@ -545,7 +545,7 @@ object Llm {
     (out, ids)
   }
 
-  private def release(s: SparkSession, ids: Seq[Int]): Unit = {
+  private[llm] def release(s: SparkSession, ids: Seq[Int]): Unit = {
     val live = s.sparkContext.getPersistentRDDs
     if (sys.env.contains("GRAFT_CKPT_DEBUG"))
       Console.err.println(s"[release] -$ids (live=${ids.map(live.contains)}) from ${Thread.currentThread.getStackTrace()(3)}")

@@ -60,6 +60,17 @@ object Multimodal {
   private val oraW = "16 + doc_id % 32"
   private val oraH = "16 + (doc_id * 7) % 32"
 
+  /** Superseded-checkpoint registry for the phash kernel (the Llm
+    * collapseFinal discipline): pins the current invocation's checkpointed
+    * (doc_id, ph) and distinct-hash tables so the ContextCleaner cannot
+    * race the explicit by-id release that happens when the NEXT invocation
+    * replaces them. Unlike the memoized collapse kernels this is not a
+    * cache — every invocation recomputes, so timed repeats stay honest.
+    */
+  private val phashState = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Seq[Int])]()
+
   val defs: Seq[QueryDef] = Seq(
     // Frame sampling: GIF containers DEMUX for real — frame count from the
     // container's image blocks, every 2nd frame decoded and signed by its
@@ -261,11 +272,15 @@ object Multimodal {
     // buckets grow linearly with corpus size and candidates quadratically
     // (second-decade rehearsal exponent 1.07); 2^16-value blocks keep
     // buckets sparse as N grows, and probe volume is a constant 68
-    // entries per distinct hash. dHash recomputes per consumer (3 narrow
-    // passes) instead of caching: at 100 TB you would persist the hash
-    // column once; here the encode/decode is the point under test. No SQL
-    // oracle (PNG decode); OpsSpec proves brightness invariance, group
-    // recall, and cross-group separation.
+    // entries per distinct hash. The (doc_id, ph) table — 16 B/row, the
+    // 100 TB "persist the hash column once" artifact — is eagerly
+    // localCheckpointed per invocation (decode runs exactly once, in the
+    // timed path), as is the tiny distinct-hash table the five pair-side
+    // consumers share: without the cut every consumer re-instantiated the
+    // full PNG encode+decode pass (the second-decade rehearsal measured the
+    // recompute at ~4× the kernel cost). No SQL oracle (PNG decode);
+    // OpsSpec proves brightness invariance, group recall, and cross-group
+    // separation.
     QueryDef(
       "multimodal_phash_neardup",
       None,
@@ -274,7 +289,7 @@ object Multimodal {
         import sp.implicits._
         // spread: PNG encode + decode + dHash per row is a pure JVM kernel
         // — must not run on the single task of a one-row-group local scan
-        val hashed = Tables.spread(s, Tables.t(s, d, "documents")
+        val hashedRaw = Tables.spread(s, Tables.t(s, d, "documents")
             .select(col("doc_id"))).as[Long]
           .mapPartitions { it =>
             it.map { id =>
@@ -298,8 +313,18 @@ object Multimodal {
           }.toDF("doc_id", "ph")
         // exact-dup collapse: the near-dup relation is a function of the
         // hash alone, so all pair work runs over distinct hashes with
-        // multiplicity carried as a weight
-        val hcnt = hashed.groupBy("ph").agg(count(lit(1)).as("cnt"))
+        // multiplicity carried as a weight. Both tables are checkpointed
+        // (fresh per invocation — nothing leaves the timed path) so the
+        // decode pass and the collapse agg each run exactly once; the
+        // previous invocation's blocks are released by id (Llm.release
+        // discipline: explicit, never ContextCleaner GC).
+        val (hashed, hcnt) = {
+          val (hd, idsH) = Llm.ckpt(hashedRaw)
+          val (hc, idsC) = Llm.ckpt(hd.groupBy("ph").agg(count(lit(1)).as("cnt")))
+          Option(phashState.put((s, d), (hd, hc, idsH ++ idsC)))
+            .foreach { case (_, _, oldIds) => Llm.release(s, oldIds) }
+          (hd, hc)
+        }
         val exact = hcnt.select(col("ph"), explode(expr("sequence(0, 3)")).as("blk"))
           .withColumn("v", expr("shiftright(ph, 16 * blk) & 65535"))
         val probe = hcnt.select(col("ph"), explode(expr("sequence(0, 3)")).as("blk"))
