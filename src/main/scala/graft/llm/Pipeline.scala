@@ -184,7 +184,7 @@ object Pipeline {
           "SELECT d.source, min(r.cnt) AS n_total, CAST(count(*) AS BIGINT) AS n_kept, " +
           "CAST(min(rate20) AS BIGINT) AS rate20 " +
           "FROM documents d JOIN r ON d.source = r.source " +
-          "WHERE (d.doc_id * 2654435761) % 1048576 < rate20 " +
+          "WHERE ((d.doc_id % 1048576) * 2654435761) % 1048576 < rate20 " +
           "GROUP BY d.source ORDER BY d.source"),
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
@@ -205,7 +205,12 @@ object Pipeline {
             least(lit(1048576L), expr(s"((${budget}L * w) div ${totw}L) * 1048576 div cnt")))
           .select("source", "cnt", "rate20")
         docs.join(broadcast(rates), "source")
-          .where(pmod(col("doc_id") * lit(2654435761L), lit(1048576L)) < col("rate20"))
+          // operand reduced mod the ring BEFORE the multiply (the
+          // negative_sampling_pairs discipline): doc_id·M overflows BIGINT
+          // once ids carry the rehearsal's rep·10⁹ offsets (~10¹⁰-scale ids
+          // are the 100 TB norm), and (a·M) mod 2²⁰ ≡ ((a mod 2²⁰)·M) mod 2²⁰
+          .where(pmod(pmod(col("doc_id"), lit(1048576L)) * lit(2654435761L),
+            lit(1048576L)) < col("rate20"))
           .groupBy("source")
           .agg(min(col("cnt")).as("n_total"), count(lit(1)).as("n_kept"),
             min(col("rate20")).as("rate20"))
@@ -326,13 +331,16 @@ object Pipeline {
         "SELECT source, rn, doc_id, hkey FROM (" +
           "SELECT source, doc_id, CAST(hkey AS BIGINT) AS hkey, " +
           "CAST(row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS BIGINT) AS rn " +
-          "FROM (SELECT source, doc_id, (doc_id * 2654435761) % 1048576 AS hkey FROM documents)) " +
+          "FROM (SELECT source, doc_id, ((doc_id % 1048576) * 2654435761) % 1048576 AS hkey FROM documents)) " +
           "WHERE rn <= 20 ORDER BY source, rn"),
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy(col("hkey"), col("doc_id"))
         Tables.t(s, d, "documents")
-          .withColumn("hkey", pmod(col("doc_id") * lit(2654435761L), lit(1048576L)))
+          // mod-first (see sample_mixture_weighted): raw doc_id·M overflows
+          // BIGINT at rehearsal/production id magnitudes
+          .withColumn("hkey",
+            pmod(pmod(col("doc_id"), lit(1048576L)) * lit(2654435761L), lit(1048576L)))
           .withColumn("rn", row_number().over(w).cast("long"))
           .where(col("rn") <= 20)
           .select(col("source"), col("rn"), col("doc_id"), col("hkey"))

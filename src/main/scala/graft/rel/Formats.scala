@@ -210,7 +210,7 @@ object Formats {
       "scan_text_roundtrip",
       Some(
         "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(text)) AS BIGINT) AS sum_len, " +
-          "CAST(sum(doc_id * len(text)) AS BIGINT) AS keyed_sum, " +
+          "CAST(sum((doc_id % 1048576) * len(text)) AS BIGINT) AS keyed_sum, " +
           "CAST(max(doc_id) AS BIGINT) AS max_id FROM documents"),
       (s, d) => {
         val tmp = scratch("text", d)
@@ -222,7 +222,11 @@ object Formats {
             split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
             split(col("value"), "\t", 2).getItem(1).as("text"))
           .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("sum_len"),
-            sum(col("doc_id") * length(col("text"))).as("keyed_sum"),
+            // id reduced mod 2²⁰ before the product: Σ doc_id·len overflows
+            // BIGINT once ids reach production/rehearsal magnitudes (~10¹¹
+            // ids × 10⁶ rows); the checksum only needs determinism, not the
+            // raw id value
+            sum(pmod(col("doc_id"), lit(1048576L)) * length(col("text"))).as("keyed_sum"),
             max(col("doc_id")).as("max_id"))
       }),
 
