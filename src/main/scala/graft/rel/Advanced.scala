@@ -265,6 +265,61 @@ object Advanced {
       "AND o_orderpriority LIKE '1-%') " +
       "GROUP BY c_mktsegment ORDER BY c_mktsegment"
 
+  /** TPC-H Q17 shape: correlated SCALAR AGGREGATE subquery in WHERE — the
+    * one decorrelation class the other sql_api keys don't exercise
+    * (EXISTS → q4, NOT IN → q16, uncorrelated scalar + NOT EXISTS → q22):
+    * Catalyst rewrites each correlated scalar agg into a per-correlation-key
+    * COMBINABLE aggregate joined back on l_partkey (broadcast at bench
+    * scale, key-partitioned at 100 TB) — never a per-outer-row
+    * re-execution; the `<` cut rides the second join as a non-equi
+    * residual. The below-one-fifth-of-average test is cross-multiplied
+    * (qty·5·cnt < sum) over exact decimals sized to stay inside
+    * DECIMAL(38): avg() division would round engine-differently at a
+    * boundary row. That exactness costs one extra aggregate —
+    * MergeScalarSubqueries fuses only UNCORRELATED scalars, so the count
+    * and sum subqueries plan as two per-partkey aggregates over lineitem
+    * (verified in the executed plan) rather than one struct-returning
+    * pass; both stay map-side-combinable on the join key. (Adapted:
+    * p_size ≤ 3 stands in for TPC-H's brand+container filter — this
+    * schema carries no p_container.)
+    */
+  private val q17Sql =
+    "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small, " +
+      "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS small_qty_revenue " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE p_size <= 3 " +
+      "AND CAST(l_quantity AS DECIMAL(14,4)) * CAST(5 AS DECIMAL(2,0)) * " +
+      "CAST((SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey) AS DECIMAL(18,0)) " +
+      "< (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) " +
+      "FROM lineitem l2 WHERE l2.l_partkey = p_partkey) " +
+      "GROUP BY p_brand ORDER BY p_brand"
+
+  /** TPC-H Q15 shape: scalar subquery over a grouped CTE — the argmax /
+    * top-view pattern (which supplier(s) hit the max quarterly revenue).
+    * The revenue view is referenced twice (join input + inside max());
+    * Catalyst inlines the CTE into both, planning the max() side as an
+    * independent 1-row subquery whose result broadcasts into the filter —
+    * each side is a pushed-down quarter-slice scan + map-side-combinable
+    * per-suppkey agg, so the duplicated work is one filtered scan, not a
+    * shuffle (the single-text price of the Q15 shape; a production
+    * pipeline computes the view once and takes max() OVER () on the
+    * supplier-cardinality rollup). Revenue sums in exact DECIMAL(38,8)
+    * (same product text as q5) so the max-equality cut can't be flipped
+    * by IEEE merge order — with doubles, ties at the top would be engine-
+    * and partitioning-dependent.
+    */
+  private val q15Sql =
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS total_rev " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
+      "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, " +
+      "CAST(total_rev AS DOUBLE) AS total_rev " +
+      "FROM supplier JOIN revenue ON s_suppkey = supplier_no " +
+      "WHERE total_rev = (SELECT max(total_rev) FROM revenue) " +
+      "ORDER BY s_suppkey"
+
   /** SQL-standard LATERAL correlated subquery (top-n per group). */
   private val lateralSql =
     "SELECT n_name, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal " +
@@ -498,6 +553,27 @@ object Advanced {
         Seq("customer", "orders")
           .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
         s.sql(q22Sql)
+      }),
+
+    // Q17 shape (correlated scalar-aggregate subquery decorrelation +
+    // MergeScalarSubqueries): q17Sql.
+    QueryDef(
+      "sql_api_q17",
+      Some(q17Sql),
+      (s, d) => {
+        Seq("lineitem", "part")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q17Sql)
+      }),
+
+    // Q15 shape (scalar max over a twice-referenced grouped CTE): q15Sql.
+    QueryDef(
+      "sql_api_q15",
+      Some(q15Sql),
+      (s, d) => {
+        Seq("supplier", "lineitem")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q15Sql)
       }),
 
     // Named-parameter SQL: the injection-safe templating path — dashboard /

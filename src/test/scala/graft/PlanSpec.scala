@@ -506,6 +506,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("Q17: correlated scalar aggs decorrelate to combinable per-key aggregates, no per-row probe") {
+    val p = plan("sql_api_q17")
+    // both correlated scalar subqueries must plan as per-partkey aggregates
+    // (map-side partials) joined back on the correlation key — a regression
+    // to per-outer-row subquery execution would surface as a nested loop
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p.take(1500))
+    assert(p.contains("hashpartitioning(l_partkey"), "decorrelated agg lost its key partitioning")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated scalar subquery fell back to a nested-loop probe:\n${p.take(1500)}")
+  }
+
+  test("Q15: max() plans as an independent 1-row subquery; view sides stay combinable aggs") {
+    val p = plan("sql_api_q15")
+    assert(p.contains("Subquery"), "scalar max did not plan as a subquery")
+    assert(p.contains("partial_sum"), "revenue agg lost map-side combine")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "quarter slice not pushed to the scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("shard_balance_tokens: all-data window is bucket-partitioned; offsets broadcast back") {
     val p = plan("shard_balance_tokens")
     // the doc-level prefix window must carry the bucket partition key —
