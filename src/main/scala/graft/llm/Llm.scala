@@ -945,6 +945,79 @@ object Llm {
           .select(col("label"), col("i"), col("j"), col("sim"))
           .orderBy("label", "i", "j")),
 
+    // Hybrid-retrieval rank fusion (RRF, k=60): the step that combines a
+    // lexical ranking (BM25-family term scores) with a vector ranking
+    // (embedding cosine) in every RAG / retrieval pipeline — neither list
+    // alone is the answer; reciprocal-rank fusion is the standard
+    // score-free combiner. Both lists are top-50 TakeOrdered results
+    // (never a global sort); rank assignment is a single-partition window
+    // whose input is the LIMIT-50 output — bounded by construction, the
+    // skyline_pareto/shard_balance discipline (PlanAudit allowlists
+    // exactly 2). The fusion itself is a full-outer join of two ≤50-row
+    // sides and is O(k) at ANY corpus size — at 100 TB the ranking scans
+    // are the only data-sized work, and each is one pruned scan + one
+    // TakeOrdered. RRF contributions in exact integer micro-units
+    // (1e9 DIV (60+rank)) so the fused ordering can't tie-flip on IEEE
+    // addition; ranks come from round(·,6) scores under total orders, the
+    // established cross-engine discipline.
+    QueryDef(
+      "rank_rrf_fusion",
+      Some(
+        "WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), " +
+          "lex AS (SELECT doc_id, 2 * len(list_filter(toks, x -> x = 'vector')) + " +
+          "len(list_filter(toks, x -> x = 'stream')) AS lscore FROM tok), " +
+          "lr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY lscore DESC, doc_id) AS BIGINT) AS r_lex " +
+          "FROM lex WHERE lscore > 0 QUALIFY r_lex <= 50), " +
+          "vs AS (SELECT c.vec_id AS doc_id, " +
+          s"round(${duckCos("q.embedding", "c.embedding")}, 6) AS sim " +
+          "FROM embeddings c JOIN embeddings q ON q.vec_id = 0 AND c.vec_id <> 0), " +
+          "vr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS r_vec " +
+          "FROM vs QUALIFY r_vec <= 50) " +
+          "SELECT coalesce(lr.doc_id, vr.doc_id) AS doc_id, r_lex, r_vec, " +
+          "coalesce(1000000000 // (60 + r_lex), 0) + coalesce(1000000000 // (60 + r_vec), 0) AS rrf_micro " +
+          "FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id " +
+          "ORDER BY rrf_micro DESC, doc_id LIMIT 20"),
+      (s, d) => {
+        // Lexical side: integer term-frequency score from one narrow HOF
+        // pass (the rank_bm25_topk tokenizer), top-50 via TakeOrdered.
+        val lexTop = Tables.spread(s, Tables.t(s, d, "documents"))
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").as("toks"))
+          .select(col("doc_id"),
+            (expr("size(filter(toks, x -> x = 'vector'))").cast("long") * 2 +
+              expr("size(filter(toks, x -> x = 'stream'))").cast("long")).as("lscore"))
+          .where(col("lscore") > 0)
+          .orderBy(col("lscore").desc, col("doc_id"))
+          .limit(50)
+        val lr = lexTop
+          .withColumn("r_lex",
+            row_number().over(Window.orderBy(col("lscore").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("r_lex"))
+        // Vector side: cosine against the vec_id-0 query embedding (1-row
+        // constant-key broadcast — see doc_tfidf_topk for the unfoldable
+        // `when` key), top-50 via TakeOrdered.
+        val e = Tables.spread(s, Tables.t(s, d, "embeddings"))
+        val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val vecTop = e.where(col("vec_id") =!= 0)
+          .withColumn("k", when(col("vec_id") >= 0, 0L))
+          .join(broadcast(q.withColumn("k", when(size(col("qe")) >= 0, 0L))), "k")
+          .withColumn("sim", round(cosCol("qe", "embedding"), 6))
+          .select(col("vec_id").as("doc_id"), col("sim"))
+          .orderBy(col("sim").desc, col("doc_id"))
+          .limit(50)
+        val vr = vecTop
+          .withColumn("r_vec",
+            row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("r_vec"))
+        lr.join(vr, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_micro",
+            coalesce(expr("1000000000 DIV (60 + r_lex)"), lit(0L)) +
+              coalesce(expr("1000000000 DIV (60 + r_vec)"), lit(0L)))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))
+          .limit(20)
+          .select("doc_id", "r_lex", "r_vec", "rrf_micro")
+      }),
+
     // LSH-bucketed ANN: 8 fixed pseudo-random hyperplanes → 8-bit bucket,
     // MULTI-PROBE on the query side: the probe radius is the recall/cost
     // knob. At this corpus's weak-signal angles (true neighbours near

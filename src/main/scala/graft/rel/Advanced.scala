@@ -320,6 +320,51 @@ object Advanced {
       "WHERE total_rev = (SELECT max(total_rev) FROM revenue) " +
       "ORDER BY s_suppkey"
 
+  /** TPC-H Q19 shape: disjunctive mixed-side join predicate — an
+    * OR-of-conjunct-groups where every disjunct mixes build-side (part) and
+    * probe-side (lineitem) columns. The plan class none of the other
+    * sql_api keys exercise: the optimizer must (a) extract the common
+    * p_partkey = l_partkey conjunct as the equi-join key — naively the OR
+    * makes the whole predicate non-equi and the join a nested loop — and
+    * (b) CNF-distribute the disjunction into the per-side implied filters
+    * (p_brand IN (…) / p_size ≤ 35 on the part scan, l_quantity BETWEEN
+    * 1 AND 40 on lineitem) so both scans prune BEFORE the join, leaving
+    * the full OR as the join residual. Revenue in the q5/q15 exact-DECIMAL
+    * product text; counts keep each disjunct's contribution auditable.
+    */
+  private val q19Sql =
+    "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items, " +
+      "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS DOUBLE) AS revenue " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) " +
+      "OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30) " +
+      "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40) " +
+      "GROUP BY p_brand ORDER BY p_brand"
+
+  /** TPC-H Q20 shape: STACKED semi-joins with an aggregate between them —
+    * the nested-IN chain (supplier IN (… lineitem GROUP BY … HAVING …
+    * WHERE partkey IN (… part …))) that composes the classes q18 (semi
+    * over re-aggregate) and q4 (semi against a filter) exercise singly.
+    * Catalyst plans it inside-out: the part-name subquery becomes a
+    * left-semi join pruning lineitem BEFORE its per-suppkey aggregate
+    * (semi-joins commute under the GROUP BY because l_partkey is not an
+    * agg input — pruning first is the 100 TB-critical order), the HAVING
+    * rides the aggregate, and the outer IN becomes a second left-semi
+    * against the ~supplier-cardinality agg result. Threshold compare in
+    * exact DECIMAL so a boundary supplier can't flip with merge order.
+    */
+  private val q20Sql =
+    "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, " +
+      "CAST(CAST(s_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS s_acctbal " +
+      "FROM supplier WHERE s_suppkey IN (" +
+      "SELECT l_suppkey FROM lineitem " +
+      "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') " +
+      "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY l_suppkey " +
+      "HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > CAST(200 AS DECIMAL(18,4))) " +
+      "ORDER BY s_suppkey"
+
   /** SQL-standard LATERAL correlated subquery (top-n per group). */
   private val lateralSql =
     "SELECT n_name, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal " +
@@ -574,6 +619,26 @@ object Advanced {
         Seq("supplier", "lineitem")
           .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
         s.sql(q15Sql)
+      }),
+
+    // Q19 shape (disjunctive mixed-side join predicate): q19Sql.
+    QueryDef(
+      "sql_api_q19",
+      Some(q19Sql),
+      (s, d) => {
+        Seq("lineitem", "part")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q19Sql)
+      }),
+
+    // Q20 shape (stacked semi-joins around an aggregate): q20Sql.
+    QueryDef(
+      "sql_api_q20",
+      Some(q20Sql),
+      (s, d) => {
+        Seq("supplier", "lineitem", "part")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q20Sql)
       }),
 
     // Named-parameter SQL: the injection-safe templating path — dashboard /

@@ -86,7 +86,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // the tiny top of the two-level distributed prefix sum; the all-data
     // prefix runs bucket-partitioned (asserted on the partition key in
     // PlanSpec)
-    "shard_balance_tokens" -> 1)
+    "shard_balance_tokens" -> 1,
+    // rank_rrf_fusion's two rank-assignment windows: each window's input
+    // is the TakeOrdered top-50 of its ranking side — bounded by the
+    // LIMIT 50 directly beneath it at any corpus size
+    "rank_rrf_fusion" -> 2)
   // key → the Scala function surface its plan is DECLARED to carry.
   private val scalaFuncOk: Map[String, Set[String]] = Map(
     // §2.K — the UDF/UDAF/typed showcase keys: the registered-UDF path,

@@ -517,6 +517,46 @@ class PlanSpec extends AnyFunSuite {
       s"correlated scalar subquery fell back to a nested-loop probe:\n${p.take(1500)}")
   }
 
+  test("Q19: OR join predicate keeps the equi key; CNF filters push to both scans") {
+    val p = plan("sql_api_q19")
+    // the common p_partkey = l_partkey conjunct must be EXTRACTED as the
+    // hash-join key (naively the disjunction makes the whole predicate
+    // non-equi and the join a nested loop), with the full OR as residual
+    assert(p.contains("BroadcastHashJoin [l_partkey"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"disjunctive join predicate fell back to a nested loop:\n${p.take(1500)}")
+    // CNF distribution must derive each side's implied disjunction and push
+    // it into the parquet scan — both scans carry an Or(...) pushed filter
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or("),
+      "lineitem scan lost the derived l_quantity OR-filter")
+    assert(p.contains("EqualTo(p_brand") && p.contains("PushedFilters: [IsNotNull(p_size)"),
+      "part scan lost the derived brand/size OR-filter")
+  }
+
+  test("Q20: stacked semi-joins — part-name semi prunes BEFORE the per-suppkey aggregate") {
+    val p = plan("sql_api_q20")
+    // two LeftSemi joins: part-list into lineitem, agg result into supplier
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p.take(1500))
+    // pruning order is the 100 TB-critical property: the partkey semi join
+    // must sit UNDER the partial aggregate, not above it
+    val semiIdx = p.indexOf("BroadcastHashJoin [l_partkey")
+    val aggIdx = p.indexOf("partial_sum(cast(l_quantity")
+    assert(semiIdx > aggIdx && aggIdx >= 0,
+      "part-name semi join did not prune lineitem before the aggregate")
+    assert(p.contains("StringStartsWith(p_name,red)"), "part-name filter not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate slice not pushed")
+  }
+
+  test("rank_rrf_fusion: both rankings are TakeOrdered top-50; fusion joins two bounded sides") {
+    val p = plan("rank_rrf_fusion")
+    // each ranking side must fuse orderBy.limit(50) into TakeOrdered —
+    // a global Sort feeding the rank window would be the scale hazard
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(2000))
+    // the two rank-assignment windows exist but their inputs are the
+    // LIMIT-50 outputs (allowlisted + count-bounded in PlanAuditSpec)
+    assert(p.contains("row_number()"), p.take(2000))
+  }
+
   test("Q15: max() plans as an independent 1-row subquery; view sides stay combinable aggs") {
     val p = plan("sql_api_q15")
     assert(p.contains("Subquery"), "scalar max did not plan as a subquery")
