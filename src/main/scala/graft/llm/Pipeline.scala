@@ -217,6 +217,49 @@ object Pipeline {
           .orderBy("source")
       }),
 
+    // Temperature-scaled language resampling: the multilingual balancing
+    // pass (XLM's α = 0.5) — target shares q_l ∝ n_l^α flatten the natural
+    // language distribution so high-resource languages stop drowning the
+    // tail. Downsample-only keep rates r_l = C·q_l/n_l with C pinned so the
+    // rarest language keeps everything: at α = ½ that collapses to
+    // r_l = √(n_min/n_l), which needs only division and sqrt — both IEEE
+    // exactly-rounded, so the rates are bit-identical cross-engine (pow(x,
+    // 0.3) would not be; this is why α = ½ and not T5's 0.3). Rates land in
+    // 2^-20 integer units and rows keep via the mixture key's multiplicative
+    // hash — engine- and partitioning-reproducible. At 100 TB the rate
+    // table is lang-cardinality (broadcast) and the keep pass is narrow.
+    QueryDef(
+      "sample_temperature_lang",
+      Some(
+        "WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang), " +
+          "r AS (SELECT lang, cnt, CAST(floor(1048576 * sqrt(CAST(min(cnt) OVER () AS DOUBLE) / cnt)) AS BIGINT) AS rate20 FROM c) " +
+          "SELECT d.lang, min(r.cnt) AS n_total, CAST(count(*) AS BIGINT) AS n_kept, " +
+          "CAST(min(rate20) AS BIGINT) AS rate20 " +
+          "FROM documents d JOIN r ON d.lang = r.lang " +
+          "WHERE ((d.doc_id % 1048576) * 2654435761) % 1048576 < rate20 " +
+          "GROUP BY d.lang ORDER BY d.lang"),
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        // the rarest language's count is the normalizer: one combinable agg
+        // collapsing to ONE long, driver-inlined as a literal (bounded
+        // metadata — the sample_mixture_weighted discipline)
+        val nMin = counts.agg(min(col("cnt"))).head().getLong(0)
+        val rates = counts
+          .withColumn("rate20",
+            floor(lit(1048576d) * sqrt(lit(nMin.toDouble) / col("cnt"))).cast("long"))
+          .select("lang", "cnt", "rate20")
+        docs.join(broadcast(rates), "lang")
+          // mod-first before the multiply (the sample_mixture_weighted
+          // overflow discipline for rehearsal-offset ids)
+          .where(pmod(pmod(col("doc_id"), lit(1048576L)) * lit(2654435761L),
+            lit(1048576L)) < col("rate20"))
+          .groupBy("lang")
+          .agg(min(col("cnt")).as("n_total"), count(lit(1)).as("n_kept"),
+            min(col("rate20")).as("rate20"))
+          .orderBy("lang")
+      }),
+
     // Sequence packing: concatenate documents (per language, in doc_id
     // order) into fixed 512-token training sequences — bin id = which
     // budget window the document's first token falls in. Deterministic

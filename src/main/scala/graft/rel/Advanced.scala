@@ -365,6 +365,37 @@ object Advanced {
       "HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > CAST(200 AS DECIMAL(18,4))) " +
       "ORDER BY s_suppkey"
 
+  /** TPC-H Q2 shape: correlated scalar aggregate whose subquery body is
+    * itself a MULTI-TABLE JOIN, consumed by equality — the argmin-by-
+    * equality pattern (cheapest regional supplier per part). Two classes
+    * q17 does not touch: (a) the decorrelation must hoist a per-partkey
+    * min() over a 4-way join (lineitem⋈supplier⋈nation⋈region), pushing
+    * the correlation key through the join before aggregating — a per-
+    * outer-row re-execution would run the 4-way join once per part; (b)
+    * the agg result re-enters as an EQUALITY residual (argmin), so ties
+    * keep every witness row. min() is order- and merge-independent, so
+    * double equality is safe cross-engine (unlike sums). DISTINCT guards
+    * against the fact table carrying repeated (part, supplier) rows at
+    * the min price — this schema's lineitem stands in for partsupp.
+    * (Adapted: p_size ≤ 10 for TPC-H's size+type filter, AFRICA for the
+    * region parameter.)
+    */
+  private val q2Sql =
+    "SELECT DISTINCT CAST(p_partkey AS BIGINT) AS p_partkey, " +
+      "CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name, " +
+      "CAST(l_extendedprice AS DOUBLE) AS min_price " +
+      "FROM part, supplier, nation, region, lineitem " +
+      "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey " +
+      "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+      "AND r_name = 'AFRICA' AND p_size <= 10 " +
+      "AND l_extendedprice = (" +
+      "SELECT min(l2.l_extendedprice) " +
+      "FROM lineitem l2, supplier s2, nation n2, region r2 " +
+      "WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey " +
+      "AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey " +
+      "AND r2.r_name = 'AFRICA') " +
+      "ORDER BY p_partkey, s_suppkey"
+
   /** SQL-standard LATERAL correlated subquery (top-n per group). */
   private val lateralSql =
     "SELECT n_name, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal " +
@@ -639,6 +670,17 @@ object Advanced {
         Seq("supplier", "lineitem", "part")
           .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
         s.sql(q20Sql)
+      }),
+
+    // Q2 shape (argmin-by-equality: correlated scalar agg over a 4-way
+    // join): q2Sql.
+    QueryDef(
+      "sql_api_q2",
+      Some(q2Sql),
+      (s, d) => {
+        Seq("part", "supplier", "nation", "region", "lineitem")
+          .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+        s.sql(q2Sql)
       }),
 
     // Named-parameter SQL: the injection-safe templating path — dashboard /

@@ -517,6 +517,22 @@ class PlanSpec extends AnyFunSuite {
       s"correlated scalar subquery fell back to a nested-loop probe:\n${p.take(1500)}")
   }
 
+  test("Q2: correlated min over a 4-way join decorrelates; region filter pushes to both scans") {
+    val p = plan("sql_api_q2")
+    // the correlated min() must hoist to a per-partkey aggregate OVER the
+    // joined subquery (partial_min partials, l_partkey-keyed) — a per-
+    // outer-row re-execution of the 4-way join would be a nested loop
+    assert(p.contains("partial_min(l_extendedprice"), p.take(1500))
+    assert(p.contains("hashpartitioning(l_partkey") || p.contains("BroadcastHashJoin [l_partkey"),
+      "decorrelated min lost its correlation-key join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated join subquery fell back to a nested loop:\n${p.take(1500)}")
+    // the region parameter must prune BOTH region scans (outer + subquery)
+    assert("EqualTo\\(r_name,AFRICA\\)".r.findAllIn(p).size >= 2,
+      "r_name filter not pushed to both region scans")
+    assert(p.contains("LessThanOrEqual(p_size,10)"), "p_size filter not pushed")
+  }
+
   test("Q19: OR join predicate keeps the equi key; CNF filters push to both scans") {
     val p = plan("sql_api_q19")
     // the common p_partkey = l_partkey conjunct must be EXTRACTED as the
