@@ -917,4 +917,65 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected,
       s"bucket top-2 rewrite diverged at offset ids: got ${got.take(5)}… exp ${expected.take(5)}…")
   }
+
+  test("sql_api_q2: correlated-min subquery ≡ window argmin over the joined fact") {
+    // Semantic pin independent of the DuckDB oracle: the decorrelated
+    // scalar-min subquery must return exactly the rows a window-based
+    // argmin produces over the same AFRICA-joined fact — the formulation a
+    // pipeline would write if Spark lacked correlated subqueries.
+    import spark.implicits._
+    val Seq(part, supplier, nation, region, lineitem) =
+      Seq("part", "supplier", "nation", "region", "lineitem")
+        .map(t => Tables.t(spark, sf, t))
+    val joined = lineitem
+      .join(supplier, col("s_suppkey") === col("l_suppkey"))
+      .join(nation, col("n_nationkey") === col("s_nationkey"))
+      .join(broadcast(region.where(col("r_name") === "AFRICA")),
+        col("r_regionkey") === col("n_regionkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val windowForm = joined
+      .withColumn("mn", min(col("l_extendedprice")).over(w))
+      .where(col("l_extendedprice") === col("mn"))
+      .join(part.where(col("p_size") <= 10), col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey").cast("long"), col("s_suppkey").cast("long"),
+        col("s_name"), col("n_name"), col("l_extendedprice").cast("double"))
+      .distinct()
+      .as[(Long, Long, String, String, Double)].collect().toSet
+    val got = run("sql_api_q2")
+      .as[(Long, Long, String, String, Double)].collect().toSet
+    assert(got == windowForm,
+      s"correlated-min ≠ window argmin: only-subq ${(got -- windowForm).take(3)}… " +
+        s"only-window ${(windowForm -- got).take(3)}…")
+  }
+
+  test("sample_temperature_lang: rates normalize to the rarest lang and flatten the mix") {
+    import spark.implicits._
+    val rows = run("sample_temperature_lang")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byTotal = rows.sortBy(_._2)
+    // the rarest language keeps everything: rate = 2^20 exactly and every
+    // doc passes the hash filter
+    assert(byTotal.head._4 == 1048576L, s"rarest rate ${byTotal.head._4}")
+    assert(byTotal.head._3 == byTotal.head._2, "rarest lang lost docs")
+    // rates are anti-monotone in corpus size (sqrt(n_min/n_l) decreasing)
+    byTotal.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 >= b._4, s"rate not anti-monotone: $a vs $b")
+    }
+    // each lang's kept fraction tracks its rate: the multiplicative hash is
+    // near-uniform, so |n_kept/n_total − rate/2^20| stays small (the data
+    // and hash are deterministic — these bounds are exact regression pins,
+    // not statistical hopes)
+    rows.foreach { case (lang, total, kept, rate20) =>
+      val expectedFrac = rate20.toDouble / 1048576d
+      val gotFrac = kept.toDouble / total
+      assert(math.abs(gotFrac - expectedFrac) <= 0.05 + 10.0 / total,
+        f"$lang kept frac $gotFrac%.4f vs rate $expectedFrac%.4f")
+    }
+    // flattening: the kept mix is strictly flatter than the natural mix
+    val natSkew = byTotal.last._2.toDouble / byTotal.head._2
+    val keptSkew = rows.map(_._3).max.toDouble / rows.map(_._3).min
+    assert(keptSkew < natSkew,
+      f"temperature sampling did not flatten: kept $keptSkew%.2f vs natural $natSkew%.2f")
+  }
 }
