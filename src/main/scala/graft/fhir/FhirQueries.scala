@@ -336,6 +336,43 @@ object FhirQueries {
             col("__valueQuantity_canonical.__value_numeric").cast("double").as("canon_value"))
           .orderBy("id")),
 
+    // A8b — UCUM GRAMMAR canonicalization: where fhir_annotate_quantity_
+    // canonical consumes the curated 24-code table, this key converts via
+    // the full unit-expression PARSER (UcumGrammar: prefixed metric atoms,
+    // exponents, quotients, 10*n powers, {annotations}) — covering the
+    // golden Observation codes the curated table must leave unconverted
+    // (fL, pg, 10*3/uL, 10*6/uL, kg/m2, {score}). The conversion table is
+    // parser-GENERATED over a fixed vocabulary (the mechanism is the
+    // grammar; the vocabulary is just the demonstration fixture), broadcast
+    // exactly like the curated table — at 100 TB the vocabulary stays
+    // unit-cardinality metadata. Conversion arithmetic is one double
+    // multiply-add rounded to 6 dp — no aggregation, so IEEE determinism
+    // holds cross-engine with identical formula text.
+    QueryDef(
+      "fhir_ucum_grammar_canonical",
+      Some(
+        "SELECT id, valueQuantity.code AS code, ucum.canon AS canon_code, " +
+          "round(CAST(valueQuantity.value AS DOUBLE) * ucum.factor + ucum.off, 6) AS canon_value " +
+          s"FROM read_parquet('$G/Observation.parquet') JOIN ${UcumGrammar.vocabValuesSql} " +
+          "ON valueQuantity.code = ucum.code WHERE valueQuantity.value IS NOT NULL " +
+          "ORDER BY id, code"),
+      (s, d) => {
+        val vocab = {
+          import s.implicits._
+          UcumGrammar.vocabTable.toDF("ucode", "canon", "factor", "off")
+        }
+        Tables.golden(s, "Observation")
+          .where(col("valueQuantity.value").isNotNull)
+          .join(broadcast(vocab), col("valueQuantity.code") === col("ucode"))
+          .select(
+            col("id"),
+            col("valueQuantity.code").as("code"),
+            col("canon").as("canon_code"),
+            round(col("valueQuantity.value").cast("double") * col("factor") + col("off"), 6)
+              .as("canon_value"))
+          .orderBy("id", "code")
+      }),
+
     // §4 — the AnnotationRewrite optimizer rule, observable end-to-end: the
     // filter is written against the raw string date (cast to timestamp);
     // the rule rewrites it to the typed __birthDate_start annotation column
