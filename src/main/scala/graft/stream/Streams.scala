@@ -41,7 +41,11 @@ object Streams {
     * for the duration of one bounded query and restored after. 2, not 4:
     * store open/commit cycles are the dominant per-micro-batch cost at
     * harness state sizes, and halving the width measured 12-30% off the
-    * stateful stream keys with no semantic change (round 10).
+    * stateful stream keys with no semantic change (round 10). And 2, not
+    * 1: width 1 re-measured ~5% WORSE suite-wide (15.29 → 15.99 s over the
+    * 12 keys, back-to-back) — at width 2 the two store commits overlap on
+    * separate cores, so the remaining block cost is micro-batch machinery,
+    * not store width. Do not re-litigate without a paired measurement.
     */
   private val StreamShufflePartitions = "2"
   private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
