@@ -76,6 +76,62 @@ class UcumSpec extends AnyFunSuite {
         UcumGrammar.vocabulary.toSet -- UcumGrammar.vocabTable.map(_._1).toSet}")
   }
 
+  test("grammar algebra: product, quotient, and exponent compose exactly") {
+    // Exhaustive (deterministic) sweep: the parser must satisfy the unit
+    // algebra itself — parse(a.b) = parse(a)·parse(b), parse(a/b) =
+    // parse(a)/parse(b), parse(aⁿ) = parse(a)ⁿ — over every prefix × atom
+    // combination in play. A parser bug that mangles a specific prefix,
+    // exponent sign, or operator shows up as an algebra violation here
+    // without hand-writing a case for it.
+    val atoms = Seq("m", "g", "s", "mol", "Pa", "L", "N", "J", "W", "Hz")
+    val prefixes = Seq("", "k", "m", "u", "c", "d", "n", "p", "f", "M", "G")
+    val units = for {
+      p <- prefixes; a <- atoms
+      u = p + a if UcumGrammar.parse(u).isDefined
+    } yield u
+    assert(units.size > 80, s"only ${units.size} prefixed units parse")
+    def close(x: java.math.BigDecimal, y: java.math.BigDecimal): Boolean = {
+      val (xd, yd) = (x.doubleValue, y.doubleValue)
+      math.abs(xd - yd) <= 1e-9 * math.max(math.abs(xd), math.abs(yd))
+    }
+    // pair the list against a rotation of itself: every unit participates
+    // on both sides without the full quadratic sweep
+    val pairs = units.zip(units.drop(7) ++ units.take(7))
+    pairs.foreach { case (a, b) =>
+      val (ua, ub) = (UcumGrammar.parse(a).get, UcumGrammar.parse(b).get)
+      val prod = UcumGrammar.parse(s"$a.$b").get
+      val quot = UcumGrammar.parse(s"$a/$b").get
+      assert(close(prod.factor, ua.factor.multiply(ub.factor)) &&
+        prod.dim == (ua.dim.keySet ++ ub.dim.keySet)
+          .map(k => k -> (ua.dim.getOrElse(k, 0) + ub.dim.getOrElse(k, 0)))
+          .toMap.filter(_._2 != 0),
+        s"product law broken for $a.$b")
+      assert(close(quot.factor,
+        ua.factor.divide(ub.factor, java.math.MathContext.DECIMAL64)) &&
+        quot.dim == (ua.dim.keySet ++ ub.dim.keySet)
+          .map(k => k -> (ua.dim.getOrElse(k, 0) - ub.dim.getOrElse(k, 0)))
+          .toMap.filter(_._2 != 0),
+        s"quotient law broken for $a/$b")
+    }
+    units.foreach { a =>
+      val ua = UcumGrammar.parse(a).get
+      Seq(2, 3, -2).foreach { e =>
+        val pw = UcumGrammar.parse(s"$a$e").get
+        val expF =
+          if (e >= 0) ua.factor.pow(e)
+          else java.math.BigDecimal.ONE.divide(ua.factor.pow(-e),
+            java.math.MathContext.DECIMAL64)
+        assert(close(pw.factor, expF) &&
+          pw.dim == ua.dim.map { case (k, v) => k -> v * e },
+          s"exponent law broken for $a$e")
+      }
+      // self-quotient is exactly dimensionless unity
+      val unity = UcumGrammar.parse(s"$a/$a").get
+      assert(unity.dim.isEmpty && close(unity.factor, java.math.BigDecimal.ONE),
+        s"$a/$a is not unity")
+    }
+  }
+
   test("fhir_ucum_grammar_canonical: vocabulary broadcasts; golden rows all convert") {
     val spark = SparkTestBase.spark
     val df = SparkEntry.queries("fhir_ucum_grammar_canonical")(spark, SparkTestBase.sf)
