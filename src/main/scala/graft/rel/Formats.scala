@@ -123,6 +123,38 @@ object Formats {
           .orderBy("o_orderpriority")
       }),
 
+    // Native-XML source round-trip (Spark 4 ships the XML reader/writer in
+    // core): the healthcare-interchange sibling format — FHIR itself
+    // defines an XML representation, and claim/lab feeds still arrive as
+    // XML at ingestion. Write an orders slice as one <order> element per
+    // record, re-read with a DECLARED schema (inference would re-type and
+    // re-order columns), and run the same aggregate the oracle runs on the
+    // parquet source — equality proves the XML path is value-lossless for
+    // the slice (doubles round-trip exactly through Java's shortest-repr
+    // text both directions). At 100 TB XML is an INGESTION format only:
+    // the first job rewrites it to parquet; this key is that job in
+    // miniature.
+    QueryDef(
+      "scan_xml_roundtrip",
+      Some(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(CAST(sum(CAST(o_totalprice AS ${Q.D4})) AS ${Q.D6}) AS DOUBLE) AS sum_price " +
+          "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, d) => {
+        val tmp = scratch("xml", d)
+        Tables.t(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .write.mode("overwrite").option("rowTag", "order").format("xml").save(tmp)
+        s.read.option("rowTag", "order")
+          .schema("o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
+          .format("xml").load(tmp)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            Q.out6(sum(Q.dec4(col("o_totalprice")))).as("sum_price"))
+          .orderBy("o_orderpriority")
+      }),
+
     // Unpivot/melt: wide measure columns to long (measure, value) rows —
     // the reshape every metrics pipeline needs before a generic per-measure
     // aggregation. Spark's native `unpivot` is a narrow Expand (no shuffle,
