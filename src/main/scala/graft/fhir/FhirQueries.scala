@@ -353,7 +353,7 @@ object FhirQueries {
       Some(
         "SELECT id, valueQuantity.code AS code, ucum.canon AS canon_code, " +
           "round(CAST(valueQuantity.value AS DOUBLE) * ucum.factor + ucum.off, 6) AS canon_value " +
-          s"FROM read_parquet('$G/Observation.parquet') JOIN ${UcumGrammar.vocabValuesSql} " +
+          s"FROM read_parquet('$G/Observation.parquet') LEFT JOIN ${UcumGrammar.vocabValuesSql} " +
           "ON valueQuantity.code = ucum.code WHERE valueQuantity.value IS NOT NULL " +
           "ORDER BY id, code"),
       (s, d) => {
@@ -361,9 +361,12 @@ object FhirQueries {
           import s.implicits._
           UcumGrammar.vocabTable.toDF("ucode", "canon", "factor", "off")
         }
+        // LEFT join: a code outside the vocabulary passes through with null
+        // canon_code/canon_value ("left unconverted") rather than vanishing
+        // — the oracle mirrors with LEFT JOIN.
         Tables.golden(s, "Observation")
           .where(col("valueQuantity.value").isNotNull)
-          .join(broadcast(vocab), col("valueQuantity.code") === col("ucode"))
+          .join(broadcast(vocab), col("valueQuantity.code") === col("ucode"), "left")
           .select(
             col("id"),
             col("valueQuantity.code").as("code"),

@@ -217,7 +217,12 @@ object Ivf {
           .agg(sort_array(collect_list(col("vec_id"))).as("members"),
             first(col("embedding")).as("emb"))
           .select(col("members"), col("emb"), col("members")(0).as("gid"))
+        // Zero-norm guard: the uncollapsed kernel scores identical zero
+        // vectors as 0/0 = NaN, and NaN >= τ is false — so it never dropped
+        // them. The unconditional "drop every non-min member" rule must
+        // therefore skip all-zero groups to reproduce that drop set exactly.
         val memberDrops = grouped
+          .where(exists(col("emb"), e => e =!= lit(0.0f)))
           .select(explode(col("members")).as("drop_id"), col("gid"))
           .where(col("drop_id") > col("gid"))
           .select("drop_id")

@@ -44,8 +44,14 @@ object Formats {
     val dir = Paths.get(BinFilesDir)
     val marker = dir.resolve("_dataset")
     if (Files.exists(marker) && Files.readString(marker) == d) return
-    if (Files.exists(dir))
-      Files.list(dir).forEach(p => Files.deleteIfExists(p))
+    // Single-process assumption: the fixed path is shared, so two JVMs
+    // staging different datasets concurrently would race (Verify and Bench
+    // are never run concurrently — see the bench protocol).
+    if (Files.exists(dir)) {
+      val listing = Files.list(dir)
+      try listing.forEach(p => Files.deleteIfExists(p))
+      finally listing.close()
+    }
     Files.createDirectories(dir)
     Tables.t(s, d, "documents")
       .where(pmod(col("doc_id"), lit(97L)) === 0L)

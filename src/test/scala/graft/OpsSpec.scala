@@ -62,9 +62,8 @@ class OpsSpec extends AnyFunSuite {
     assert(o.subsetOf(q))
     val noOracle = q -- o
     val covered = Set("agg_approx_distinct", "udaf_imperative_minhash",
-      "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "dedup_semdedup_cluster",
-      "agg_sketch_merge", "agg_quantile_merge", "embed_pca_project",
-      "multimodal_phash_neardup")
+      "sim_ann_lsh", "sim_ann_ivf", "dedup_semdedup_cluster",
+      "agg_sketch_merge", "agg_quantile_merge", "embed_pca_project")
     assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
   }
 
@@ -267,6 +266,26 @@ class OpsSpec extends AnyFunSuite {
     // nprobe=2 of 8 clusters: random candidate subsetting would land near
     // 0.25 recall; the quantizer must do materially better
     assert(recall >= 0.3, f"IVF recall $recall%.2f no better than random clusters")
+  }
+
+  test("dedup_embed_cosine: cardinality guard quarantines the declared quadratic") {
+    // the exact all-pairs fixture must fail FAST above the cap (Llm.
+    // ExactCosineMaxRows) instead of silently paying O(N²) — stage a
+    // dataset dir whose embeddings table is one row over the cap
+    val sp = spark
+    import sp.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_cosine_guard"
+    spark.range(llm.Llm.ExactCosineMaxRows + 1)
+      .select(col("id").as("vec_id"), lit(0).as("label"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("dedup_embed_cosine")(spark, dir)
+    }
+    assert(e.getMessage.contains("dedup_semdedup_cluster"),
+      s"guard message must point at the production path: ${e.getMessage}")
+    // at/below the cap the fixture still runs (the oracle scales are ≤2k)
+    assert(run("dedup_embed_cosine").columns.sameElements(Array("drop_id")))
   }
 
   test("dedup_semdedup_cluster: drops ⊆ exact drop set, recall ≥ 0.9 vs the oracle fixture (sf0.01)") {

@@ -110,10 +110,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_freq_topk" -> Set("ScalaAggregator"),
     // broadcast-object lookups/kernels with no expression equivalent:
     // bloom-filter membership (driver-built sketch), IVF centroid probe
-    // (driver-held k-means state), simhash bit-vote over hashed shingles
+    // (driver-held k-means state)
     "dedup_incremental_bloom" -> Set("ScalaUDF"),
-    "sim_ann_ivf" -> Set("ScalaUDF"),
-    "dedup_simhash" -> Set("ScalaUDF"))
+    "sim_ann_ivf" -> Set("ScalaUDF"))
+    // dedup_simhash's bit-vote UDF no longer appears here: since the
+    // round-11 staged-signature oracle the kernel runs inside the
+    // done-marker staging write, and the audited query plan (banding +
+    // Hamming verify off the staged parquet) is pure builtins.
     // dedup_minhash_near's sorted-merge Jaccard verify UDF no longer
     // appears here: since the round-10 exact-dup collapse it runs inside
     // the eagerly-checkpointed minhash state build, and the audited query
