@@ -37,6 +37,51 @@ object Corpus {
       s"/ (tf$i + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n / sl))"
   }.mkString(" + ")
 
+  /** Number of BPE merge rounds for tokenizer_train_bpe — small enough for
+    * an unrolled CTE-chain oracle, enough rounds to exercise merged-symbol
+    * pairs (on the sf corpora round 6's winning pair is 'm er', containing
+    * round 1's merge — so the loop provably feeds merges back into the
+    * pair statistic, the property a single pair-count pass cannot show).
+    */
+  private val BpeMerges = 8
+
+  /** Unrolled N-step DuckDB mirror of the BPE merge loop. Segmentations are
+    * ONE string per word with DOUBLE-space boundaries ("  c1  c2  ...  "):
+    * applying merge (a, b) is then plain literal
+    * replace(seq, ' a  b ', ' ab ') in BOTH engines — each occurrence owns
+    * one space of each boundary pair, so greedy left-to-right replace
+    * merges adjacent repeats exactly like BPE ("a a a" → "aa a",
+    * "a b a b" → "ab ab"); and the single-space inner pattern cannot match
+    * a symbol SUFFIX (every true boundary is double-spaced, a suffix match
+    * would need the pattern's leading space inside a symbol — symbols never
+    * contain spaces, they come from space-split words).
+    */
+  private def bpeOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "WHERE length(word) > 0 GROUP BY word), "
+    sb ++= "s0 AS MATERIALIZED (SELECT freq, '  ' || array_to_string([word[i] for i in range(1, length(word) + 1)], '  ') || '  ' AS seq FROM w0)"
+    for (r <- 1 to BpeMerges) {
+      val prev = s"s${r - 1}"
+      sb ++= s", p$r AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS f FROM " +
+        "(SELECT freq, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS pair FROM " +
+        s"(SELECT freq, list_filter(string_split(seq, '  '), x -> x != '') AS t FROM $prev) " +
+        "WHERE len(t) >= 2) GROUP BY pair)"
+      sb ++= s", b$r AS MATERIALIZED (SELECT pair, f FROM p$r ORDER BY f DESC, pair LIMIT 1)"
+      if (r < BpeMerges)
+        sb ++= s", s$r AS MATERIALIZED (SELECT freq, replace(seq, " +
+          s"' ' || string_split((SELECT pair FROM b$r), ' ')[1] || '  ' || string_split((SELECT pair FROM b$r), ' ')[2] || ' ', " +
+          s"' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ') AS seq FROM $prev)"
+    }
+    sb ++= " SELECT rank, pair, freq FROM ("
+    sb ++= (1 to BpeMerges)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rank, pair, f AS freq FROM b$r")
+      .mkString(" UNION ALL ")
+    sb ++= ") ORDER BY rank"
+    sb.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Corpus boilerplate detection: the word-5-grams shared by the most
@@ -96,6 +141,65 @@ object Corpus {
           .agg(count(lit(1)).as("freq"))
           .orderBy(col("freq").desc, col("pair"))
           .limit(20)),
+
+    // Tokenizer training proper: the iterative BPE merge loop over the
+    // word-frequency table (the actual workload tokenizer_pair_counts only
+    // bootstraps). One corpus-sized combinable agg builds (word, freq) —
+    // after that EVERY round runs on the vocabulary-sized table: count
+    // adjacent symbol pairs (occurrence-weighted by word freq), pick the
+    // argmax under a total order (freq DESC, pair ASC — one collected row
+    // per round, the components-loop driver posture), apply the merge with
+    // a literal replace over the double-space-delimited segmentation (see
+    // [[bpeOracle]] for why that is exactly BPE's greedy merge), and
+    // localCheckpoint the new segmentation (Llm.ckpt: each round's plan
+    // reads the previous round twice — pair count + merge apply — so
+    // without the cut the lineage doubles per round). All checkpoint
+    // blocks are released after the loop: the output (rank, pair, freq)
+    // merge table is driver-held, N rows. At 100 TB: vocabulary stays
+    // millions of rows, so the loop is N small jobs after one corpus pass.
+    QueryDef(
+      "tokenizer_train_bpe",
+      Some(bpeOracle),
+      (s, d) => {
+        val words = Tables.spread(s, Tables.t(s, d, "documents"))
+          .select(explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .select(col("freq"),
+            concat(lit("  "),
+              array_join(expr("filter(split(word, ''), x -> x != '')"), "  "),
+              lit("  ")).as("seq"))
+        var (cur, ids) = Llm.ckpt(words)
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+        for (r <- 1 to BpeMerges) {
+          val best = cur
+            .select(col("freq"),
+              expr("filter(split(seq, '  '), x -> x != '')").as("t"))
+            .where(size(col("t")) >= 2)
+            .select(col("freq"), explode(expr(
+              "transform(sequence(1, size(t) - 1), " +
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
+            .groupBy("pair").agg(sum(col("freq")).as("f"))
+            .orderBy(col("f").desc, col("pair"))
+            .limit(1).collect()
+          require(best.nonEmpty, s"BPE round $r: no pairs left to merge")
+          val pair = best(0).getString(0)
+          merges += ((r.toLong, pair, best(0).getLong(1)))
+          if (r < BpeMerges) {
+            val Array(a, b) = pair.split(" ", 2)
+            val (nxt, nids) = Llm.ckpt(cur.withColumn("seq",
+              replace(col("seq"), lit(s" $a  $b "), lit(s" $a$b "))))
+            cur = nxt
+            ids = ids ++ nids
+          }
+        }
+        // every job that reads the checkpoints has completed (ckpt is
+        // eager, the argmax collects are the only consumers) — release now
+        Llm.release(s, ids)
+        val sp = s
+        import sp.implicits._
+        merges.toSeq.toDF("rank", "pair", "freq").orderBy("rank")
+      }),
 
     // Per-document salient terms: top-3 words by an exact-integer tf-idf
     // proxy, score = tf * ((1e6 * N) DIV df) — monotone in tf·N/df, and
