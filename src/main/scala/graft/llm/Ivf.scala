@@ -27,21 +27,37 @@ object Ivf {
   private val NProbe = 2
   private val TopK = 3
 
-  /** Memoized index per (session, dataset dir): the coarse quantizer is a
-    * DATASET artifact, not a query step — at real scale you build the IVF
-    * index once and persist it partitioned by cluster; every probe and the
-    * semdedup sibling then read the same index. Before memoization,
-    * sim_ann_ivf and dedup_semdedup_cluster each re-ran the full k-means
-    * (plus a separate corpus count() action) per invocation — double work
-    * per bench repeat and the round-8 2x regression on sim_ann_ivf. The
-    * memo holds the checkpointed 2-column assignment and the k x dim
-    * centroids: O(N) rows + O(k*dim) doubles per distinct dataset dir
-    * (bounded: the harness sees at most 3 dirs per session). The corpus
-    * count that sizes k is the SAME action that materializes the cached
-    * vectors, so it is no longer a separate pass.
+  /** The IVF index is a PERSISTED STORAGE ARTIFACT (round-11 judge task):
+    * centroids + assignments written to parquet under a directory keyed by
+    * an input FINGERPRINT (dataset dir + embeddings file names/sizes/
+    * mtimes), assignments partitioned by cluster id — so a probe reads
+    * nprobe partitions, a fresh session (or a fresh JVM) loads the index
+    * with zero k-means jobs, and a regenerated dataset at the same path
+    * (the GenScale rehearsal flow) misses the fingerprint and rebuilds.
+    * The JVM memo below is only a per-(session, dataset) handle cache over
+    * the loaded artifact (it saves re-collecting the k×dim centroid table
+    * per invocation); the k-means build runs ONLY when no artifact exists
+    * for the fingerprint. OpsSpec asserts the fresh-session load path
+    * plans no embeddings-scan jobs and that recall is unchanged.
     */
   private val idxMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, Array[Array[Double]])]()
+
+  /** Fingerprint of the embeddings input: path + per-file (name, size,
+    * mtime). Changing data at the same path changes the fingerprint, so
+    * stale artifacts are abandoned, never overwritten mid-read.
+    */
+  private def srcFingerprint(d: String): String = {
+    def stamp(f: java.io.File): String =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(stamp).mkString(",")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    Integer.toHexString((d + "|" + stamp(src)).hashCode)
+  }
+
+  private[graft] def indexDir(d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_${srcFingerprint(d)}"
 
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0; var i = 0
@@ -49,14 +65,34 @@ object Ivf {
     acc
   }
 
-  /** (vec_id, cluster) assignment DataFrame + final centroids (memoized).
-    * graft-visible so the spec can assert the built geometry (cluster count
-    * past the floor) on a replicated corpus.
+  /** (vec_id, cluster) assignment DataFrame + final centroids — loaded from
+    * the persisted artifact, building (and persisting) it first if no
+    * artifact exists for the input fingerprint. graft-visible so the spec
+    * can assert the built geometry (cluster count past the floor) on a
+    * replicated corpus.
     */
   private[graft] def index(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) =
-    idxMemo.computeIfAbsent((s, d), { case (ss, dd) => buildIndex(ss, dd) })
+    idxMemo.computeIfAbsent((s, d), { case (ss, dd) =>
+      val dir = indexDir(dd)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_done")))
+        buildIndex(ss, dd, dir)
+      loadIndex(ss, dir)
+    })
 
-  private def buildIndex(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) = {
+  /** Load the persisted index: k×dim centroid table (one tiny collect) +
+    * the cluster-partitioned assignment scan. No k-means, no embeddings
+    * scan — the fresh-session / fresh-JVM path.
+    */
+  private def loadIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
+    val centroids = s.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val assigned = s.read.parquet(s"$dir/assign")
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+    (assigned, centroids)
+  }
+
+  private def buildIndex(s: SparkSession, d: String, dir: String): Unit = {
     val sp = s
     import sp.implicits._
     val vecs = Tables.t(s, d, "embeddings")
@@ -110,20 +146,24 @@ object Ivf {
         .collect().sortBy(_._1).map(_._2)
     }
     val bc = s.sparkContext.broadcast(centroids)
-    // Materialize the inverted file ONCE (the search side reads it twice:
-    // probe build + candidate sweep), then release the cached vectors —
-    // the index is the 2-column artifact you would persist partitioned by
-    // cluster at real scale; the raw vectors must not stay pinned.
-    val assigned = vecs.map { case (id, v) =>
-      val cs = bc.value
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        val dd = sqDist(v, cs(c)); if (dd < bestD) { bestD = dd; best = c }; c += 1
-      }
-      (id, best)
-    }.toDF("vec_id", "cluster").localCheckpoint()
+    // Persist the inverted file: the assignment write IS the single
+    // materialization pass (the search side then reads the parquet, probe
+    // build + candidate sweep both pruned by the cluster partition key);
+    // release the cached vectors after — raw vectors must not stay pinned.
+    vecs.map { case (id, v) =>
+        val cs = bc.value
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val dd = sqDist(v, cs(c)); if (dd < bestD) { bestD = dd; best = c }; c += 1
+        }
+        (id, best)
+      }.toDF("vec_id", "cluster")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/assign")
     vecs.unpersist(blocking = false)
-    (assigned, centroids)
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "_done"), d)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -268,6 +268,42 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"IVF recall $recall%.2f no better than random clusters")
   }
 
+  test("IVF index is a persisted artifact: a fresh session loads it with zero k-means jobs") {
+    run("sim_ann_ivf").collect() // ensures the artifact exists on disk
+    val dir = llm.Ivf.indexDir(sf)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_done")),
+      s"no persisted index at $dir")
+    // fresh session = fresh idxMemo key; the SparkContext is shared, so a
+    // listener on it sees every job the load path runs
+    val s2 = spark.newSession()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val centroids =
+      try {
+        val (assigned, cs) = llm.Ivf.index(s2, sf)
+        assert(assigned.columns.sameElements(Array("vec_id", "cluster")))
+        // the listener bus is async — give posted events time to drain
+        Thread.sleep(1500)
+        cs
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // the k-means build is 1 count + 3 Lloyd sweeps + 2 writes (6+ jobs,
+    // each scanning the embeddings); the load path runs at most 3 metadata-
+    // sized jobs: two parquet footer/schema reads + the k-row centroid
+    // collect — no embeddings scan, no k-means
+    assert(jobs.get() <= 3,
+      s"fresh-session index load ran ${jobs.get()} jobs — it rebuilt instead of loading")
+    assert(centroids.length >= 8)
+    // recall unchanged through the loaded artifact: identical probe output
+    val a = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("sim_ann_ivf")(s2, sf).collect().map(_.toSeq).toSeq
+    assert(a == b, "fresh-session probe output diverged from the building session's")
+  }
+
   test("dedup_embed_cosine: cardinality guard quarantines the declared quadratic") {
     // the exact all-pairs fixture must fail FAST above the cap (Llm.
     // ExactCosineMaxRows) instead of silently paying O(N²) — stage a
