@@ -153,18 +153,28 @@ object Analytics {
           "CAST(count(*) AS BIGINT) AS n_triangles " +
           "FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v"),
       (s, d) => {
-        val li = Tables.t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        // The edge build (per-order pair explosion + weight agg) is the
-        // expensive stage and feeds THREE consumers (degrees, orientation,
-        // the edge count) — and the oriented set feeds three more. Without
+        // Edge build in TWO shuffles (round 11 — was distinct + per-order
+        // self-join + pair agg = three, with a sort-merge join in the
+        // middle): one groupBy(order) collects each order's distinct
+        // sorted supplier set (collect_set subsumes the old distinct), the
+        // pair explosion runs IN-PARTITION over that array (bounded by
+        // order size, ~7 suppliers → ≤21 pairs — never supplier
+        // popularity), and one pair agg applies the weight threshold.
+        val pairs = Tables.t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+          .where(size(col("ss")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ss, (x, i) -> " +
+              "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS u, y AS v))))")).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"))
+        // The edge set feeds THREE consumers (degrees, orientation, the
+        // edge count) — and the oriented set feeds three more. Without
         // truncation Spark recomputes the whole build per consumer (~5×);
         // both intermediates are edge-cardinality (tiny next to facts), so
         // they checkpoint, and superseded blocks release deterministically.
-        val (edges, edgeIds) = ckpt(li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_suppkey") < col("b.l_suppkey"))
-          .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        val (edges, edgeIds) = ckpt(pairs
+          .groupBy("u", "v")
           .agg(count(lit(1)).as("w"))
           .where(col("w") >= 4)
           .select("u", "v"))
@@ -172,9 +182,12 @@ object Analytics {
           .unionAll(edges.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
         // orient src→dst where (deg, id) of src < (deg, id) of dst
+        // deg is NODE-cardinality (suppliers), always ≪ the edge set —
+        // broadcast both orientation joins rather than letting AQE discover
+        // it per-run (saves the exchange + the runtime re-plan).
         val (oriented, orientIds) = ckpt(edges
-          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+          .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
           .select(
             when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
               struct(col("u").as("n"), col("du").as("dg")))
@@ -194,7 +207,26 @@ object Analytics {
           .where(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
           .select(col("b"), col("c"))
         val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
-        val closed = wedges.join(closing, Seq("b", "c"), "left_semi")
+        // Pre-shuffle bloom prune (the dedup_incremental_bloom posture): a
+        // bloom over xxhash64(b, c) of the closing edges — built in one
+        // pass over the edge-sized side — filters wedges INSIDE the
+        // generation stage, so the (b, c) exchange carries
+        // ~(triangles + fpp·wedges) rows instead of the full Σ outdeg²
+        // (73M rows at the 10× rehearsal, the suite's biggest
+        // intermediate). The bloom only prunes; the exact join decides.
+        // (An adjacency-list flatMap kernel that fused generation + probe
+        // was tried and REVERTED: encoder/boxing overhead made it 3×
+        // slower than this codegen join + interpreted filter at BOTH
+        // rehearsal scales.)
+        val bcBloom = s.sparkContext.broadcast(
+          closing.stat.bloomFilter(xxhash64(col("b"), col("c")), oriented.count(), 0.03))
+        val bloomHit = udf { (h: Long) => bcBloom.value.mightContain(h) }
+        val pruned = wedges.where(bloomHit(xxhash64(col("b"), col("c"))))
+        // SHUFFLE_HASH, not sort-merge, for the exact verify: hashing
+        // builds on the edge-sized side and streams the probe unsorted —
+        // and pins the plan across scales (AQE flips the small scale to
+        // broadcast otherwise, which poisons the decade exponent).
+        val closed = pruned.join(closing.hint("shuffle_hash"), Seq("b", "c"), "left_semi")
         // both counts in ONE aggregation over a tagged union (map-side
         // partial sums; a scalar×scalar crossJoin would plan as BNLJ and
         // weaken the PlanAudit sweep)

@@ -112,7 +112,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // bloom-filter membership (driver-built sketch), IVF centroid probe
     // (driver-held k-means state)
     "dedup_incremental_bloom" -> Set("ScalaUDF"),
-    "sim_ann_ivf" -> Set("ScalaUDF"))
+    "sim_ann_ivf" -> Set("ScalaUDF"),
+    // wedge-side bloom-membership prune before the closing-edge semi join
+    // (the broadcast-object pattern, as dedup_incremental_bloom)
+    "graph_triangle_count" -> Set("ScalaUDF"))
     // dedup_simhash's bit-vote UDF no longer appears here: since the
     // round-11 staged-signature oracle the kernel runs inside the
     // done-marker staging write, and the audited query plan (banding +

@@ -26,6 +26,8 @@ for k in sorted(set(qa) & set(qb)):
     t0, t1 = qa[k], qb[k]
     exp = round(math.log10(t1 / t0), 3) if t0 > 0 and t1 > 0 else None
     rec = {"t_sf0.1": t0, "t_sf1": t1, "exponent": exp}
+    if k in b.get("peak_mb", {}):
+        rec["peak_mb"] = b["peak_mb"][k]
     if stamp:
         rec["round"] = stamp
     doc["queries"][k] = rec

@@ -18,6 +18,7 @@ out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_sf1.json"
 a = json.load(open(a_path))
 b = json.load(open(b_path))
 qa, qb = a["queries"], b["queries"]
+peaks = b.get("peak_mb", {})
 rows = {}
 for k in sorted(qa):
     if k not in qb:
@@ -25,6 +26,11 @@ for k in sorted(qa):
     t0, t1 = qa[k], qb[k]
     exp = round(math.log10(t1 / t0), 3) if t0 > 0 and t1 > 0 else None
     rows[k] = {"t_sf0.1": t0, "t_sf1": t1, "exponent": exp}
+    # per-key peak task execution memory at the LARGE scale (judge r10 #7:
+    # rank which key OOMs first another decade up) — present when the
+    # large-side bench ran with the peak tracker
+    if k in peaks:
+        rows[k]["peak_mb"] = peaks[k]
 doc = {
     "metric": "scale_rehearsal",
     "data_ratio": 10,
