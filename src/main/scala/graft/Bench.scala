@@ -94,6 +94,21 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Peak-memory tracker (round-10 judge task #7): max per-TASK execution
+    // memory (TaskMetrics.peakExecutionMemory — the operator memory that
+    // OOMs an executor core first: hash tables, sort buffers, build sides)
+    // observed during each key's timed window, reported as "peak_mb" so a
+    // scale rehearsal can rank which key OOMs first another decade up.
+    // Listener delivery is async; the reset/read points sit outside the
+    // timed samples and a short drain wait bounds attribution error —
+    // adequate for ranking, not a byte-exact account.
+    val peakNow = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { peakNow.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _)); () }
+      }
+    })
     // Warm-up pass (untimed): run EVERY query once before timing. A single
     // warm-up query is not enough on a snapshot-restored VM: first-touch
     // page faults land whenever the heap grows, which happens throughout
@@ -128,18 +143,22 @@ object Bench {
       name -> Seq.fill(math.max(repeat, 5))(time(fn)).map(_._1).min
     }
     val anchorRatio = anchorTimes.map(_._2).sum / anchorDefs.map(a => anchorRef(a._1)).sum
+    val peaks = scala.collection.mutable.Map.empty[String, Double]
     val results = selected.map { case (name, fn) =>
       // MINIMUM of repeats, not median: this VM freezes for 1-2 minute
       // windows (host-side; a stall poisoned all 3 repeats of text_langid
       // to 71 s where a fresh JVM runs it in 1.7 s). Timing noise here is
       // strictly one-sided — a stall only ever ADDS time — so min is the
       // unbiased steady-state estimator and needs just one clean repeat.
+      peakNow.set(0L)
       val base = Seq.fill(repeat)(time(fn))
       val samples =
         if (base.map(_._1).min >= slowCutoff && repeatSlow > repeat)
           base ++ Seq.fill(repeatSlow - repeat)(time(fn))
         else base
       val best = samples.map(_._1).min
+      Thread.sleep(20) // bounded drain for the async peak listener
+      peaks(name) = peakNow.get() / 1048576.0
       name -> (if (samples.forall(_._2)) best else -1.0)
     }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -176,7 +195,13 @@ object Bench {
     val memoJson = SparkEntry.memoized.map("\"" + _ + "\"").mkString("[", ",", "]")
     val protocol = "\"protocol\":\"v2-warm-all-min-of-n-memo-flagged\"," +
       s""""memoized":$memoJson"""
-    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir"}"""
+    // per-key peak task execution memory (MB) — NOT normalized (memory
+    // does not drift with box speed); 0.0 = key ran entirely in codegen
+    // pipelines with no memory-consuming operator
+    val peakJson = results.keys.map { k =>
+      s"\"" + k + "\":" + r3(peaks.getOrElse(k, 0.0))
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"sf":"$sfDir"}"""
     // "agg"/"repeat" appear in BOTH artifacts: the round-5 estimator change
     // (median -> min) moved the headline total, and a consumer reading only
     // BENCH_total.json must be able to tell estimator change from plan change.

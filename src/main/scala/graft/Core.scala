@@ -116,6 +116,20 @@ object Tables {
     readCache.computeIfAbsent(
       (spark, s"$goldenDir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+
+  /** Dataset-aware golden resolution (round-11 FHIR scale rehearsal): a
+    * dataset dir may carry a `fhir/` subdir of FhirGenScale-replicated
+    * resources — prefer it so every fhir_* key runs at the replicated
+    * volume when benched against such a dir. The driver's sf dirs have no
+    * `fhir/`, so the correctness gate keeps reading the reference golden
+    * files (whose paths the static DuckDB oracles embed).
+    */
+  def golden(spark: SparkSession, name: String, dir: String): DataFrame = {
+    val scaled = s"$dir/fhir/$name.parquet"
+    if (dir != null && java.nio.file.Files.exists(java.nio.file.Paths.get(scaled)))
+      readCache.computeIfAbsent((spark, scaled), { case (s, p) => s.read.parquet(p) })
+    else golden(spark, name)
+  }
 }
 
 /** Hash-match helpers (SURVEY §7.4): double measures are cast to

@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY §2.A — the reference's own surface as queries over its golden
-  * files (/root/reference/examples). sfDir is ignored: the golden files are
-  * fixed-location conformance fixtures.
+  * files (/root/reference/examples). sfDir selects the VOLUME: when the
+  * dataset dir carries a `fhir/` subdir of FhirGenScale-replicated
+  * resources, every key runs at that scale; the driver's sf dirs don't, so
+  * the correctness gate reads the fixed-location golden fixtures the
+  * static DuckDB oracles embed.
   */
 object FhirQueries {
 
@@ -59,7 +62,7 @@ object FhirQueries {
           "('telecom[].value', 'string'), ('text.div', 'string'), " +
           "('text.status', 'string')) AS t(path, dtype) ORDER BY path"),
       (s, d) => {
-        val ndjson = FhirCodec.decode(Tables.golden(s, "Patient"))
+        val ndjson = FhirCodec.decode(Tables.golden(s, "Patient", d))
         val schema = FhirSchema.deriveSchema(s, ndjson)
         import s.implicits._
         FhirSchema.leaves(schema).toDF("path", "dtype").orderBy("path")
@@ -126,7 +129,7 @@ object FhirQueries {
         "SELECT id, resourceType = 'Patient' AS rt_ok " +
           s"FROM read_parquet('$G/Patient.parquet') ORDER BY id"),
       (s, d) =>
-        FhirCodec.decode(Tables.golden(s, "Patient"))
+        FhirCodec.decode(Tables.golden(s, "Patient", d))
           .toDF("value")
           .select(
             get_json_object(col("value"), "$.id").as("id"),
@@ -144,7 +147,7 @@ object FhirQueries {
         // decode runs ONCE: schema inference (spark.read.json) and the
         // re-encode both consume the checkpointed strings instead of each
         // re-running scan+decode (round-8 task: multi-scan FHIR keys).
-        val ndjson = FhirCodec.decode(Tables.golden(s, "Observation")).localCheckpoint()
+        val ndjson = FhirCodec.decode(Tables.golden(s, "Observation", d)).localCheckpoint()
         val schema = FhirSchema.deriveSchema(s, ndjson)
         val back = FhirCodec.encode(s, ndjson, schema)
         back.agg(count(lit(1)).as("n_rows"), countDistinct(col("id")).as("nd_ids"))
@@ -160,8 +163,12 @@ object FhirQueries {
           s"SELECT id, CAST(NULL AS VARCHAR) AS gender, birthDate FROM read_parquet('$G/Patient.parquet')) " +
           "ORDER BY id, gender NULLS FIRST, birthDate NULLS FIRST"),
       (s, d) => {
-        val p = Tables.golden(s, "Patient")
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_fhir_merge_${ProcessHandle.current().pid()}"
+        val p = Tables.golden(s, "Patient", d)
+        // tmp path carries the dataset hash: with dataset-aware golden
+        // resolution the staged projections are no longer invariant per JVM
+        // — a rehearsal dir and the golden dir must not share a staging.
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_fhir_merge_" +
+          s"${Integer.toHexString(d.hashCode)}_${ProcessHandle.current().pid()}"
         // The two staged projections derive from an immutable golden file:
         // write them once per JVM behind a done-marker so repeats pay only
         // the mergeSchema READ — the operator under test (round-8 task).
@@ -232,7 +239,7 @@ object FhirQueries {
                   lit(f).as("field"), lit(typ).as("fhir_type"),
                   col(s"nc_$i").as("n_checked"), col(s"nb_$i").as("n_bad"))
               }
-          Tables.golden(s, tbl)
+          Tables.golden(s, tbl, d)
             .agg(aggCols.head, aggCols.tail: _*)
             .select(explode(array(entries: _*)).as("r"))
             .select(lit(tbl).as("tbl"), col("r.field").as("field"),
@@ -252,7 +259,7 @@ object FhirQueries {
           s"FROM read_parquet('$G/Patient.parquet') ORDER BY id"),
       (s, d) => {
         FhirDateTimeExpr.register(s)
-        val p = FhirAnnotations.annotateRange(Tables.golden(s, "Patient"), "birthDate")
+        val p = FhirAnnotations.annotateRange(Tables.golden(s, "Patient", d), "birthDate")
         p.select(
           col("id"), col("birthDate"),
           col("__birthDate_start").as("bd_start"),
@@ -281,7 +288,7 @@ object FhirQueries {
       (s, d) => {
         val a = FhirAnnotations.annotateRange(
           FhirAnnotations.annotateRange(
-            Tables.golden(s, "ExplanationOfBenefit"), "billablePeriod.start"),
+            Tables.golden(s, "ExplanationOfBenefit", d), "billablePeriod.start"),
           "item.servicedPeriod.start")
         a.select(col("id"),
             col("billablePeriod.__start_start").as("bp_start"),
@@ -305,7 +312,7 @@ object FhirQueries {
           "CAST(valueQuantity.value AS DECIMAL(38,6)) = valueQuantity.__value_numeric AS matches " +
           s"FROM read_parquet('$G/Observation.parquet') WHERE valueQuantity.value IS NOT NULL ORDER BY id"),
       (s, d) =>
-        Tables.golden(s, "Observation")
+        Tables.golden(s, "Observation", d)
           .where(col("valueQuantity.value").isNotNull)
           .select(
             col("id"),
@@ -326,7 +333,7 @@ object FhirQueries {
           "ON valueQuantity.code = ucum.code WHERE valueQuantity.value IS NOT NULL ORDER BY id"),
       (s, d) =>
         // the materialized sibling group (README.md:711-717), read back flat
-        FhirAnnotations.canonicalize(Tables.golden(s, "Observation"), "valueQuantity")
+        FhirAnnotations.canonicalize(Tables.golden(s, "Observation", d), "valueQuantity")
           .where(col("valueQuantity.value").isNotNull)
           .select(
             col("id"),
@@ -364,7 +371,7 @@ object FhirQueries {
         // LEFT join: a code outside the vocabulary passes through with null
         // canon_code/canon_value ("left unconverted") rather than vanishing
         // — the oracle mirrors with LEFT JOIN.
-        Tables.golden(s, "Observation")
+        Tables.golden(s, "Observation", d)
           .where(col("valueQuantity.value").isNotNull)
           .join(broadcast(vocab), col("valueQuantity.code") === col("ucode"), "left")
           .select(
@@ -392,7 +399,7 @@ object FhirQueries {
         // rule targets tables at rest, where __birthDate_start is a real
         // parquet column with min/max stats
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_annotated_patient_${ProcessHandle.current().pid()}"
-        FhirAnnotations.annotateRange(Tables.golden(s, "Patient"), "birthDate")
+        FhirAnnotations.annotateRange(Tables.golden(s, "Patient", d), "birthDate")
           .write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp)
           .where(col("birthDate").cast("timestamp") >= lit("1990-01-01").cast("timestamp"))
@@ -414,7 +421,7 @@ object FhirQueries {
           "AND CAST(valueQuantity.value AS DOUBLE) < 80.0 ORDER BY id"),
       (s, d) => {
         graft.opt.AnnotationRewrite.install(s)
-        Tables.golden(s, "Observation")
+        Tables.golden(s, "Observation", d)
           .where(col("valueQuantity.value").cast("double") >= 40.0 &&
             col("valueQuantity.value").cast("double") < 80.0)
           .select(col("id"), col("valueQuantity.value").as("val_str"))
@@ -435,7 +442,7 @@ object FhirQueries {
           "WHERE len(list_filter(code.coding, c -> c.\"system\" = 'http://loinc.org' AND c.code = '29463-7')) > 0 " +
           "ORDER BY id"),
       (s, d) =>
-        Tables.golden(s, "Observation")
+        Tables.golden(s, "Observation", d)
           .where(expr("exists(code.coding, c -> c.system = 'http://loinc.org' AND c.code = '29463-7')"))
           .select(col("id"), col("code.text").as("code_text"),
             col("valueQuantity.value").as("val_str"),
@@ -461,13 +468,13 @@ object FhirQueries {
           "ORDER BY patient_id, seq"),
       (s, d) => {
         FhirDateTimeExpr.register(s)
-        val obs = Tables.golden(s, "Observation")
+        val obs = Tables.golden(s, "Observation", d)
           .select(col("subject.reference").as("ref"), lit("observation").as("kind"),
             expr("fhir_dt_start(effectiveDateTime)").as("at"))
-        val eob = Tables.golden(s, "ExplanationOfBenefit")
+        val eob = Tables.golden(s, "ExplanationOfBenefit", d)
           .select(col("patient.reference").as("ref"), lit("claim").as("kind"),
             expr("fhir_dt_start(billablePeriod.start)").as("at"))
-        val p = Tables.golden(s, "Patient")
+        val p = Tables.golden(s, "Patient", d)
         val t = obs.unionByName(eob)
         val w = Window.partitionBy(col("patient_id")).orderBy(col("at"), col("kind"))
         t.join(broadcast(p), t("ref") === concat(lit("Patient/"), p("id")))
@@ -486,7 +493,7 @@ object FhirQueries {
           "coalesce(CAST(multipleBirthBoolean AS VARCHAR), CAST(multipleBirthInteger AS VARCHAR)) AS choice_value " +
           s"FROM read_parquet('$G/Patient.parquet') ORDER BY id"),
       (s, d) =>
-        Tables.golden(s, "Patient").select(
+        Tables.golden(s, "Patient", d).select(
           col("id"),
           when(col("multipleBirthBoolean").isNotNull, "boolean")
             .when(col("multipleBirthInteger").isNotNull, "integer").as("choice_type"),
@@ -505,8 +512,8 @@ object FhirQueries {
           s"JOIN read_parquet('$G/Patient.parquet') p ON o.subject.reference = 'Patient/' || p.id " +
           "ORDER BY obs_id"),
       (s, d) => {
-        val o = Tables.golden(s, "Observation")
-        val p = Tables.golden(s, "Patient")
+        val o = Tables.golden(s, "Observation", d)
+        val p = Tables.golden(s, "Patient", d)
         o.join(broadcast(p), o("subject.reference") === concat(lit("Patient/"), p("id")))
           .select(o("id").as("obs_id"), p("id").as("patient_id"), p("gender"))
           .orderBy("obs_id")
@@ -522,7 +529,7 @@ object FhirQueries {
           "SELECT id, nm.family AS family, unnest(nm.given) AS given FROM n " +
           "ORDER BY id, family NULLS FIRST, given"),
       (s, d) =>
-        Tables.golden(s, "Patient")
+        Tables.golden(s, "Patient", d)
           .select(col("id"), explode(col("name")).as("nm"))
           .select(col("id"), col("nm.family").as("family"), explode(col("nm.given")).as("given"))
           .orderBy(col("id"), col("family").asc_nulls_first, col("given"))),
@@ -539,7 +546,7 @@ object FhirQueries {
           "unnest(list_filter(a.extension, e -> e.url = 'http://hl7.org/fhir/StructureDefinition/geolocation')) AS t(g)) " +
           "WHERE geo.lat IS NOT NULL ORDER BY id, lat, lon"),
       (s, d) =>
-        Tables.golden(s, "Patient")
+        Tables.golden(s, "Patient", d)
           .select(col("id"), explode(col("address")).as("a"))
           .select(col("id"),
             explode(expr(

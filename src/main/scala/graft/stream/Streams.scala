@@ -541,6 +541,101 @@ object Streams {
           .orderBy("user_id", "event_type")
       }),
 
+    // J11 — checkpoint crash-recovery (round-11 judge task #6): the
+    // property every production stream relies on and no other key
+    // exercised — a query KILLED mid-stream resumes from its checkpoint
+    // and still produces the exactly-once result. Two-phase run over a
+    // 6-file staged input with maxFilesPerTrigger=1 (6 micro-batches):
+    // phase 1 carries a deterministic foreachBatch bomb at batch 2, so
+    // batches 0-1 commit (offsets + state store v2 + sink) and the query
+    // dies; phase 2 restarts the SAME plan from the SAME checkpoint
+    // without the bomb and drains batches 2-5. The running (n, sum)
+    // state must survive the crash: per-user totals emitted after resume
+    // continue from phase-1 state, and the oracle equality over the
+    // max-n collapse proves no batch was lost or double-counted. The
+    // bomb throws BEFORE the sink write, and the collapse key (n) is
+    // monotone per user, so even a replayed batch (committed state, lost
+    // sink write — the at-least-once sink window) re-emits identical
+    // rows that max() absorbs. Input staging is done-marker memoized;
+    // checkpoint + sink are fresh per invocation (recovery IS the
+    // operator under test).
+    QueryDef(
+      "stream_checkpoint_recovery",
+      Some(
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_e4 " +
+          "FROM events GROUP BY user_id ORDER BY user_id"),
+      (s, d) => withStreamShuffle(s) {
+        import java.nio.file.{Files, Paths}
+        val sp = s
+        import sp.implicits._
+        val base = s"${sys.props("java.io.tmpdir")}/graft_ckptrec_" +
+          s"${Integer.toHexString(d.hashCode)}"
+        val done = Paths.get(s"$base/_done")
+        if (!Files.exists(done)) {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+          Files.createDirectories(Paths.get(s"$base/in"))
+          (0 until 6).foreach { g =>
+            val stage = s"$base/stage$g"
+            Tables.events(s, d).drop("ts_ts")
+              .where(pmod(col("user_id"), lit(6)) === g)
+              .coalesce(1).write.mode("overwrite").parquet(stage)
+            val part = {
+              import scala.jdk.CollectionConverters._
+              val listing = Files.list(Paths.get(stage))
+              try listing.iterator().asScala
+                .find(_.getFileName.toString.endsWith(".parquet")).get
+              finally listing.close()
+            }
+            Files.move(part, Paths.get(s"$base/in/f$g.parquet"))
+          }
+          Files.writeString(done, "ok")
+        }
+        val run = s"$base/run_${System.nanoTime()}"
+        val sch = s.read.parquet(s"$base/in").schema
+        def phase(bombAt: Long) = {
+          val counts = s.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+            .select(col("user_id"), col("value"))
+            .as[(Long, Double)]
+            .groupByKey(_._1)
+            .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+              OutputMode.Append, GroupStateTimeout.NoTimeout) {
+              (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) =>
+                val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+                var n = n0
+                var sum = s0
+                rows.foreach { case (_, v) => n += 1; sum += math.round(v * 10000) }
+                state.update((n, sum))
+                Iterator((user, n, sum))
+            }
+            .toDF("user_id", "n", "sum_e4")
+          counts.writeStream
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              if (batchId == bombAt)
+                throw new IllegalStateException("graft-injected-crash")
+              batch.write.mode("append").parquet(s"$run/out")
+            }
+            .option("checkpointLocation", s"$run/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        val crashed =
+          try { phase(2L).awaitTermination(); false }
+          catch {
+            case e: org.apache.spark.sql.streaming.StreamingQueryException
+              if Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+                .exists(c => Option(c.getMessage).exists(_.contains("graft-injected-crash"))) =>
+              true
+          }
+        require(crashed, "phase 1 must die on the injected crash at batch 2")
+        phase(-1L).awaitTermination()
+        s.read.parquet(s"$run/out")
+          .groupBy("user_id")
+          .agg(max(struct(col("n"), col("sum_e4"))).as("m"))
+          .select(col("user_id"), col("m.n").as("n"), col("m.sum_e4").as("sum_e4"))
+          .orderBy("user_id")
+      }),
+
     // J10 — CHAINED stateful aggregations in one streaming query (Spark
     // 3.4+ multiple-stateful-operator support): hourly counts roll up into
     // 4-hour counts inside the same plan, no intermediate sink. The outer
