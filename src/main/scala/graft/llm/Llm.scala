@@ -38,6 +38,30 @@ object Llm {
     */
   val SimhashSigDir = s"${sys.props("java.io.tmpdir")}/graft_simhash_sig"
 
+  /** Fixed staging path for the sign-LSH bucket table (the staged-signature
+    * discipline, see [[SimhashSigDir]]): the 8-plane double dot-product
+    * sign fold is the only engine-specific step of sim_ann_lsh — staged
+    * once per (JVM, dataset), BOTH engines then run the multi-probe bucket
+    * join + exact 6-dp cosine rank over the same (vec_id, bucket) rows.
+    */
+  val LshBucketDir = s"${sys.props("java.io.tmpdir")}/graft_lshbuckets"
+
+  private def stageLshBuckets(s: SparkSession, d: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(LshBucketDir, "_dataset")
+    if (Files.exists(marker) && Files.readString(marker) == d) return
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.fill(8)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    Tables.spread(s, Tables.t(s, d, "embeddings"))
+      .withColumn("hp", typedLit(planes))
+      .select(col("vec_id"), expr(
+        "CAST(aggregate(sequence(0, 7), 0, (acc, p) -> acc + CASE WHEN " +
+          "aggregate(zip_with(embedding, hp[p], (x, h) -> CAST(x AS DOUBLE) * h), CAST(0 AS DOUBLE), (a2, v) -> a2 + v) >= 0 " +
+          "THEN CAST(shiftleft(1, p) AS INT) ELSE 0 END) AS INT)").as("bucket"))
+      .write.mode("overwrite").parquet(s"$LshBucketDir/data")
+    Files.writeString(marker, d)
+  }
+
   /** Compute and stage the (doc_id, sim) signature table once per (JVM,
     * dataset): occurrence-weighted 64-bit simhash in a single-pass JVM
     * kernel (set-based saturates on a small shared vocabulary; the
@@ -1085,22 +1109,30 @@ object Llm {
     // measured end-to-end top-k recall ≈ 0.16 because near-tie background
     // sims crowd the top-3 cut). sign-LSH fundamentally tops out here;
     // sim_ann_ivf (k-means inverted file, recall ≈ 0.93) is the preferred
-    // scale path. No oracle (approximate); OpsSpec measures recall.
+    // scale path. ORACLED via the staged-bucket pattern (round 11, see
+    // [[stageLshBuckets]]): the hyperplane fold stages once; DuckDB runs
+    // the identical multi-probe xor join + 6-dp-rounded exact cosine rank
+    // over the staged buckets, so the approximate RESULT is still an
+    // exact, deterministic function both engines agree on. OpsSpec keeps
+    // measuring recall vs brute force. Key is memoized (staged layout).
     QueryDef(
       "sim_ann_lsh",
-      None,
+      Some {
+        val masks = (0 until 256).filter(m => Integer.bitCount(m) <= 2).mkString(", ")
+        "WITH bk AS (SELECT vec_id, bucket FROM read_parquet('" + LshBucketDir + "/data/*.parquet')), " +
+          "e AS (SELECT emb.vec_id, emb.embedding, bk.bucket FROM embeddings emb JOIN bk USING (vec_id)), " +
+          s"q AS (SELECT e.vec_id AS qid, e.embedding AS qe, CAST(xor(e.bucket, t.m) AS INT) AS bucket " +
+          s"FROM e, unnest([$masks]) AS t(m) WHERE e.vec_id < 5), " +
+          "sims AS (SELECT q.qid, c.vec_id AS cid, " +
+          s"round(${duckCos("q.qe", "c.embedding")}, 6) AS sim " +
+          "FROM q JOIN e c ON q.bucket = c.bucket AND q.qid != c.vec_id) " +
+          "SELECT qid, cid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn " +
+          "FROM sims QUALIFY rn <= 3 ORDER BY qid, rn"
+      },
       (s, d) => {
-        val rnd = new scala.util.Random(42)
-        val planes = Seq.fill(8)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
-        val planesCol = typedLit(planes)
-        // spread: the 8-plane bucket fold is interpreted per-row work
+        stageLshBuckets(s, d)
         val e = Tables.spread(s, Tables.t(s, d, "embeddings"))
-          .withColumn("hp", planesCol)
-          .withColumn("bucket", expr(
-            "aggregate(sequence(0, 7), 0, (acc, p) -> acc + CASE WHEN " +
-              "aggregate(zip_with(embedding, hp[p], (x, h) -> CAST(x AS DOUBLE) * h), CAST(0 AS DOUBLE), (a2, v) -> a2 + v) >= 0 " +
-              "THEN CAST(shiftleft(1, p) AS INT) ELSE 0 END)"))
-          .drop("hp")
+          .join(s.read.parquet(s"$LshBucketDir/data"), "vec_id")
         val probeMasks = (0 until 256).filter(m => Integer.bitCount(m) <= 2)
         val q = e.where(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),

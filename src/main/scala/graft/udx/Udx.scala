@@ -140,6 +140,43 @@ object Udx {
     def outputEncoder: Encoder[Array[(String, Long)]] = ExpressionEncoder[Array[(String, Long)]]()
   }
 
+  /** Fixed staging path for the minhash token-hash table (the
+    * staged-signature discipline — see Llm.SimhashSigDir): one
+    * (source, xxhash64(token)) row per distinct token per document.
+    */
+  private val MinhashTokDir = s"${sys.props("java.io.tmpdir")}/graft_minhash_toks"
+
+  private def stageMinhashToks(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(MinhashTokDir, "_dataset")
+    if (Files.exists(marker) && Files.readString(marker) == d) return
+    Tables.t(s, d, "documents")
+      .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("source"), xxhash64(col("tok")).as("h"))
+      .write.mode("overwrite").parquet(s"$MinhashTokDir/data")
+    Files.writeString(marker, d)
+  }
+
+  /** DuckDB mirror of the 64-permutation min fold over the staged hashes:
+    * per perm i, v = wrap64(a_i·h + b_i) with Java two's-complement
+    * semantics — a_i·h + b_i fits HUGEINT (|a·h| < 2^126), reduced mod
+    * 2^64 and re-centered to signed — then min per source.
+    */
+  private def minhashOracle: String = {
+    val U = "18446744073709551616::HUGEINT"
+    val H = "9223372036854775808::HUGEINT"
+    val ms = (0 until NumPerms).map { i =>
+      s"((CAST(${permA(i)} AS HUGEINT) * h + CAST(${permB(i)} AS HUGEINT)) % $U + $U) % $U AS m$i"
+    }.mkString(", ")
+    val mins = (0 until NumPerms).map { i =>
+      s"CAST(min(CASE WHEN m$i >= $H THEN m$i - $U ELSE m$i END) AS BIGINT)"
+    }.mkString(", ")
+    s"WITH t AS (SELECT source, h FROM read_parquet('$MinhashTokDir/data/*.parquet')), " +
+      s"e AS (SELECT source, $ms FROM t) " +
+      s"SELECT source, array_to_string([$mins], ',') AS sig FROM e " +
+      "GROUP BY source ORDER BY source"
+  }
+
   val geomean = udaf(GeoMean, Encoders.scalaDouble)
   val minhash = udaf(MinHashSig, Encoders.scalaLong)
   val bottomk = udaf(BottomK, Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
@@ -194,22 +231,29 @@ object Udx {
           .agg(round(geomean(col("p_retailprice")), 3).as("geomean"), count(lit(1)).as("n"))
           .orderBy("p_brand")),
 
-    // K3 — MinHash signature per document source (no oracle: the signature
-    // is hash-function-specific; MinHashSpec asserts determinism and the
-    // Jaccard-estimate bound instead).
+    // K3 — MinHash signature per document source, ORACLED (round 11) via
+    // the staged-hash pattern: the xxhash64 token hash is the only
+    // Spark-specific step, staged once per (JVM, dataset); DuckDB then
+    // reproduces each of the 64 affine permutations' wrapping 64-bit
+    // arithmetic EXACTLY in HUGEINT — (a·h + b) fits in int128, reduce
+    // mod 2^64, re-center to signed — and takes the same per-source mins
+    // (probed value-for-value against Java wrap semantics before
+    // adoption). The imperative typed-Aggregator path stays the Spark-side
+    // operator under test; MinHashSpec keeps the determinism and
+    // Jaccard-bound properties. Key is memoized (staged input layout).
     QueryDef(
       "udaf_imperative_minhash",
-      None,
-      (s, d) =>
-        Tables.t(s, d, "documents")
-          .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-          .select(col("source"), xxhash64(col("tok")).as("h"))
+      Some(minhashOracle),
+      (s, d) => {
+        stageMinhashToks(s, d)
+        s.read.parquet(s"$MinhashTokDir/data")
           .groupBy("source")
           .agg(minhash(col("h")).as("sig_arr"))
           // CSV-serialized: the driver sorts even oracle-less Spark outputs,
           // and pandas sort_values crashes on array cells
           .select(col("source"), array_join(transform(col("sig_arr"), _.cast("string")), ",").as("sig"))
-          .orderBy("source")),
+          .orderBy("source")
+      }),
 
     // K4 — table-generating: one row per day of each order's month.
     QueryDef(

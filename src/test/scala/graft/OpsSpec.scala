@@ -61,8 +61,8 @@ class OpsSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
     val noOracle = q -- o
-    val covered = Set("agg_approx_distinct", "udaf_imperative_minhash",
-      "sim_ann_lsh", "sim_ann_ivf", "dedup_semdedup_cluster",
+    val covered = Set("agg_approx_distinct",
+      "sim_ann_ivf", "dedup_semdedup_cluster",
       "agg_sketch_merge", "embed_pca_project")
     assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
   }
