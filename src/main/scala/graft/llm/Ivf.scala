@@ -166,13 +166,72 @@ object Ivf {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "_done"), d)
   }
 
+  /** Fixed staging path for the IVF oracle tables (the staged-signature
+    * discipline): the float-sensitive steps — k-means assignment, nprobe=2
+    * query-probe selection, nAssign=3 multi-assignment — are staged once
+    * per (JVM, dataset), derived from the SAME persisted index and the
+    * SAME sqDist/tie-break code the operators use; DuckDB then mirrors the
+    * remaining exact math (cluster equi-joins + the shared-accumulation
+    * cosine) over the staged tables. Fixed path because the oracle SQL is
+    * a static literal (the index dir itself is fingerprint-keyed).
+    */
+  private val IvfOracleDir = s"${sys.props("java.io.tmpdir")}/graft_ivf_oracle"
+
+  private def nearestClusters(
+      emb: Array[Float], cs: Array[Array[Double]], n: Int): Seq[Int] = {
+    val vd = emb.map(_.toDouble)
+    cs.indices.map(c => (sqDist(vd, cs(c)), c)).sorted.take(n).map(_._2)
+  }
+
+  private def stageIvfOracle(s: SparkSession, d: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(IvfOracleDir, "_dataset")
+    if (Files.exists(marker) && Files.readString(marker) == d) return
+    val sp = s
+    import sp.implicits._
+    val (assigned, centroids) = index(s, d)
+    assigned.write.mode("overwrite").parquet(s"$IvfOracleDir/assign")
+    val bc = s.sparkContext.broadcast(centroids)
+    Tables.t(s, d, "embeddings").where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        nearestClusters(emb, bc.value, NProbe).map(c => (id, c))
+      }.toDF("qid", "cluster")
+      .write.mode("overwrite").parquet(s"$IvfOracleDir/probe")
+    Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        nearestClusters(emb, bc.value, 3).map(c => (id, c))
+      }.toDF("vec_id", "cluster")
+      .write.mode("overwrite").parquet(s"$IvfOracleDir/multiassign")
+    Files.writeString(marker, d)
+  }
+
+  /** DuckDB cosine with the kernels' accumulation order (see Llm.duckCos —
+    * list_dot_product matches the sequential fold bit-for-bit).
+    */
+  private def dCos(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
   val defs: Seq[QueryDef] = Seq(
-    // No oracle (k-means assignment is float-sensitive); LlmSpec checks
-    // recall vs brute force and that probes touch only nprobe clusters.
+    // ORACLED (round 11) via the staged index/probe tables: the k-means
+    // float steps stage once (see [[stageIvfOracle]]); DuckDB runs the
+    // identical probe-cluster equi-join + 6-dp exact-cosine rank. LlmSpec
+    // keeps checking recall vs brute force and nprobe-bounded candidate
+    // sets. Key is memoized (index artifact + staged layout).
     QueryDef(
       "sim_ann_ivf",
-      None,
+      Some(
+        "WITH asg AS (SELECT vec_id, cluster FROM read_parquet('" + IvfOracleDir + "/assign/*.parquet')), " +
+          "pr AS (SELECT qid, cluster FROM read_parquet('" + IvfOracleDir + "/probe/*.parquet')), " +
+          "q AS (SELECT pr.qid, CAST(e.embedding AS DOUBLE[]) AS qe, pr.cluster FROM pr JOIN embeddings e ON e.vec_id = pr.qid), " +
+          "c AS (SELECT asg.vec_id AS cid, CAST(e.embedding AS DOUBLE[]) AS ce, asg.cluster FROM asg JOIN embeddings e USING (vec_id)), " +
+          s"sims AS (SELECT q.qid, c.cid, round(${dCos("q.qe", "c.ce")}, 6) AS sim " +
+          "FROM c JOIN q USING (cluster) WHERE q.qid != c.cid) " +
+          "SELECT qid, cid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn " +
+          "FROM sims QUALIFY rn <= 3 ORDER BY qid, rn"),
       (s, d) => {
+        stageIvfOracle(s, d)
         val (assigned, centroids) = index(s, d)
         val e = Tables.t(s, d, "embeddings")
         val withCluster = e.join(assigned, "vec_id")
@@ -217,8 +276,25 @@ object Ivf {
     // its τ=0.35 drop set at sf0.01.
     QueryDef(
       "dedup_semdedup_cluster",
-      None,
+      // ORACLED (round 11): the staged nAssign=3 multi-assignment table
+      // (see [[stageIvfOracle]]) lets DuckDB state the UNCOLLAPSED
+      // semantics directly — drop j iff some i < j shares a probe cluster
+      // and cosine(i, j) ≥ τ — which the collapsed Spark kernel provably
+      // equals (the memberDrops/repDrops case analysis above). Zero-norm
+      // pairs: the kernel scores them NaN (≥ τ false); DuckDB's 0/0 is
+      // NULL, equally excluded by the WHERE. OpsSpec keeps the recall-
+      // vs-exact bounds.
+      Some(
+        "WITH ma AS (SELECT vec_id, cluster FROM read_parquet('" + IvfOracleDir + "/multiassign/*.parquet')), " +
+          "cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j FROM ma a " +
+          "JOIN ma b ON a.cluster = b.cluster AND a.vec_id < b.vec_id), " +
+          "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+          "v AS (SELECT cand.j FROM cand JOIN e ea ON ea.vec_id = cand.i " +
+          "JOIN e eb ON eb.vec_id = cand.j " +
+          s"WHERE ${dCos("ea.emb", "eb.emb")} >= 0.35) " +
+          "SELECT DISTINCT j AS drop_id FROM v ORDER BY drop_id"),
       (s, d) => {
+        stageIvfOracle(s, d)
         val sp = s
         import sp.implicits._
         val (_, centroids) = index(s, d)

@@ -62,7 +62,6 @@ class OpsSpec extends AnyFunSuite {
     assert(o.subsetOf(q))
     val noOracle = q -- o
     val covered = Set("agg_approx_distinct",
-      "sim_ann_ivf", "dedup_semdedup_cluster",
       "agg_sketch_merge", "embed_pca_project")
     assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
   }
