@@ -545,11 +545,14 @@ object Streams {
     // property every production stream relies on and no other key
     // exercised — a query KILLED mid-stream resumes from its checkpoint
     // and still produces the exactly-once result. Two-phase run over a
-    // 6-file staged input with maxFilesPerTrigger=1 (6 micro-batches):
-    // phase 1 carries a deterministic foreachBatch bomb at batch 2, so
-    // batches 0-1 commit (offsets + state store v2 + sink) and the query
-    // dies; phase 2 restarts the SAME plan from the SAME checkpoint
-    // without the bomb and drains batches 2-5. The running (n, sum)
+    // 4-file staged input with maxFilesPerTrigger=1 (4 micro-batches —
+    // the minimum that commits two batches before the crash AND leaves
+    // two to drain after it; measured cost is dominated by the two-query
+    // checkpoint/state machinery, not batch count, so fewer files only
+    // trims the tail): phase 1 carries a deterministic foreachBatch bomb at
+    // batch 2, so batches 0-1 commit (offsets + state store v2 + sink)
+    // and the query dies; phase 2 restarts the SAME plan from the SAME
+    // checkpoint without the bomb and drains batches 2-3. The running (n, sum)
     // state must survive the crash: per-user totals emitted after resume
     // continue from phase-1 state, and the oracle equality over the
     // max-n collapse proves no batch was lost or double-counted. The
@@ -569,16 +572,16 @@ object Streams {
         import java.nio.file.{Files, Paths}
         val sp = s
         import sp.implicits._
-        val base = s"${sys.props("java.io.tmpdir")}/graft_ckptrec_" +
+        val base = s"${sys.props("java.io.tmpdir")}/graft_ckptrec4_" +
           s"${Integer.toHexString(d.hashCode)}"
         val done = Paths.get(s"$base/_done")
         if (!Files.exists(done)) {
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
           Files.createDirectories(Paths.get(s"$base/in"))
-          (0 until 6).foreach { g =>
+          (0 until 4).foreach { g =>
             val stage = s"$base/stage$g"
             Tables.events(s, d).drop("ts_ts")
-              .where(pmod(col("user_id"), lit(6)) === g)
+              .where(pmod(col("user_id"), lit(4)) === g)
               .coalesce(1).write.mode("overwrite").parquet(stage)
             val part = {
               import scala.jdk.CollectionConverters._
