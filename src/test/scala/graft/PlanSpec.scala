@@ -39,6 +39,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("topk_order_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("graph_triangle_count: hashed closing semi join, broadcast orientation, bloom prune") {
+    val p = plan("graph_triangle_count")
+    // the closing-edge verify must HASH, never sort the Σ outdeg² wedge
+    // stream (and never flip to broadcast at small scale — that poisons
+    // the decade exponent); round-11 plan, see Analytics.scala
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"),
+      "closing-edge semi join is not a shuffled hash join")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join crept into the triangle plan (wedge-set sort)")
+    // (the broadcast orientation joins run eagerly inside the edge-build
+    // checkpoint and are not part of this audited plan segment)
+    // the wedge-side bloom prune must sit in the plan (a ScalaUDF filter)
+    assert(p.contains("UDF"), "wedge-side bloom prune filter missing")
+  }
+
   test("embed_label_centroid: partial map-side aggregation; vectors never shuffle whole") {
     val p = plan("embed_label_centroid")
     assert(p.contains("partial_sum"), "no map-side partial aggregation")
