@@ -38,7 +38,7 @@ object SparkEntry {
     "scan_parquet_bloom_lookup", "scan_partition_prune",
     "join_bucketed_colocated", "fhir_schema_merge",
     "scan_binaryfile_ingest", "dedup_simhash", "multimodal_phash_neardup",
-    "sim_ann_lsh", "udaf_imperative_minhash",
+    "sim_ann_lsh", "udaf_imperative_minhash", "embed_pca_project",
     "agg_quantile_merge",
     "stream_rate_limited_ingest", "stream_checkpoint_recovery",
     "stream_tumbling_window",

@@ -61,8 +61,7 @@ class OpsSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
     val noOracle = q -- o
-    val covered = Set("agg_approx_distinct",
-      "agg_sketch_merge", "embed_pca_project")
+    val covered = Set("agg_approx_distinct", "agg_sketch_merge")
     assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
   }
 
