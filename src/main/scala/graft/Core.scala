@@ -125,10 +125,33 @@ object Tables {
     * files (whose paths the static DuckDB oracles embed).
     */
   def golden(spark: SparkSession, name: String, dir: String): DataFrame = {
+    if (dir == null) return golden(spark, name)
     val scaled = s"$dir/fhir/$name.parquet"
-    if (dir != null && java.nio.file.Files.exists(java.nio.file.Paths.get(scaled)))
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(scaled)))
       readCache.computeIfAbsent((spark, scaled), { case (s, p) => s.read.parquet(p) })
     else golden(spark, name)
+  }
+
+  /** Content fingerprint of one or more dataset table files — the marker
+    * value for done-marker-staged artifacts (`_dataset` files). Combines
+    * the dataset path with each source file's name/size/mtime stamp
+    * (recursively for directories), so regenerating data IN PLACE at the
+    * same path (the GenScale rehearsal flow) changes the fingerprint and
+    * forces a re-stage — a bare-path marker silently keeps the stale
+    * staged artifact and lets BOTH engines agree on the wrong data
+    * (round-11 advisor finding). Missing files stamp as "absent" rather
+    * than throwing, so probing a marker never fails before the staging
+    * code's own error surfaces.
+    */
+  def fingerprint(d: String, tables: String*): String = {
+    def stamp(f: java.io.File): String =
+      if (!f.exists) s"${f.getName}:absent"
+      else if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(stamp).mkString(",")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val body = tables.map(t => stamp(new java.io.File(s"$d/$t.parquet"))).mkString(";")
+    d + "|" + java.lang.Long.toHexString(
+      body.foldLeft(0xcbf29ce484222325L)((h, c) => (h ^ c) * 0x100000001b3L))
   }
 }
 

@@ -10,9 +10,14 @@ object Verify {
     // always passes exactly <sfDir> <outDir>).
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER overrides the master for multi-process runs —
+    // local-cluster[w,c,mem] launches REAL separate executor JVMs (the
+    // round-12 serialization/broadcast-boundary gate); default stays
+    // in-process local[N] for the driver's gate.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
       .withExtensions(graft.opt.AnnotationRewrite.inject)
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

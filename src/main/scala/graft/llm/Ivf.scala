@@ -71,13 +71,18 @@ object Ivf {
     * can assert the built geometry (cluster count past the floor) on a
     * replicated corpus.
     */
-  private[graft] def index(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) =
-    idxMemo.computeIfAbsent((s, d), { case (ss, dd) =>
-      val dir = indexDir(dd)
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_done")))
-        buildIndex(ss, dd, dir)
-      loadIndex(ss, dir)
+  private[graft] def index(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) = {
+    // memo keyed on the fingerprinted index DIR, not the dataset path — a
+    // path key would hand back a stale in-JVM handle after in-place data
+    // regeneration even though the artifact itself re-keys (round-11
+    // advisor: index/oracle-staging/memo must invalidate together)
+    val dir = indexDir(d)
+    idxMemo.computeIfAbsent((s, dir), { case (ss, dd) =>
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dd, "_done")))
+        buildIndex(ss, d, dd)
+      loadIndex(ss, dd)
     })
+  }
 
   /** Load the persisted index: k×dim centroid table (one tiny collect) +
     * the cluster-partitioned assignment scan. No k-means, no embeddings
@@ -185,8 +190,12 @@ object Ivf {
 
   private def stageIvfOracle(s: SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
+    // marker carries the SAME srcFingerprint that keys the index dir, so
+    // index artifact, staged oracle tables, and the session memo always
+    // invalidate together on in-place data regeneration (round-11 advisor)
+    val fp = srcFingerprint(d)
     val marker = Paths.get(IvfOracleDir, "_dataset")
-    if (Files.exists(marker) && Files.readString(marker) == d) return
+    if (Files.exists(marker) && Files.readString(marker) == fp) return
     val sp = s
     import sp.implicits._
     val (assigned, centroids) = index(s, d)
@@ -204,7 +213,7 @@ object Ivf {
         nearestClusters(emb, bc.value, 3).map(c => (id, c))
       }.toDF("vec_id", "cluster")
       .write.mode("overwrite").parquet(s"$IvfOracleDir/multiassign")
-    Files.writeString(marker, d)
+    Files.writeString(marker, fp)
   }
 
   /** DuckDB cosine with the kernels' accumulation order (see Llm.duckCos —

@@ -48,8 +48,12 @@ object Llm {
 
   private def stageLshBuckets(s: SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
+    // marker value is a CONTENT fingerprint, not the bare path — in-place
+    // regeneration (GenScale rehearsal) must force a re-stage or both
+    // engines silently agree on stale data (round-11 advisor finding)
+    val fp = Tables.fingerprint(d, "embeddings")
     val marker = Paths.get(LshBucketDir, "_dataset")
-    if (Files.exists(marker) && Files.readString(marker) == d) return
+    if (Files.exists(marker) && Files.readString(marker) == fp) return
     val rnd = new scala.util.Random(42)
     val planes = Seq.fill(8)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
     Tables.spread(s, Tables.t(s, d, "embeddings"))
@@ -59,7 +63,7 @@ object Llm {
           "aggregate(zip_with(embedding, hp[p], (x, h) -> CAST(x AS DOUBLE) * h), CAST(0 AS DOUBLE), (a2, v) -> a2 + v) >= 0 " +
           "THEN CAST(shiftleft(1, p) AS INT) ELSE 0 END) AS INT)").as("bucket"))
       .write.mode("overwrite").parquet(s"$LshBucketDir/data")
-    Files.writeString(marker, d)
+    Files.writeString(marker, fp)
   }
 
   /** Compute and stage the (doc_id, sim) signature table once per (JVM,
@@ -71,8 +75,10 @@ object Llm {
     */
   private def stageSimhashSigs(s: SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
+    // content-fingerprint marker — see stageLshBuckets
+    val fp = Tables.fingerprint(d, "documents")
     val marker = Paths.get(SimhashSigDir, "_dataset")
-    if (Files.exists(marker) && Files.readString(marker) == d) return
+    if (Files.exists(marker) && Files.readString(marker) == fp) return
     val simhashUdf = udf { (text: String) =>
       val cnt = new Array[Int](64)
       var start = 0
@@ -100,7 +106,7 @@ object Llm {
     Tables.spread(s, Tables.t(s, d, "documents"))
       .select(col("doc_id"), simhashUdf(col("text")).as("sim"))
       .write.mode("overwrite").parquet(s"$SimhashSigDir/data")
-    Files.writeString(marker, d)
+    Files.writeString(marker, fp)
   }
 
   /** Cosine similarity over two array<float> columns, computed in double

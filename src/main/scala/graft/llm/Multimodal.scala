@@ -81,8 +81,10 @@ object Multimodal {
 
   private def stagePhash(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
+    // content-fingerprint marker — see Llm.stageLshBuckets
+    val fp = Tables.fingerprint(d, "documents")
     val marker = Paths.get(PhashDir, "_dataset")
-    if (Files.exists(marker) && Files.readString(marker) == d) return
+    if (Files.exists(marker) && Files.readString(marker) == fp) return
     val sp = s
     import sp.implicits._
     // spread: PNG encode + decode + dHash per row is a pure JVM kernel
@@ -110,7 +112,7 @@ object Multimodal {
         }
       }.toDF("doc_id", "ph")
       .write.mode("overwrite").parquet(s"$PhashDir/data")
-    Files.writeString(marker, d)
+    Files.writeString(marker, fp)
   }
 
   val defs: Seq[QueryDef] = Seq(

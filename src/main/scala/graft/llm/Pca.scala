@@ -156,8 +156,10 @@ object Pca {
 
   private def stagedEvecs(s: SparkSession, d: String): Array[Array[Double]] = {
     import java.nio.file.{Files, Paths}
+    // content-fingerprint marker — see Llm.stageLshBuckets
+    val fp = Tables.fingerprint(d, "embeddings")
     val marker = Paths.get(PcaDir, "_dataset")
-    if (!(Files.exists(marker) && Files.readString(marker) == d)) {
+    if (!(Files.exists(marker) && Files.readString(marker) == fp)) {
       val (cov, _) = covariance(s, d)
       val evecs = topEigenvectors(cov, K)
       val sp = s
@@ -165,7 +167,7 @@ object Pca {
       evecs.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
         .toDF("kidx", "v")
         .coalesce(1).write.mode("overwrite").parquet(s"$PcaDir/data")
-      Files.writeString(marker, d)
+      Files.writeString(marker, fp)
     }
     s.read.parquet(s"$PcaDir/data").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))

@@ -30,13 +30,15 @@ object Aggs {
 
   private def stageQuantHash(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
+    // content-fingerprint marker — see Llm.stageLshBuckets
+    val fp = Tables.fingerprint(d, "customer")
     val marker = Paths.get(QuantHashDir, "_dataset")
-    if (Files.exists(marker) && Files.readString(marker) == d) return
+    if (Files.exists(marker) && Files.readString(marker) == fp) return
     Tables.t(s, d, "customer")
       .select(col("c_nationkey"), xxhash64(col("c_custkey")).as("h"),
         col("c_acctbal").cast("double").as("v"))
       .write.mode("overwrite").parquet(s"$QuantHashDir/data")
-    Files.writeString(marker, d)
+    Files.writeString(marker, fp)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -42,8 +42,10 @@ object Formats {
   private def stageBinFiles(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
     val dir = Paths.get(BinFilesDir)
+    // content-fingerprint marker — see Llm.stageLshBuckets
+    val fp = Tables.fingerprint(d, "documents")
     val marker = dir.resolve("_dataset")
-    if (Files.exists(marker) && Files.readString(marker) == d) return
+    if (Files.exists(marker) && Files.readString(marker) == fp) return
     // Single-process assumption: the fixed path is shared, so two JVMs
     // staging different datasets concurrently would race (Verify and Bench
     // are never run concurrently — see the bench protocol).
@@ -61,7 +63,7 @@ object Formats {
         Files.write(dir.resolve(s"doc_${r.getLong(0)}.bin"),
           r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
-    Files.writeString(marker, d)
+    Files.writeString(marker, fp)
   }
 
   def defs: Seq[QueryDef] = Seq(

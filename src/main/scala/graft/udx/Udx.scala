@@ -148,13 +148,15 @@ object Udx {
 
   private def stageMinhashToks(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
+    // content-fingerprint marker — see Llm.stageLshBuckets
+    val fp = Tables.fingerprint(d, "documents")
     val marker = Paths.get(MinhashTokDir, "_dataset")
-    if (Files.exists(marker) && Files.readString(marker) == d) return
+    if (Files.exists(marker) && Files.readString(marker) == fp) return
     Tables.t(s, d, "documents")
       .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .select(col("source"), xxhash64(col("tok")).as("h"))
       .write.mode("overwrite").parquet(s"$MinhashTokDir/data")
-    Files.writeString(marker, d)
+    Files.writeString(marker, fp)
   }
 
   /** DuckDB mirror of the 64-permutation min fold over the staged hashes:
