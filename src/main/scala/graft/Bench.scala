@@ -157,7 +157,16 @@ object Bench {
           base ++ Seq.fill(repeatSlow - repeat)(time(fn))
         else base
       val best = samples.map(_._1).min
-      Thread.sleep(20) // bounded drain for the async peak listener
+      // Drain-to-stability instead of a fixed 20 ms nap (round-11 advisor:
+      // late task-end events from a slow key could be credited to the NEXT
+      // key across a fixed drain). Poll until the async listener stops
+      // moving the max, then read; the next key's reset is then safe. Sits
+      // entirely outside the timed samples.
+      var lastPeak = -1L
+      var drainMs = 0
+      while (drainMs < 300 && peakNow.get() != lastPeak) {
+        lastPeak = peakNow.get(); Thread.sleep(15); drainMs += 15
+      }
       peaks(name) = peakNow.get() / 1048576.0
       name -> (if (samples.forall(_._2)) best else -1.0)
     }
@@ -193,8 +202,15 @@ object Bench {
     // as a measurement-boundary change, not a plan change. "protocol"
     // versions the estimator + warm-up + memoization discipline as a unit.
     val memoJson = SparkEntry.memoized.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val protocol = "\"protocol\":\"v2-warm-all-min-of-n-memo-flagged\"," +
-      s""""memoized":$memoJson"""
+    // "staged_oracle" (round-11 advisor): keys whose DuckDB oracle reads an
+    // artifact computed by the Spark kernel under test — the oracle verifies
+    // the downstream math independently, the kernel step is property-spec
+    // covered. Consumers weighing verification strength (and reading
+    // peak_mb, which for these keys reflects the post-staging read plan)
+    // need the list.
+    val stagedJson = SparkEntry.stagedOracle.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val protocol = "\"protocol\":\"v3-warm-all-min-of-n-memo-flagged-stagedmarked\"," +
+      s""""memoized":$memoJson,"staged_oracle":$stagedJson"""
     // per-key peak task execution memory (MB) — NOT normalized (memory
     // does not drift with box speed); 0.0 = key ran entirely in codegen
     // pipelines with no memory-consuming operator
@@ -205,7 +221,7 @@ object Bench {
     // "agg"/"repeat" appear in BOTH artifacts: the round-5 estimator change
     // (median -> min) moved the headline total, and a consumer reading only
     // BENCH_total.json must be able to tell estimator change from plan change.
-    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatio)},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"protocol":"v2-warm-all-min-of-n-memo-flagged","sf":"$sfDir"}"""
+    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatio)},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"protocol":"v3-warm-all-min-of-n-memo-flagged-stagedmarked","sf":"$sfDir"}"""
     // Driver-parse posture (BENCH_r01/r02 lesson): the driver's stdout tail
     // capture truncates long lines from the HEAD, so the ~3 KB per-query map
     // must never be the last line. Persist the full detail to a file, print

@@ -39,11 +39,30 @@ object SparkEntry {
     "join_bucketed_colocated", "fhir_schema_merge",
     "scan_binaryfile_ingest", "dedup_simhash", "multimodal_phash_neardup",
     "sim_ann_lsh", "udaf_imperative_minhash", "embed_pca_project",
-    "agg_quantile_merge",
+    "agg_quantile_merge", "agg_approx_distinct", "agg_sketch_merge",
+    "dedup_substring_winnow", "quality_perplexity_trigram",
     "stream_rate_limited_ingest", "stream_checkpoint_recovery",
     "stream_tumbling_window",
     "stream_sliding_window", "stream_session_window", "stream_chained_agg",
     "stream_outer_join_nulls")
+
+  /** Keys whose DuckDB oracle reads an artifact COMPUTED by the Spark
+    * kernel under test (the staged-signature / staged-bound discipline):
+    * the oracle independently verifies all downstream math — banding,
+    * joins, exact integer/percentile arithmetic, error bounds vs DuckDB's
+    * own exact counts — but the kernel step itself (fnv64 simhash, LSH
+    * plane fold, PNG decode+dHash, k-means assignment, eigensolve,
+    * xxhash64 ranks/winnow, HLL estimation) is covered by property specs,
+    * not by a second engine. Flagged in the bench artifact so consumers
+    * can distinguish the two verification strengths (round-11 advisor).
+    */
+  private val stagedOracleKeys: Set[String] = Set(
+    "dedup_simhash", "sim_ann_lsh", "multimodal_phash_neardup",
+    "udaf_imperative_minhash", "agg_quantile_merge", "sim_ann_ivf",
+    "dedup_semdedup_cluster", "embed_pca_project",
+    "agg_approx_distinct", "agg_sketch_merge", "dedup_substring_winnow")
+
+  def stagedOracle: Seq[String] = stagedOracleKeys.toSeq.sorted
 
   private def all: Seq[QueryDef] = {
     val defs = rel.Scans.defs ++
@@ -69,6 +88,8 @@ object SparkEntry {
     val known = defs.map(_.key).toSet
     require((memoizedKeys -- known).isEmpty,
       s"memoizedKeys names unknown keys: ${memoizedKeys -- known}")
+    require((stagedOracleKeys -- known).isEmpty,
+      s"stagedOracleKeys names unknown keys: ${stagedOracleKeys -- known}")
     defs.map(q => q.copy(memoized = memoizedKeys.contains(q.key)))
   }
 

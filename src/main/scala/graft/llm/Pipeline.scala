@@ -24,6 +24,68 @@ object Pipeline {
   private val bigramLmCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), (Int, Int, Array[Long])]()
 
+  /** Trained char-TRIGRAM LM with stupid-backoff, memoized per (session,
+    * dataset) like [[bigramLmCache]]: rank-compressed dense q3 array (A³
+    * cells for an A-char alphabet) plus the raw bigram/unigram counts the
+    * backoff branch folds from.
+    */
+  private val trigramLmCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (Int, Int, Array[Int], Array[Long])]()
+
+  /** Winnowing gram selection (Schleimer–Wilkerson–Aiken local fingerprinting)
+    * over `doc_id`/`text` rows: hash every 40-char gram, then in every window
+    * of 10 consecutive grams select the (leftmost-)minimum-hash gram.
+    * CONTENT-DEFINED sampling — identical text selects identical grams no
+    * matter where it sits in the document — with the winnowing guarantee:
+    * any cross-document verbatim run of ≥ w + s − 1 = 49 chars contains 10
+    * consecutive complete grams in both copies, that window's argmin is the
+    * same gram string in both, so the run is always detected. (Contrast the
+    * positional-stride kernel of dedup_substring_exact, whose 49-char bound
+    * additionally requires the two copies to agree on start offset mod 10.)
+    * graft-visible so the property spec can drive it over planted synthetic
+    * pairs at arbitrary alignments.
+    */
+  private[graft] def winnowGrams(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"), col("text"), expr(
+        "CASE WHEN length(text) >= 40 THEN " +
+          "transform(sequence(1, length(text) - 39), i -> xxhash64(substring(text, i, 40))) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END").as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(hs) - 9, 1)), " +
+          "j -> substring(text, CAST(j - 1 + array_position(slice(hs, j, 10), array_min(slice(hs, j, 10))) AS INT), 40)))")).as("g"))
+      .distinct()
+
+  /** Positional stride-10 gram sampling — the dedup_substring_exact kernel,
+    * exposed alongside [[winnowGrams]] so the spec can demonstrate the two
+    * kernels' detection bounds on the same planted pairs.
+    */
+  private[graft] def strideGrams(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"), explode(expr(
+        "CASE WHEN length(text) >= 40 THEN " +
+          "transform(sequence(1, length(text) - 39, 10), i -> substring(text, i, 40)) " +
+          "ELSE array() END")).as("g"))
+      .distinct()
+
+  /** Fixed staging path for the winnowed fingerprint table (the
+    * staged-signature oracle discipline — see Llm.SimhashSigDir): the
+    * xxhash64-driven winnow selection is the only engine-specific step;
+    * the banding (shared-by-≥2-docs) and per-doc counting run in BOTH
+    * engines over the staged (doc_id, g) rows.
+    */
+  private val WinnowFpDir = s"${sys.props("java.io.tmpdir")}/graft_winnow_fp"
+
+  private def stageWinnowFps(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    // content-fingerprint marker — see Llm.stageLshBuckets
+    val fp = Tables.fingerprint(d, "documents")
+    val marker = Paths.get(WinnowFpDir, "_dataset")
+    if (Files.exists(marker) && Files.readString(marker) == fp) return
+    winnowGrams(Tables.spread(s, Tables.t(s, d, "documents").select("doc_id", "text")))
+      .write.mode("overwrite").parquet(s"$WinnowFpDir/data")
+    Files.writeString(marker, fp)
+  }
+
   /** Deterministic split assignment: first hex char of md5(doc_id) —
     * '0'..'b' → train (12/16), 'c'..'d' → val (2/16), 'e'..'f' → test.
     * md5 of the decimal string is identical in Spark and DuckDB, so the
@@ -601,6 +663,16 @@ object Pipeline {
     // dedup signal. All joins/aggs are gram- or doc-keyed (combinable,
     // skew-bounded by the stride); nothing global, nothing quadratic —
     // candidate volume is corpus_chars/10 rows of 40 bytes.
+    //
+    // DETECTION BOUND (pinned, round 12): positional sampling detects a
+    // shared verbatim run of length ≥ w + stride − 1 = 49 chars ONLY when
+    // the two copies start at text offsets congruent mod 10 — a run ≥ 49
+    // then contains a sampled 40-window at the same run-offset in both
+    // copies. A misaligned copy (offsets differing mod 10) samples
+    // DIFFERENT 40-substrings of the run and is missed at any length, and
+    // a 48-char aligned run can dodge the stride entirely. PropertySpec
+    // demonstrates all three cases; dedup_substring_winnow below removes
+    // the alignment condition via content-defined (winnowed) sampling.
     QueryDef(
       "dedup_substring_exact",
       Some(
@@ -611,18 +683,44 @@ object Pipeline {
           "SELECT d.doc_id, CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared " +
           "FROM documents d LEFT JOIN c USING (doc_id) ORDER BY doc_id"),
       (s, d) => {
-        val w = 40
-        val stride = 10
         val docs = Tables.t(s, d, "documents")
-        val grams = docs.select(col("doc_id"), explode(expr(
-          s"CASE WHEN length(text) >= $w THEN " +
-            s"transform(sequence(1, length(text) - ${w - 1}, $stride), i -> substring(text, i, $w)) " +
-            "ELSE array() END")).as("g"))
-          .distinct()
+        val grams = strideGrams(docs)
         val shared = grams.groupBy("g").agg(count(lit(1)).as("nd")).where(col("nd") >= 2)
         val counts = grams.join(shared.select("g"), Seq("g"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_shared"))
         docs.select(col("doc_id"))
+          .join(counts, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+          .orderBy("doc_id")
+      }),
+
+    // Winnowed repeated-substring detection — the alignment-independent
+    // upgrade of dedup_substring_exact (Schleimer–Wilkerson–Aiken local
+    // fingerprinting, the scheme behind MOSS): every window of 10
+    // consecutive 40-gram hashes selects its minimum, so sampling is
+    // CONTENT-defined and any cross-document verbatim run ≥ 49 chars is
+    // detected at ANY relative alignment (OpsSpec proves the
+    // guarantee over random plants). Same density as the stride kernel
+    // (~1 gram per 10 chars → corpus_chars/10 candidate rows), same
+    // gram-keyed joins; the hash+select pass is one narrow codegen HOF
+    // scan. Oracle: staged-signature discipline — the xxhash64 winnow
+    // selection stages once per (JVM, dataset); banding + counting run in
+    // BOTH engines over the staged (doc_id, g) rows.
+    QueryDef(
+      "dedup_substring_winnow",
+      Some(
+        s"WITH g AS (SELECT DISTINCT doc_id, g FROM read_parquet('$WinnowFpDir/data/*.parquet')), " +
+          "s AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2), " +
+          "c AS (SELECT doc_id, count(*) AS n_shared FROM g JOIN s USING (g) GROUP BY doc_id) " +
+          "SELECT d.doc_id, CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared " +
+          "FROM documents d LEFT JOIN c USING (doc_id) ORDER BY doc_id"),
+      (s, d) => {
+        stageWinnowFps(s, d)
+        val grams = s.read.parquet(s"$WinnowFpDir/data")
+        val shared = grams.groupBy("g").agg(count(lit(1)).as("nd")).where(col("nd") >= 2)
+        val counts = grams.join(shared.select("g"), Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_shared"))
+        Tables.t(s, d, "documents").select(col("doc_id"))
           .join(counts, Seq("doc_id"), "left_outer")
           .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
           .orderBy("doc_id")
@@ -695,6 +793,92 @@ object Pipeline {
         docs
           .select(col("doc_id"), (length(t) - 1).cast("long").as("n_bg"), sumQ.as("sq"))
           .select(col("doc_id"), col("n_bg"), expr("sq div n_bg").cast("long").as("score_micro"))
+          .orderBy("doc_id")
+      }),
+
+    // Char-TRIGRAM LM with stupid backoff (round-12 judge task: an n>2
+    // model over the bigram key's exact-integer discipline). Per position,
+    // typicality q = 1e6·c(t₁t₂t₃) div c(t₁t₂·) when the trigram count
+    // clears the evidence threshold (≥2); a SINGLETON trigram backs off to
+    // the discounted bigram estimate 0.4·1e6·c(t₂t₃) div c(t₂·) — computed
+    // as (400000·c₂₃) div c(t₂·) so the integer division happens ONCE, in
+    // the same order in both engines. Fully independent oracle: unlike the
+    // staged-signature keys, DuckDB rebuilds trigram/bigram/context counts
+    // from the base table itself — the whole model is exact count
+    // arithmetic, so no Spark artifact crosses the engine boundary.
+    // Scale posture: model building is one combinable explode-count pass
+    // (≤|alphabet|³ partials shuffle); scoring folds each doc against the
+    // broadcast rank-compressed dense array (A³ longs, A = |alphabet|) in
+    // one codegen HOF pass — same O(corpus) shape as the bigram key.
+    QueryDef(
+      "quality_perplexity_trigram",
+      Some(
+        "WITH pos3 AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri, " +
+          "substr(text, CAST(i AS INT), 2) AS ctx, substr(text, CAST(i AS INT) + 1, 2) AS b23, " +
+          "substr(text, CAST(i AS INT) + 1, 1) AS c2 " +
+          "FROM documents, unnest(generate_series(1, length(text) - 2)) AS t(i)), " +
+          "cb3 AS (SELECT tri, count(*) AS n3 FROM pos3 GROUP BY tri), " +
+          "cx2 AS (SELECT ctx, count(*) AS nx FROM pos3 GROUP BY ctx), " +
+          "pos2 AS (SELECT substr(text, CAST(i AS INT), 2) AS bg, substr(text, CAST(i AS INT), 1) AS c1 " +
+          "FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)), " +
+          "cb2 AS (SELECT bg, count(*) AS nb FROM pos2 GROUP BY bg), " +
+          "cu1 AS (SELECT c1, count(*) AS nu FROM pos2 GROUP BY c1) " +
+          "SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tri, " +
+          "CAST(sum(CASE WHEN cb3.n3 >= 2 THEN cb3.n3 * 1000000 // cx2.nx " +
+          "ELSE (400000 * cb2.nb) // cu1.nu END) // count(*) AS BIGINT) AS score_micro " +
+          "FROM pos3 p JOIN cb3 USING (tri) JOIN cx2 USING (ctx) " +
+          "JOIN cb2 ON p.b23 = cb2.bg JOIN cu1 ON p.c2 = cu1.c1 " +
+          "GROUP BY p.doc_id ORDER BY p.doc_id"),
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents").where(length(col("text")) >= 3)
+        val (minC, nRanks, rankArr, q3) = trigramLmCache.computeIfAbsent((s, d), { case (ss, dd) =>
+          val base = Tables.t(ss, dd, "documents")
+          // one explode pass per model level; both are combinable counts
+          val tri = base.where(length(col("text")) >= 3)
+            .select(explode(expr(
+              "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+            .groupBy("tri").agg(count(lit(1)).as("n3"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+          val bg = base.where(length(col("text")) >= 2)
+            .select(explode(expr(
+              "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+            .groupBy("bg").agg(count(lit(1)).as("nb"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+          val ctx2 = tri.groupBy(_._1.substring(0, 2)).map { case (c, ts) => c -> ts.map(_._2).sum }
+          val cu1 = bg.groupBy(_._1.charAt(0)).map { case (c, bs) => c -> bs.map(_._2).sum }
+          val nb = bg.toMap
+          // rank compression: 90-slot ascii span × 25 observed chars would
+          // waste a 729k-cell dense cube; ranks shrink it to A³ (~16k)
+          val chars = bg.flatMap { case (b, _) => Seq(b.charAt(0), b.charAt(1)) }.distinct.sorted
+          val mn = chars.head.toInt
+          val span = chars.last.toInt - mn + 1
+          val rk = new Array[Int](span)
+          chars.zipWithIndex.foreach { case (c, i) => rk(c.toInt - mn) = i + 1 }
+          val a = chars.length
+          val q = new Array[Long](a * a * a)
+          tri.foreach { case (t3, n3) =>
+            val i = ((rk(t3.charAt(0) - mn) - 1) * a + (rk(t3.charAt(1) - mn) - 1)) * a +
+              (rk(t3.charAt(2) - mn) - 1)
+            q(i) =
+              if (n3 >= 2) n3 * 1000000L / ctx2(t3.substring(0, 2))
+              else 400000L * nb(t3.substring(1, 3)) / cu1(t3.charAt(1))
+          }
+          (mn, a, rk, q)
+        })
+        val t = col("text")
+        def rk(c: org.apache.spark.sql.Column) =
+          element_at(typedlit(rankArr.toSeq), ascii(c) - minC + 1)
+        val sumQ = aggregate(
+          sequence(lit(1), length(t) - 2),
+          lit(0L),
+          (acc, i) => acc + element_at(
+            typedlit(q3.toSeq),
+            ((rk(t.substr(i, lit(1))) - 1) * nRanks +
+              (rk(t.substr(i + 1, lit(1))) - 1)) * nRanks +
+              rk(t.substr(i + 2, lit(1)))))
+        docs
+          .select(col("doc_id"), (length(t) - 2).cast("long").as("n_tri"), sumQ.as("sq"))
+          .select(col("doc_id"), col("n_tri"), expr("sq div n_tri").cast("long").as("score_micro"))
           .orderBy("doc_id")
       })
   )

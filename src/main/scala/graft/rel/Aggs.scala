@@ -28,6 +28,38 @@ object Aggs {
     */
   private val QuantHashDir = s"${sys.props("java.io.tmpdir")}/graft_quanthash"
 
+  /** Fixed staging path for the HLL ESTIMATE tables — the staged-signature
+    * oracle pattern applied to a BOUND instead of a value (round-12 judge
+    * task): sketch estimates are engine-library internals no other engine
+    * reproduces, so the estimates themselves are staged once per (JVM,
+    * dataset) and the oracle check becomes exact math both engines share —
+    * |estimate − exact| ≤ bound · exact, with each engine computing
+    * `exact` INDEPENDENTLY from the base table (DuckDB thus verifies the
+    * sketch's declared accuracy contract against its own exact distinct
+    * counts, not merely that parquet round-trips). Bounds are the ones
+    * OpsSpec has always declared: 10% per-nation (approx_count_distinct,
+    * rsd 0.05 ⇒ 2σ) and 5% for the merged global estimate
+    * (hll_sketch_agg lgConfigK=12 ⇒ ~1.6% typical).
+    */
+  private val HllEstDir = s"${sys.props("java.io.tmpdir")}/graft_hll_est"
+
+  private def stageHllEstimates(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    // content-fingerprint marker — see Llm.stageLshBuckets
+    val fp = Tables.fingerprint(d, "customer")
+    val marker = Paths.get(HllEstDir, "_dataset")
+    if (Files.exists(marker) && Files.readString(marker) == fp) return
+    val cust = Tables.t(s, d, "customer")
+    cust.groupBy("c_nationkey")
+      .agg(approx_count_distinct(col("c_custkey")).as("approx_cust"))
+      .write.mode("overwrite").parquet(s"$HllEstDir/approx")
+    cust.groupBy("c_nationkey")
+      .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("est_total"))
+      .write.mode("overwrite").parquet(s"$HllEstDir/merge")
+    Files.writeString(marker, fp)
+  }
+
   private def stageQuantHash(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
     // content-fingerprint marker — see Llm.stageLshBuckets
@@ -101,39 +133,66 @@ object Aggs {
             count(lit(1)).as("n"))
           .orderBy("l_returnflag")),
 
-    // E4 — HyperLogLog approximate distinct (no oracle: approximate; the
-    // ScalaTest spec bounds it against the exact count).
+    // E4 — HyperLogLog approximate distinct, ORACLED via the staged-bound
+    // discipline (see [[HllEstDir]]): the per-nation estimates are staged
+    // once per (JVM, dataset); both engines then independently compute the
+    // exact distinct count and emit whether the staged estimate honors the
+    // declared 10% bound. The estimate values hash-match by construction
+    // (both read the staged table); `within_bound` is the genuine
+    // cross-engine check — DuckDB judging Spark's sketch against DuckDB's
+    // own exact counts. The exact countDistinct here is the verification
+    // harness, not the production read path (consumers read the staged
+    // estimate table precisely to AVOID the exact pass at 100 TB).
     QueryDef(
       "agg_approx_distinct",
-      None,
-      (s, d) =>
-        Tables.t(s, d, "customer")
+      Some(
+        s"""WITH est AS (SELECT * FROM read_parquet('$HllEstDir/approx/*.parquet')),
+           | ex AS (SELECT c_nationkey, count(DISTINCT c_custkey) AS exact_cust,
+           |   count(*) AS n FROM customer GROUP BY c_nationkey)
+           |SELECT e.c_nationkey, e.approx_cust, x.n,
+           | abs(e.approx_cust - x.exact_cust) <= x.exact_cust * 0.10 AS within_bound
+           |FROM est e JOIN ex x ON e.c_nationkey = x.c_nationkey
+           |ORDER BY e.c_nationkey""".stripMargin.replaceAll("\\s+", " ").trim),
+      (s, d) => {
+        stageHllEstimates(s, d)
+        val exact = Tables.t(s, d, "customer")
           .groupBy("c_nationkey")
-          .agg(
-            approx_count_distinct(col("c_custkey")).as("approx_cust"),
+          .agg(countDistinct(col("c_custkey")).as("exact_cust"),
             count(lit(1)).as("n"))
-          .orderBy("c_nationkey")),
+        s.read.parquet(s"$HllEstDir/approx")
+          .join(exact, "c_nationkey")
+          .select(col("c_nationkey"), col("approx_cust"), col("n"),
+            (abs(col("approx_cust") - col("exact_cust")) <=
+              col("exact_cust") * 0.10).as("within_bound"))
+          .orderBy("c_nationkey")
+      }),
 
     // Mergeable-sketch re-aggregation: per-nation Datasketches HLL sketches
     // of buying customers, then union-merged to a global estimate WITHOUT
     // touching the base table again — the pattern that makes rollups cheap
     // at 100 TB (per-partition sketch state is a few KB; only sketches
-    // shuffle on re-aggregation). No oracle (sketch estimates are
-    // Spark-specific; OpsSpec bounds them against exact counts and asserts
-    // merged == direct-over-union).
+    // shuffle on re-aggregation). ORACLED via the staged-bound discipline
+    // (see [[HllEstDir]]): the merged estimate is staged; both engines
+    // independently compute the exact global distinct count and check the
+    // declared 5% bound (OpsSpec additionally asserts merged ≡ direct).
     QueryDef(
       "agg_sketch_merge",
-      None,
+      Some(
+        s"""SELECT e.est_total, x.n_rows,
+           | abs(e.est_total - x.exact_total) <= x.exact_total * 0.05 AS within_bound
+           |FROM read_parquet('$HllEstDir/merge/*.parquet') e,
+           | (SELECT count(DISTINCT c_custkey) AS exact_total, count(*) AS n_rows
+           |  FROM customer) x""".stripMargin.replaceAll("\\s+", " ").trim),
       (s, d) => {
-        val perNation = Tables.t(s, d, "customer")
-          .groupBy("c_nationkey")
-          .agg(expr("hll_sketch_agg(c_custkey)").as("sk"),
-            count(lit(1)).as("n"))
-        perNation
-          .agg(
-            expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total"),
-            sum(col("n")).as("n_rows"))
-          .selectExpr("CAST(est_total AS BIGINT) AS est_total", "n_rows")
+        stageHllEstimates(s, d)
+        val exact = Tables.t(s, d, "customer")
+          .agg(countDistinct(col("c_custkey")).as("exact_total"),
+            count(lit(1)).as("n_rows"))
+        s.read.parquet(s"$HllEstDir/merge")
+          .crossJoin(exact)
+          .select(col("est_total"), col("n_rows"),
+            (abs(col("est_total") - col("exact_total")) <=
+              col("exact_total") * 0.05).as("within_bound"))
       }),
 
     // Mergeable QUANTILE sketch re-aggregation — the percentile twin of the

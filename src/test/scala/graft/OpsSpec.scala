@@ -56,13 +56,14 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("every query key has either an oracle or a spec-backed behavior test") {
+  test("every query key has an oracle (round 12: zero no-oracle keys)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    val noOracle = q -- o
-    val covered = Set("agg_approx_distinct", "agg_sketch_merge")
-    assert(noOracle == covered, s"uncovered no-oracle keys: ${noOracle -- covered}")
+    // The last two estimate keys gained staged-BOUND oracles in round 12
+    // (DuckDB checks |estimate − exact| against its own exact counts), so
+    // every registered key now carries a DuckDB oracle.
+    assert((q -- o).isEmpty, s"uncovered no-oracle keys: ${q -- o}")
   }
 
   test("SURVEY §2 inventory and SparkEntry.queries agree key-for-key") {
@@ -1030,5 +1031,111 @@ class OpsSpec extends AnyFunSuite {
     val keptSkew = rows.map(_._3).max.toDouble / rows.map(_._3).min
     assert(keptSkew < natSkew,
       f"temperature sampling did not flatten: kept $keptSkew%.2f vs natural $natSkew%.2f")
+  }
+
+  test("substring-dedup detection bounds: stride needs mod-10 alignment; winnowing does not") {
+    val sp = spark
+    import sp.implicits._
+    val alphabet = ('a' to 'z').mkString + " "
+    def rand(n: Int, r: scala.util.Random): String =
+      (1 to n).map(_ => alphabet(r.nextInt(alphabet.length))).mkString
+    def gramSets(df: org.apache.spark.sql.DataFrame,
+        kernel: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val g = kernel(df).collect().map(r => (r.getLong(0), r.getString(1)))
+      (g.filter(_._1 == 1L).map(_._2).toSet, g.filter(_._1 == 2L).map(_._2).toSet)
+    }
+    // (1) winnowing GUARANTEE: a planted common run of length >= 49 is
+    // detected at ANY relative alignment — deterministic seed sweep over
+    // random contents, lengths, and (deliberately unequal mod 10) offsets
+    for (seed <- 1 to 20) {
+      val r = new scala.util.Random(seed)
+      val run = rand(49 + r.nextInt(80), r)
+      val pa = 1 + r.nextInt(40)
+      val pb = 1 + r.nextInt(40)
+      val a = rand(pa, r) + run + rand(1 + r.nextInt(30), r)
+      val b = rand(pb, r) + run + rand(1 + r.nextInt(30), r)
+      val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val (wa, wb) = gramSets(df, llm.Pipeline.winnowGrams)
+      assert((wa intersect wb).nonEmpty,
+        s"seed $seed: winnow missed a ${run.length}-char run at offsets $pa/$pb")
+    }
+    // (2) stride kernel's alignment condition: the SAME 200-char run placed
+    // at offsets 1 and 2 (mod-10 misaligned) shares NO sampled gram — the
+    // positional kernel misses verbatim duplication of ANY length when the
+    // copies disagree mod 10 — while winnowing detects it
+    val r2 = new scala.util.Random(99)
+    val longRun = rand(200, r2)
+    val misA = longRun + rand(20, r2)                 // run starts at 1
+    val misB = rand(1, r2) + longRun + rand(20, r2)   // run starts at 2
+    val misDf = Seq((1L, misA), (2L, misB)).toDF("doc_id", "text")
+    val (sa, sb) = gramSets(misDf, llm.Pipeline.strideGrams)
+    assert((sa intersect sb).isEmpty, "stride unexpectedly matched a misaligned run")
+    val (wa2, wb2) = gramSets(misDf, llm.Pipeline.winnowGrams)
+    assert((wa2 intersect wb2).nonEmpty, "winnow missed the misaligned 200-char run")
+    // (3) stride's pinned bound at EQUAL alignment: 49 chars always found
+    // (a sampled 40-window fits at the same run offset in both copies);
+    // 48 chars can dodge the stride when the run starts at offset ≡ 2
+    // (mod 10) — sampled starts are ≡ 1 (mod 10) and the window interval
+    // spans only 9 positions
+    val r3 = new scala.util.Random(7)
+    val run49 = rand(49, r3)
+    val al49 = Seq(
+      (1L, rand(11, r3) + run49 + rand(15, r3)),   // run at 12 ≡ 2 (mod 10)
+      (2L, rand(21, r3) + run49 + rand(15, r3))    // run at 22 ≡ 2 (mod 10)
+    ).toDF("doc_id", "text")
+    val (a49, b49) = gramSets(al49, llm.Pipeline.strideGrams)
+    assert((a49 intersect b49).nonEmpty, "stride missed an aligned 49-char run")
+    val run48 = rand(48, r3)
+    val al48 = Seq(
+      (1L, rand(11, r3) + run48 + rand(15, r3)),
+      (2L, rand(21, r3) + run48 + rand(15, r3))
+    ).toDF("doc_id", "text")
+    val (a48, b48) = gramSets(al48, llm.Pipeline.strideGrams)
+    assert((a48 intersect b48).isEmpty, "48-char run at offset ≡ 2 (mod 10) should dodge the stride")
+  }
+
+  test("quality_perplexity_trigram: backoff branch fires on singleton trigrams and matches a plain-Scala reference") {
+    val sp = spark
+    import sp.implicits._
+    // synthetic corpus: a repetitive base plus ONE document with unique
+    // characters, guaranteeing singleton trigrams (the gate corpus has
+    // none — every trigram there occurs ≥ 17 times, so this branch is
+    // spec-covered rather than oracle-covered by design)
+    val texts = Seq(
+      0L -> "abcabcabcabcabc",
+      1L -> "abcabcabcabc",
+      2L -> "abcxyzqabc",     // xyz / yzq / zqa etc. occur exactly once
+      3L -> "bcabcabca")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri_prop").toString
+    texts.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // plain-Scala reference of the declared semantics
+    val tri = scala.collection.mutable.Map.empty[String, Long]
+    val ctx = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[String, Long]
+    val uni = scala.collection.mutable.Map.empty[Char, Long]
+    texts.foreach { case (_, t) =>
+      if (t.length >= 3) (0 to t.length - 3).foreach { i =>
+        tri(t.substring(i, i + 3)) = tri.getOrElse(t.substring(i, i + 3), 0L) + 1
+        ctx(t.substring(i, i + 2)) = ctx.getOrElse(t.substring(i, i + 2), 0L) + 1
+      }
+      if (t.length >= 2) (0 to t.length - 2).foreach { i =>
+        big(t.substring(i, i + 2)) = big.getOrElse(t.substring(i, i + 2), 0L) + 1
+        uni(t.charAt(i)) = uni.getOrElse(t.charAt(i), 0L) + 1
+      }
+    }
+    var backoffs = 0
+    val expected = texts.filter(_._2.length >= 3).map { case (id, t) =>
+      val qs = (0 to t.length - 3).map { i =>
+        val t3 = t.substring(i, i + 3)
+        if (tri(t3) >= 2) tri(t3) * 1000000L / ctx(t.substring(i, i + 2))
+        else { backoffs += 1; 400000L * big(t.substring(i + 1, i + 3)) / uni(t.charAt(i + 1)) }
+      }
+      (id, (t.length - 2).toLong, qs.sum / qs.length)
+    }.sortBy(_._1)
+    assert(backoffs > 0, "fixture failed to exercise the backoff branch")
+    val got = SparkEntry.queries("quality_perplexity_trigram")(sp, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexpected $expected")
   }
 }
