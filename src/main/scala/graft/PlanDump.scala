@@ -9,17 +9,25 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    // GRAFT_PLANDUMP_DIR overrides the dataset (e.g. the GenScale sf1 dir —
+    // AQE decisions are size-dependent, so a scale question needs the plan
+    // AT scale); GRAFT_PLANDUMP_BENCHPOSTURE=1 mirrors Bench's AQE
+    // over-partition posture so the dumped plan is the benched plan.
+    val dir = sys.env.getOrElse("GRAFT_PLANDUMP_DIR", "/root/testdata/sf0.01")
+    val bench = sys.env.get("GRAFT_PLANDUMP_BENCHPOSTURE").contains("1")
+    val b = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    val spark = (if (bench)
+      b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "64")
+    else b).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (k <- args) {
       println(s"======== $k ========")
-      val df = SparkEntry.queries(k)(spark, "/root/testdata/sf0.01")
+      val df = SparkEntry.queries(k)(spark, dir)
       df.collect() // materialize so AQE finalizes every stage
       println(df.queryExecution.executedPlan.toString.take(9000))
     }

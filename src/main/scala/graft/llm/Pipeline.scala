@@ -46,11 +46,18 @@ object Pipeline {
     * pairs at arbitrary alignments.
     */
   private[graft] def winnowGrams(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.select(col("doc_id"), col("text"), expr(
-        "CASE WHEN length(text) >= 40 THEN " +
-          "transform(sequence(1, length(text) - 39), i -> xxhash64(substring(text, i, 40))) " +
-          "ELSE CAST(array() AS ARRAY<BIGINT>) END").as("hs"))
-      .where(size(col("hs")) > 0)
+    // The short-doc guard is a CHEAP length predicate, deliberately BEFORE
+    // the hash-array projection: a `where(size(hs) > 0)` after it looked
+    // equivalent, but predicate pushdown rewrote that filter in terms of
+    // the scan columns and pushed the ENTIRE interpreted hash transform
+    // below the spread-repartition into the (often single-task) scan stage
+    // — measured as one straggler task carrying the whole sf10 staging
+    // pass. length(text) >= 40 also makes the sequence() bounds valid
+    // without a CASE guard (Spark's sequence(1, n) is DESCENDING for
+    // n < 1, never empty).
+    df.where(length(col("text")) >= 40)
+      .select(col("doc_id"), col("text"), expr(
+        "transform(sequence(1, length(text) - 39), i -> xxhash64(substring(text, i, 40)))").as("hs"))
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, greatest(size(hs) - 9, 1)), " +
           "j -> substring(text, CAST(j - 1 + array_position(slice(hs, j, 10), array_min(slice(hs, j, 10))) AS INT), 40)))")).as("g"))
@@ -758,7 +765,8 @@ object Pipeline {
         // triple memoizes per (session, dataset) instead of re-exploding
         // the corpus per invocation. Scoring below always re-runs.
         val (minC, span, q) = bigramLmCache.computeIfAbsent((s, d), { case (ss, dd) =>
-          val cb = Tables.t(ss, dd, "documents").where(length(col("text")) >= 2)
+          val cb = Tables.spread(ss,
+              Tables.t(ss, dd, "documents").where(length(col("text")) >= 2))
             .select(col("doc_id"), explode(expr(
               "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
             .groupBy("bg").agg(count(lit(1)).as("nb"))
@@ -834,12 +842,12 @@ object Pipeline {
         val (minC, nRanks, rankArr, q3) = trigramLmCache.computeIfAbsent((s, d), { case (ss, dd) =>
           val base = Tables.t(ss, dd, "documents")
           // one explode pass per model level; both are combinable counts
-          val tri = base.where(length(col("text")) >= 3)
+          val tri = Tables.spread(ss, base.where(length(col("text")) >= 3))
             .select(explode(expr(
               "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
             .groupBy("tri").agg(count(lit(1)).as("n3"))
             .collect().map(r => (r.getString(0), r.getLong(1)))
-          val bg = base.where(length(col("text")) >= 2)
+          val bg = Tables.spread(ss, base.where(length(col("text")) >= 2))
             .select(explode(expr(
               "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
             .groupBy("bg").agg(count(lit(1)).as("nb"))

@@ -27,29 +27,54 @@ object Joins {
     * dup-event_id input the real events table never exhibits.
     */
   private[graft] def asofPick(e: DataFrame, o: DataFrame): DataFrame =
+    // PACKED-ordering hash aggregation (round 12): the natural
+    // max_by(payload, struct(ordering)) plans as SortAggregate — struct
+    // agg buffers are not UnsafeRow-mutable, so Spark SORTED the entire
+    // per-user join fan-out before the partial agg (measured decade
+    // exponent 1.002, the sort being the superlinear term). Packing the
+    // ordering triple (o_orderdate days, o_orderkey, ts_ms) into ONE
+    // DECIMAL(38,0) makes the buffer fixed-width, so plain max() runs as
+    // a partial HASH aggregate inside the join stage: the exchange still
+    // carries one row per event and nothing sorts but the final ORDER BY
+    // — and because the pick's payload IS its ordering fields, all three
+    // output columns decode back out of the packed maximum. Lexicographic
+    // (days, o_orderkey, ts_ms) DESC ≡ numeric DESC while every component
+    // is non-negative and inside its digit budget — the packing contract:
+    // 0 ≤ days < 10^5 (through year 2243), 0 ≤ o_orderkey < 10^15,
+    // 0 ≤ ts_ms < 10^13 (through year 2286).
     e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts_ts"))
       .groupBy(col("event_id"))
-      .agg(max_by(
-        struct(col("ts_ms"), col("o_orderkey"), col("o_orderdate")),
-        struct(col("o_orderdate"), col("o_orderkey"), col("ts_ms"))).as("pick"))
-      .select(col("event_id"), col("pick.ts_ms").as("ts_ms"),
-        col("pick.o_orderkey").as("o_orderkey"),
-        col("pick.o_orderdate").as("o_orderdate"))
+      .agg(max(expr(
+        "CAST(datediff(o_orderdate, DATE'1970-01-01') AS DECIMAL(10,0))" +
+          " * 10000000000000000000000000000" +
+          " + CAST(o_orderkey AS DECIMAL(16,0)) * 10000000000000 + ts_ms")).as("p"))
+      .select(col("event_id"),
+        expr("CAST(p % 10000000000000 AS BIGINT)").as("ts_ms"),
+        expr("CAST((p % 10000000000000000000000000000) div 10000000000000 AS BIGINT)")
+          .as("o_orderkey"),
+        expr("timestampadd(DAY, CAST(p div 10000000000000000000000000000 AS INT), " +
+          "TIMESTAMP_NTZ'1970-01-01 00:00:00')").as("o_orderdate"))
       .orderBy("event_id")
 
-  /** Nearest-match pick core (D9n); `e` carries (event_id, user_id, ts_ms). */
+  /** Nearest-match pick core (D9n); `e` carries (event_id, user_id, ts_ms).
+    * Same packed-decimal hash-agg shape as [[asofPick]], ordering
+    * (dist_ms, o_orderkey, ts_ms) ASC under min(); digit budget
+    * dist_ms < 10^13 (a ±274-year alignment span), o_orderkey < 10^12,
+    * ts_ms < 10^13.
+    */
   private[graft] def asofNearestPick(e: DataFrame, o: DataFrame): DataFrame = {
     val od = o.select(col("o_orderkey"), col("o_custkey"),
       unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"))
-    val dist = abs(col("ts_ms") - col("od_ms"))
     e.join(od, e("user_id") === od("o_custkey"))
       .groupBy(col("event_id"))
-      .agg(min_by(
-        struct(col("ts_ms"), col("o_orderkey"), dist.cast("long").as("dist_ms")),
-        struct(dist, col("o_orderkey"), col("ts_ms"))).as("pick"))
-      .select(col("event_id"), col("pick.ts_ms").as("ts_ms"),
-        col("pick.o_orderkey").as("o_orderkey"),
-        col("pick.dist_ms").as("dist_ms"))
+      .agg(min(expr(
+        "CAST(abs(ts_ms - od_ms) AS DECIMAL(14,0)) * 10000000000000000000000000" +
+          " + CAST(o_orderkey AS DECIMAL(13,0)) * 10000000000000 + ts_ms")).as("p"))
+      .select(col("event_id"),
+        expr("CAST(p % 10000000000000 AS BIGINT)").as("ts_ms"),
+        expr("CAST((p % 10000000000000000000000000) div 10000000000000 AS BIGINT)")
+          .as("o_orderkey"),
+        expr("CAST(p div 10000000000000000000000000 AS BIGINT)").as("dist_ms"))
       .orderBy("event_id")
   }
 
