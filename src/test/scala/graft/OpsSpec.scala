@@ -66,6 +66,19 @@ class OpsSpec extends AnyFunSuite {
     assert((q -- o).isEmpty, s"uncovered no-oracle keys: ${q -- o}")
   }
 
+  test("staged-oracle keys are a consistent, flagged subset") {
+    val staged = SparkEntry.stagedOracle.toSet
+    val memo = SparkEntry.memoized.toSet
+    // every staged-oracle key must actually publish an oracle (the flag
+    // marks verification STRENGTH, not absence)...
+    assert(staged.subsetOf(SparkEntry.oracleSql.keySet),
+      s"staged keys without an oracle: ${staged -- SparkEntry.oracleSql.keySet}")
+    // ...and must be bench-memoized: staging runs once per (JVM, dataset),
+    // so timed repeats measure post-staging work — exactly what the
+    // memoized flag tells a cross-round comparison.
+    assert(staged.subsetOf(memo), s"staged but not memoized: ${staged -- memo}")
+  }
+
   test("SURVEY §2 inventory and SparkEntry.queries agree key-for-key") {
     // The judge audits SURVEY §2 line by line against the registry; a key
     // declared but unregistered (or registered but undeclared) is a silent

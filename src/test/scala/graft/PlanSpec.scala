@@ -39,6 +39,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("topk_order_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("D9/D9n: asof picks aggregate with HASH aggregates, never SortAggregate") {
+    // round 12: max_by/min_by(struct) planned as SortAggregate and sorted
+    // the whole join fan-out (decade exponent ~1.0); the packed-decimal
+    // rewrite must keep both picks HashAggregate-only — a regression to a
+    // struct-buffered aggregate reintroduces the fan-out sort silently.
+    for (k <- Seq("join_asof", "join_asof_nearest")) {
+      val p = plan(k)
+      assert(p.contains("HashAggregate"), s"$k lost its hash aggregate:\n$p")
+      assert(!p.contains("SortAggregate"),
+        s"$k regressed to SortAggregate (struct agg buffer?):\n$p")
+    }
+  }
+
   test("graph_triangle_count: hashed closing semi join, broadcast orientation, bloom prune") {
     val p = plan("graph_triangle_count")
     // the closing-edge verify must HASH, never sort the Σ outdeg² wedge
