@@ -75,7 +75,10 @@ object Bench {
     val spark = SparkSession.builder()
       .config("spark.local.dir", scratch)
       .withExtensions(graft.opt.AnnotationRewrite.inject)
-      .master(s"local[$cpus]")
+      // SPARK_GRAFT_MASTER: multi-process bench (local-cluster[w,c,mem]) —
+      // numbers are NOT comparable to local[N] artifacts (per-task RPC +
+      // shuffle-over-loopback costs); used for the multi-JVM gate only.
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       // Shuffle WIDTH must scale with data even though the bench box has
       // few cores: with shuffle.partitions pinned to cpus, the 10×
