@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators beyond SURVEY §2.L's dedup/similarity
@@ -801,6 +802,63 @@ object Pipeline {
         docs
           .select(col("doc_id"), (length(t) - 1).cast("long").as("n_bg"), sumQ.as("sq"))
           .select(col("doc_id"), col("n_bg"), expr("sq div n_bg").cast("long").as("score_micro"))
+          .orderBy("doc_id")
+      }),
+
+    // Exact longest-shared-run length — true ExactSubstr semantics (report
+    // HOW LONG the longest cross-document verbatim run is, not just that
+    // one exists): full-density 40-grams, matched cross-doc positions
+    // grouped by DIAGONAL (i − j), consecutive positions on a diagonal
+    // form an island, run length = island size + 39 — exact for every run
+    // ≥ 40 chars (all its grams match consecutively on one diagonal).
+    // Fully independent oracle: plain substr/join/window arithmetic, no
+    // staged artifact. Scale posture: the position join is PRE-FILTERED to
+    // grams shared by ≥ 2 docs (a 20× cut at gate scale, far more on a
+    // deduped corpus); per-gram fan-out is the boilerplate-skew hazard —
+    // at 100 TB, collapse exact dups first and cap per-gram doc fan-out
+    // (the dedup_minhash_near discipline); islands partition by
+    // (docA, docB, diagonal), so the window is many small partitions,
+    // never global.
+    QueryDef(
+      "dedup_substring_runlen",
+      Some(
+        "WITH g AS (SELECT doc_id, CAST(i AS INT) AS i, substr(text, CAST(i AS INT), 40) AS g " +
+          "FROM documents, unnest(generate_series(1, greatest(length(text) - 39, 0))) AS t(i)), " +
+          "s AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g HAVING count(*) >= 2), " +
+          "m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.i - b.i AS d, a.i " +
+          "FROM (SELECT * FROM g SEMI JOIN s USING (g)) a JOIN (SELECT * FROM g SEMI JOIN s USING (g)) b " +
+          "ON a.g = b.g AND a.doc_id < b.doc_id), " +
+          "runs AS (SELECT da, db, CAST(count(*) + 39 AS BIGINT) AS run FROM " +
+          "(SELECT da, db, d, i, i - row_number() OVER (PARTITION BY da, db, d ORDER BY i) AS isl FROM m) " +
+          "GROUP BY da, db, d, isl), " +
+          "per_doc AS (SELECT doc_id, max(run) AS longest FROM " +
+          "(SELECT da AS doc_id, run FROM runs UNION ALL SELECT db AS doc_id, run FROM runs) GROUP BY doc_id) " +
+          "SELECT d.doc_id, CAST(COALESCE(p.longest, 0) AS BIGINT) AS longest_run " +
+          "FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"),
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val g = Tables.spread(s, docs.where(length(col("text")) >= 40))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, length(text) - 39), i -> substring(text, i, 40))")))
+          .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+        val shared = g.select(col("doc_id"), col("g")).distinct()
+          .groupBy("g").agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("g")
+        val gs = g.join(shared, Seq("g"), "left_semi")
+        val a = gs.select(col("g"), col("doc_id").as("da"), col("i").as("ia"))
+        val b = gs.select(col("g"), col("doc_id").as("db"), col("i").as("ib"))
+        val m = a.join(b, Seq("g")).where(col("da") < col("db"))
+          .select(col("da"), col("db"), (col("ia") - col("ib")).as("d"), col("ia").as("i"))
+        val isl = m.withColumn("isl",
+          col("i") - row_number().over(
+            Window.partitionBy("da", "db", "d").orderBy("i")))
+        val runs = isl.groupBy("da", "db", "d", "isl")
+          .agg((count(lit(1)) + 39).cast("long").as("run"))
+        val perDoc = runs.select(col("da").as("doc_id"), col("run"))
+          .union(runs.select(col("db").as("doc_id"), col("run")))
+          .groupBy("doc_id").agg(max(col("run")).as("longest"))
+        docs.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("longest"), lit(0L)).as("longest_run"))
           .orderBy("doc_id")
       }),
 

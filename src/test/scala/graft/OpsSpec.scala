@@ -1151,4 +1151,27 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(got.toSeq == expected, s"got ${got.toSeq}\nexpected $expected")
   }
+
+  test("dedup_substring_runlen: reports the EXACT planted run length at any alignment") {
+    val sp = spark
+    import sp.implicits._
+    val alphabet = ('a' to 'z').mkString + " "
+    def rand(n: Int, r: scala.util.Random): String =
+      (1 to n).map(_ => alphabet(r.nextInt(alphabet.length))).mkString
+    val r = new scala.util.Random(41)
+    val run = rand(137, r)
+    // misaligned offsets (5 vs 12) — the run-length operator is
+    // alignment-free by construction (full-density grams)
+    val texts = Seq(
+      1L -> (rand(5, r) + run + rand(23, r)),
+      2L -> (rand(12, r) + run + rand(9, r)),
+      3L -> rand(120, r),   // no shared content → 0
+      4L -> rand(60, r))
+    val dir = java.nio.file.Files.createTempDirectory("graft_runlen_prop").toString
+    texts.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_substring_runlen")(sp, dir)
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(got == Map(1L -> 137L, 2L -> 137L, 3L -> 0L, 4L -> 0L), got.toString)
+  }
 }
