@@ -807,58 +807,73 @@ object Pipeline {
 
     // Exact longest-shared-run length — true ExactSubstr semantics (report
     // HOW LONG the longest cross-document verbatim run is, not just that
-    // one exists): full-density 40-grams, matched cross-doc positions
-    // grouped by DIAGONAL (i − j), consecutive positions on a diagonal
-    // form an island, run length = island size + 39 — exact for every run
-    // ≥ 40 chars (all its grams match consecutively on one diagonal).
-    // Fully independent oracle: plain substr/join/window arithmetic, no
-    // staged artifact. Scale posture: the position join is PRE-FILTERED to
-    // grams shared by ≥ 2 docs (a 20× cut at gate scale, far more on a
-    // deduped corpus); per-gram fan-out is the boilerplate-skew hazard —
-    // at 100 TB, collapse exact dups first and cap per-gram doc fan-out
-    // (the dedup_minhash_near discipline); islands partition by
-    // (docA, docB, diagonal), so the window is many small partitions,
-    // never global.
+    // one exists). Two-level design, EXACT-DUP COLLAPSE FIRST (the
+    // 100 TB / replication discipline: duplicate groups grow linearly
+    // with corpus growth, so a per-pair kernel over raw docs quietly goes
+    // quadratic in the duplication factor — only DISTINCT contents may
+    // enter the position join):
+    //   (1) group identical texts; a doc with an exact twin trivially
+    //       shares its FULL length (its whole text is the run);
+    //   (2) between distinct contents (one representative each):
+    //       full-density 40-grams, matched cross-rep positions grouped by
+    //       DIAGONAL (i − j); consecutive positions form an island, run
+    //       length = island size + 39 — exact for every run ≥ 40 chars.
+    // Per-doc answer = max(full length if it has an exact twin, its
+    // content group's cross-content longest). Fully independent oracle:
+    // plain group/substr/join/window arithmetic, no staged artifact.
+    // Remaining skew hazard is per-gram BOILERPLATE fan-out across
+    // distinct contents — cap per-gram rep count at 100 TB (documented,
+    // not needed at gate scales); islands partition by (repA, repB,
+    // diagonal), so the window is many small partitions, never global.
     QueryDef(
       "dedup_substring_runlen",
       Some(
-        "WITH g AS (SELECT doc_id, CAST(i AS INT) AS i, substr(text, CAST(i AS INT), 40) AS g " +
-          "FROM documents, unnest(generate_series(1, greatest(length(text) - 39, 0))) AS t(i)), " +
-          "s AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g HAVING count(*) >= 2), " +
-          "m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.i - b.i AS d, a.i " +
+        "WITH grp AS (SELECT text, min(doc_id) AS rep, count(*) AS n FROM documents GROUP BY text), " +
+          "g AS (SELECT rep, CAST(i AS INT) AS i, substr(text, CAST(i AS INT), 40) AS g " +
+          "FROM grp, unnest(generate_series(1, greatest(length(text) - 39, 0))) AS t(i)), " +
+          "s AS (SELECT g FROM (SELECT DISTINCT rep, g FROM g) GROUP BY g HAVING count(*) >= 2), " +
+          "m AS (SELECT a.rep AS ra, b.rep AS rb, a.i - b.i AS d, a.i " +
           "FROM (SELECT * FROM g SEMI JOIN s USING (g)) a JOIN (SELECT * FROM g SEMI JOIN s USING (g)) b " +
-          "ON a.g = b.g AND a.doc_id < b.doc_id), " +
-          "runs AS (SELECT da, db, CAST(count(*) + 39 AS BIGINT) AS run FROM " +
-          "(SELECT da, db, d, i, i - row_number() OVER (PARTITION BY da, db, d ORDER BY i) AS isl FROM m) " +
-          "GROUP BY da, db, d, isl), " +
-          "per_doc AS (SELECT doc_id, max(run) AS longest FROM " +
-          "(SELECT da AS doc_id, run FROM runs UNION ALL SELECT db AS doc_id, run FROM runs) GROUP BY doc_id) " +
-          "SELECT d.doc_id, CAST(COALESCE(p.longest, 0) AS BIGINT) AS longest_run " +
-          "FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"),
+          "ON a.g = b.g AND a.rep < b.rep), " +
+          "runs AS (SELECT ra, rb, CAST(count(*) + 39 AS BIGINT) AS run FROM " +
+          "(SELECT ra, rb, d, i, i - row_number() OVER (PARTITION BY ra, rb, d ORDER BY i) AS isl FROM m) " +
+          "GROUP BY ra, rb, d, isl), " +
+          "xr AS (SELECT rep, max(run) AS longest FROM " +
+          "(SELECT ra AS rep, run FROM runs UNION ALL SELECT rb AS rep, run FROM runs) GROUP BY rep) " +
+          "SELECT doc.doc_id, CAST(greatest(COALESCE(x.longest, 0), " +
+          "CASE WHEN grp.n >= 2 AND length(doc.text) >= 40 THEN length(doc.text) ELSE 0 END) AS BIGINT) AS longest_run " +
+          "FROM documents doc JOIN grp ON doc.text = grp.text " +
+          "LEFT JOIN xr x ON grp.rep = x.rep ORDER BY doc.doc_id"),
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
-        val g = Tables.spread(s, docs.where(length(col("text")) >= 40))
-          .select(col("doc_id"), posexplode(expr(
+        val grp = docs.groupBy(col("text"))
+          .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+        val g = Tables.spread(s, grp.where(length(col("text")) >= 40))
+          .select(col("rep"), posexplode(expr(
             "transform(sequence(1, length(text) - 39), i -> substring(text, i, 40))")))
-          .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
-        val shared = g.select(col("doc_id"), col("g")).distinct()
+          .select(col("rep"), (col("pos") + 1).as("i"), col("col").as("g"))
+        val shared = g.select(col("rep"), col("g")).distinct()
           .groupBy("g").agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("g")
         val gs = g.join(shared, Seq("g"), "left_semi")
-        val a = gs.select(col("g"), col("doc_id").as("da"), col("i").as("ia"))
-        val b = gs.select(col("g"), col("doc_id").as("db"), col("i").as("ib"))
-        val m = a.join(b, Seq("g")).where(col("da") < col("db"))
-          .select(col("da"), col("db"), (col("ia") - col("ib")).as("d"), col("ia").as("i"))
+        val a = gs.select(col("g"), col("rep").as("ra"), col("i").as("ia"))
+        val b = gs.select(col("g"), col("rep").as("rb"), col("i").as("ib"))
+        val m = a.join(b, Seq("g")).where(col("ra") < col("rb"))
+          .select(col("ra"), col("rb"), (col("ia") - col("ib")).as("d"), col("ia").as("i"))
         val isl = m.withColumn("isl",
           col("i") - row_number().over(
-            Window.partitionBy("da", "db", "d").orderBy("i")))
-        val runs = isl.groupBy("da", "db", "d", "isl")
+            Window.partitionBy("ra", "rb", "d").orderBy("i")))
+        val runs = isl.groupBy("ra", "rb", "d", "isl")
           .agg((count(lit(1)) + 39).cast("long").as("run"))
-        val perDoc = runs.select(col("da").as("doc_id"), col("run"))
-          .union(runs.select(col("db").as("doc_id"), col("run")))
-          .groupBy("doc_id").agg(max(col("run")).as("longest"))
-        docs.select(col("doc_id"))
-          .join(perDoc, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), coalesce(col("longest"), lit(0L)).as("longest_run"))
+        val xr = runs.select(col("ra").as("rep"), col("run"))
+          .union(runs.select(col("rb").as("rep"), col("run")))
+          .groupBy("rep").agg(max(col("run")).as("longest"))
+        docs.select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+          .join(grp, Seq("text"))
+          .join(xr, Seq("rep"), "left_outer")
+          .select(col("doc_id"), greatest(
+            coalesce(col("longest"), lit(0L)),
+            when(col("n") >= 2 && col("len") >= 40L, col("len")).otherwise(lit(0L))
+          ).as("longest_run"))
           .orderBy("doc_id")
       }),
 

@@ -1162,16 +1162,20 @@ class OpsSpec extends AnyFunSuite {
     val run = rand(137, r)
     // misaligned offsets (5 vs 12) — the run-length operator is
     // alignment-free by construction (full-density grams)
+    val twin = rand(83, r)
     val texts = Seq(
       1L -> (rand(5, r) + run + rand(23, r)),
       2L -> (rand(12, r) + run + rand(9, r)),
       3L -> rand(120, r),   // no shared content → 0
-      4L -> rand(60, r))
+      4L -> rand(60, r),
+      5L -> twin,           // exact twins: longest = full length via the
+      6L -> twin)           // collapse branch, no pair join involved
     val dir = java.nio.file.Files.createTempDirectory("graft_runlen_prop").toString
     texts.toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = SparkEntry.queries("dedup_substring_runlen")(sp, dir)
       .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
-    assert(got == Map(1L -> 137L, 2L -> 137L, 3L -> 0L, 4L -> 0L), got.toString)
+    assert(got == Map(1L -> 137L, 2L -> 137L, 3L -> 0L, 4L -> 0L,
+      5L -> 83L, 6L -> 83L), got.toString)
   }
 }
