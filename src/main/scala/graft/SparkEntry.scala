@@ -60,7 +60,7 @@ object SparkEntry {
     "dedup_simhash", "sim_ann_lsh", "multimodal_phash_neardup",
     "udaf_imperative_minhash", "agg_quantile_merge", "sim_ann_ivf",
     "dedup_semdedup_cluster", "embed_pca_project",
-    "agg_approx_distinct", "agg_sketch_merge", "dedup_substring_winnow")
+    "agg_approx_distinct", "agg_sketch_merge")
 
   def stagedOracle: Seq[String] = stagedOracleKeys.toSeq.sorted
 

@@ -34,8 +34,11 @@ object Pipeline {
     (org.apache.spark.sql.SparkSession, String), (Int, Int, Array[Int], Array[Long])]()
 
   /** Winnowing gram selection (Schleimer–Wilkerson–Aiken local fingerprinting)
-    * over `doc_id`/`text` rows: hash every 40-char gram, then in every window
-    * of 10 consecutive grams select the (leftmost-)minimum-hash gram.
+    * over `doc_id`/`text` rows: hash every 40-char gram — md5, whose
+    * lowercase-hex text is bit-identical in Spark and DuckDB, so the
+    * oracle recomputes the selection INDEPENDENTLY from the base table —
+    * then in every window of 10 consecutive grams select the
+    * (leftmost-)minimum-hash gram.
     * CONTENT-DEFINED sampling — identical text selects identical grams no
     * matter where it sits in the document — with the winnowing guarantee:
     * any cross-document verbatim run of ≥ w + s − 1 = 49 chars contains 10
@@ -58,7 +61,7 @@ object Pipeline {
     // n < 1, never empty).
     df.where(length(col("text")) >= 40)
       .select(col("doc_id"), col("text"), expr(
-        "transform(sequence(1, length(text) - 39), i -> xxhash64(substring(text, i, 40)))").as("hs"))
+        "transform(sequence(1, length(text) - 39), i -> md5(substring(text, i, 40)))").as("hs"))
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, greatest(size(hs) - 9, 1)), " +
           "j -> substring(text, CAST(j - 1 + array_position(slice(hs, j, 10), array_min(slice(hs, j, 10))) AS INT), 40)))")).as("g"))
@@ -75,11 +78,12 @@ object Pipeline {
           "ELSE array() END")).as("g"))
       .distinct()
 
-  /** Fixed staging path for the winnowed fingerprint table (the
-    * staged-signature oracle discipline — see Llm.SimhashSigDir): the
-    * xxhash64-driven winnow selection is the only engine-specific step;
-    * the banding (shared-by-≥2-docs) and per-doc counting run in BOTH
-    * engines over the staged (doc_id, g) rows.
+  /** Fixed staging path for the winnowed fingerprint table — a Spark-side
+    * PERFORMANCE artifact only (the selection pass runs once per (JVM,
+    * dataset); banding re-runs per invocation over the staged rows). The
+    * ORACLE does not read it: since round 12 the md5 minimizer makes the
+    * whole selection recomputable in DuckDB, so the oracle rebuilds the
+    * winnow from the base table independently.
     */
   private val WinnowFpDir = s"${sys.props("java.io.tmpdir")}/graft_winnow_fp"
 
@@ -710,16 +714,26 @@ object Pipeline {
     // detected at ANY relative alignment (OpsSpec proves the
     // guarantee over random plants). Same density as the stride kernel
     // (~1 gram per 10 chars → corpus_chars/10 candidate rows), same
-    // gram-keyed joins; the hash+select pass is one narrow codegen HOF
-    // scan. Oracle: staged-signature discipline — the xxhash64 winnow
-    // selection stages once per (JVM, dataset); banding + counting run in
-    // BOTH engines over the staged (doc_id, g) rows.
+    // gram-keyed joins; the hash+select pass is one narrow HOF scan.
+    // FULLY INDEPENDENT oracle (upgraded from staged in round 12): the
+    // minimizer hash is md5, identical hex text in both engines, so
+    // DuckDB rebuilds hashes → per-window leftmost-argmin (h, i) →
+    // selection → banding entirely from the base table; the Spark-side
+    // staging remains as a per-(JVM, dataset) performance artifact only.
     QueryDef(
       "dedup_substring_winnow",
       Some(
-        s"WITH g AS (SELECT DISTINCT doc_id, g FROM read_parquet('$WinnowFpDir/data/*.parquet')), " +
-          "s AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2), " +
-          "c AS (SELECT doc_id, count(*) AS n_shared FROM g JOIN s USING (g) GROUP BY doc_id) " +
+        "WITH d40 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40), " +
+          "g AS (SELECT doc_id, CAST(i AS INT) AS i, substr(text, CAST(i AS INT), 40) AS g, " +
+          "md5(substr(text, CAST(i AS INT), 40)) AS h " +
+          "FROM d40, unnest(generate_series(1, length(text) - 39)) AS t(i)), " +
+          "w AS (SELECT doc_id, CAST(j AS INT) AS j " +
+          "FROM d40, unnest(generate_series(1, greatest(length(text) - 48, 1))) AS t(j)), " +
+          "sel AS (SELECT DISTINCT doc_id, g FROM (" +
+          "SELECT w.doc_id, w.j, g.g, row_number() OVER (PARTITION BY w.doc_id, w.j ORDER BY g.h, g.i) AS rn " +
+          "FROM w JOIN g ON g.doc_id = w.doc_id AND g.i BETWEEN w.j AND w.j + 9) WHERE rn = 1), " +
+          "s AS (SELECT g FROM sel GROUP BY g HAVING count(*) >= 2), " +
+          "c AS (SELECT doc_id, count(*) AS n_shared FROM sel JOIN s USING (g) GROUP BY doc_id) " +
           "SELECT d.doc_id, CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared " +
           "FROM documents d LEFT JOIN c USING (doc_id) ORDER BY doc_id"),
       (s, d) => {
