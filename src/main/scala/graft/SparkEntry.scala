@@ -57,8 +57,7 @@ object SparkEntry {
     * can distinguish the two verification strengths (round-11 advisor).
     */
   private val stagedOracleKeys: Set[String] = Set(
-    "dedup_simhash", "sim_ann_lsh", "multimodal_phash_neardup",
-    "udaf_imperative_minhash", "agg_quantile_merge", "sim_ann_ivf",
+    "multimodal_phash_neardup", "sim_ann_ivf",
     "dedup_semdedup_cluster", "embed_pca_project",
     "agg_approx_distinct", "agg_sketch_merge")
 

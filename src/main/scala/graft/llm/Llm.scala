@@ -28,23 +28,36 @@ object Llm {
     */
   val ExactCosineMaxRows: Long = 10000L
 
-  /** Fixed staging path for the simhash signature table — fixed (no dataset
-    * hash) because the DuckDB oracle's read_parquet glob is a static
-    * literal; a `_dataset` marker triggers re-staging on dataset change
-    * (the scan_binaryfile_ingest discipline: Verify/bench run one dataset
-    * at a time and the oracle compare runs after the dump, so the path
-    * always holds the right vintage when read). Single-process assumption
-    * as for the binary-file corpus.
+  /** Fixed staging path for the simhash signature table — a Spark-side
+    * PERFORMANCE artifact since round 12: the per-doc signature kernel
+    * runs once per (JVM, dataset) and the query's banding reads it, but
+    * the ORACLE recomputes the md5-token-hash bit-vote signature from the
+    * base table independently. Fixed path (no dataset hash) because the
+    * query reads it within one process; a kernel-version-tagged
+    * content-fingerprint `_dataset` marker re-stages on data OR kernel
+    * change.
     */
-  val SimhashSigDir = s"${sys.props("java.io.tmpdir")}/graft_simhash_sig"
+    val SimhashSigDir = s"${sys.props("java.io.tmpdir")}/graft_simhash_sig"
 
-  /** Fixed staging path for the sign-LSH bucket table (the staged-signature
-    * discipline, see [[SimhashSigDir]]): the 8-plane double dot-product
-    * sign fold is the only engine-specific step of sim_ann_lsh — staged
-    * once per (JVM, dataset), BOTH engines then run the multi-probe bucket
-    * join + exact 6-dp cosine rank over the same (vec_id, bucket) rows.
+  /** Fixed staging path for the sign-LSH bucket table — a Spark-side
+    * PERFORMANCE artifact since round 12 (the fold runs once per (JVM,
+    * dataset); the query's bucket join reads it). The ORACLE no longer
+    * reads it: the seed-42 planes inline into the SQL and DuckDB
+    * recomputes the sign fold from the base table (see [[LshPlanes]]).
     */
   val LshBucketDir = s"${sys.props("java.io.tmpdir")}/graft_lshbuckets"
+
+  /** The 8 signed hyperplanes of the LSH fold — a FIXED, seed-42 ±1
+    * pattern shared verbatim by the Spark kernel (inlined literal array)
+    * and, since round 12, by the DuckDB oracle (inlined [±1.0,…] lists in
+    * list_dot_product), so both engines compute the bucket fold
+    * independently — the identical sequential double accumulation as the
+    * cosine discipline (see cosCol/duckCos).
+    */
+  private val LshPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(8)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
 
   private def stageLshBuckets(s: SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -54,10 +67,8 @@ object Llm {
     val fp = Tables.fingerprint(d, "embeddings")
     val marker = Paths.get(LshBucketDir, "_dataset")
     if (Files.exists(marker) && Files.readString(marker) == fp) return
-    val rnd = new scala.util.Random(42)
-    val planes = Seq.fill(8)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
     Tables.spread(s, Tables.t(s, d, "embeddings"))
-      .withColumn("hp", typedLit(planes))
+      .withColumn("hp", typedLit(LshPlanes))
       .select(col("vec_id"), expr(
         "CAST(aggregate(sequence(0, 7), 0, (acc, p) -> acc + CASE WHEN " +
           "aggregate(zip_with(embedding, hp[p], (x, h) -> CAST(x AS DOUBLE) * h), CAST(0 AS DOUBLE), (a2, v) -> a2 + v) >= 0 " +
@@ -75,19 +86,29 @@ object Llm {
     */
   private def stageSimhashSigs(s: SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
-    // content-fingerprint marker — see stageLshBuckets
-    val fp = Tables.fingerprint(d, "documents")
+    // content-fingerprint marker + kernel-version tag (round-12 fnv64 ->
+    // md5 switch must invalidate staged artifacts on unchanged data)
+    val fp = "md5sim|" + Tables.fingerprint(d, "documents")
     val marker = Paths.get(SimhashSigDir, "_dataset")
     if (Files.exists(marker) && Files.readString(marker) == fp) return
     val simhashUdf = udf { (text: String) =>
       val cnt = new Array[Int](64)
+      // md5-derived per-token 64-bit hash (round 12): the first 8 digest
+      // bytes big-endian == the first 16 hex chars both engines parse, so
+      // the DuckDB oracle recomputes the whole signature independently
+      val md = java.security.MessageDigest.getInstance("MD5")
       var start = 0
       val n = text.length
       var i = 0
       while (i <= n) {
         if (i == n || text.charAt(i) == ' ') {
           if (i > start) {
-            val h = fnv64(text.substring(start, i))
+            md.reset()
+            val dig = md.digest(text.substring(start, i)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L
+            var k = 0
+            while (k < 8) { h = (h << 8) | (dig(k) & 0xffL); k += 1 }
             var b = 0
             while (b < 64) {
               if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
@@ -832,7 +853,12 @@ object Llm {
     QueryDef(
       "dedup_simhash",
       Some(
-        "WITH s AS (SELECT doc_id, sim FROM read_parquet('" + SimhashSigDir + "/data/*.parquet')), " +
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+          "u0 AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS u FROM tok WHERE tok <> ''), " +
+          "v AS (SELECT doc_id, r.b AS b, sum(CASE WHEN (u >> CAST(r.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote " +
+          "FROM u0, range(64) r(b) GROUP BY doc_id, r.b), " +
+          "s0 AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::HUGEINT << CAST(b AS INT) ELSE 0::HUGEINT END) AS us FROM v GROUP BY doc_id), " +
+          "s AS (SELECT doc_id, CAST(us - (CASE WHEN us >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS sim FROM s0), " +
           "b AS (SELECT doc_id, sim, r.p AS band, (sim >> (r.p * 16)) & 65535 AS bkey FROM s, range(4) r(p)), " +
           "p AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j, " +
           "CAST(bit_count(xor(a.sim, c.sim)) AS BIGINT) AS hamming " +
@@ -1115,17 +1141,22 @@ object Llm {
     // measured end-to-end top-k recall ≈ 0.16 because near-tie background
     // sims crowd the top-3 cut). sign-LSH fundamentally tops out here;
     // sim_ann_ivf (k-means inverted file, recall ≈ 0.93) is the preferred
-    // scale path. ORACLED via the staged-bucket pattern (round 11, see
-    // [[stageLshBuckets]]): the hyperplane fold stages once; DuckDB runs
-    // the identical multi-probe xor join + 6-dp-rounded exact cosine rank
-    // over the staged buckets, so the approximate RESULT is still an
-    // exact, deterministic function both engines agree on. OpsSpec keeps
-    // measuring recall vs brute force. Key is memoized (staged layout).
+    // scale path. FULLY INDEPENDENT oracle (upgraded from staged, round
+    // 12): the seed-42 hyperplanes inline into the SQL as [±1.0,…] lists,
+    // so DuckDB recomputes the 8-plane sign fold from the base table with
+    // list_dot_product (bit-identical sequential accumulation — the
+    // cosine discipline), then runs the same multi-probe xor join +
+    // 6-dp-rounded exact cosine rank. The staged bucket table remains a
+    // Spark-side performance artifact only. OpsSpec keeps measuring
+    // recall vs brute force. Key is memoized (staged layout).
     QueryDef(
       "sim_ann_lsh",
       Some {
         val masks = (0 until 256).filter(m => Integer.bitCount(m) <= 2).mkString(", ")
-        "WITH bk AS (SELECT vec_id, bucket FROM read_parquet('" + LshBucketDir + "/data/*.parquet')), " +
+        val fold = LshPlanes.zipWithIndex.map { case (pl, p) =>
+          s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [${pl.mkString(",")}]) >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"WITH bk AS (SELECT vec_id, CAST($fold AS INT) AS bucket FROM embeddings), " +
           "e AS (SELECT emb.vec_id, emb.embedding, bk.bucket FROM embeddings emb JOIN bk USING (vec_id)), " +
           s"q AS (SELECT e.vec_id AS qid, e.embedding AS qe, CAST(xor(e.bucket, t.m) AS INT) AS bucket " +
           s"FROM e, unnest([$masks]) AS t(m) WHERE e.vec_id < 5), " +

@@ -90,7 +90,10 @@ object Pipeline {
   private def stageWinnowFps(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
     // content-fingerprint marker — see Llm.stageLshBuckets
-    val fp = Tables.fingerprint(d, "documents")
+    // kernel-version tag beside the content fingerprint (see
+    // stageQuantHash): the round-12 xxhash64 -> md5 minimizer switch must
+    // invalidate any staged xxhash-selected grams
+    val fp = "md5winnow|" + Tables.fingerprint(d, "documents")
     val marker = Paths.get(WinnowFpDir, "_dataset")
     if (Files.exists(marker) && Files.readString(marker) == fp) return
     winnowGrams(Tables.spread(s, Tables.t(s, d, "documents").select("doc_id", "text")))

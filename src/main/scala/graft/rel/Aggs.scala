@@ -16,15 +16,15 @@ object Aggs {
 
   private val sumQty = Q.out6(sum(Q.dec4(col("l_quantity"))))
 
-  /** Fixed staging path for the quantile-sketch hash table (the
-    * staged-signature oracle pattern — see Llm.SimhashSigDir): the xxhash64
-    * rank column is the only Spark-specific step of agg_quantile_merge, so
-    * staging (c_nationkey, h, v) once per (JVM, dataset) lets DuckDB mirror
-    * the whole sketch pipeline — per-group bottom-k, merge, percentile
-    * pick — as exact integer/ORDER BY math. (Merged bottom-k ≡ global
-    * bottom-k of the union: any globally bottom-256-by-h pair has at most
-    * 255 smaller hashes anywhere, hence at most 255 within its own group,
-    * so every group sketch retains its global-bottom members.)
+  /** Fixed staging path for the quantile-sketch hash table — a Spark-side
+    * PERFORMANCE artifact since round 12: the md5-derived rank column is
+    * computable in BOTH engines, so the oracle mirrors the whole sketch
+    * pipeline — per-group bottom-k, merge, percentile pick — directly
+    * from the base table as exact integer/ORDER BY math. (Merged bottom-k
+    * ≡ global bottom-k of the union: any globally bottom-256-by-h pair
+    * has at most 255 smaller hashes anywhere, hence at most 255 within
+    * its own group, so every group sketch retains its global-bottom
+    * members.)
     */
   private val QuantHashDir = s"${sys.props("java.io.tmpdir")}/graft_quanthash"
 
@@ -63,11 +63,21 @@ object Aggs {
   private def stageQuantHash(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
     // content-fingerprint marker — see Llm.stageLshBuckets
-    val fp = Tables.fingerprint(d, "customer")
+    // marker carries a KERNEL VERSION tag beside the content fingerprint:
+    // a staging-code change (xxhash64 -> md5 ranks, round 12) must
+    // invalidate staged artifacts even when the data is unchanged
+    val fp = "md5rank|" + Tables.fingerprint(d, "customer")
     val marker = Paths.get(QuantHashDir, "_dataset")
     if (Files.exists(marker) && Files.readString(marker) == fp) return
+    // md5-derived signed-64 rank (round 12): both engines parse the first
+    // 16 hex chars of md5(custkey-as-string) to the same unsigned value
+    // and re-center at 2^63 in exact decimal math, so the ORACLE computes
+    // h independently from the base table — the staged parquet is a
+    // Spark-side performance artifact only.
+    val u = "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 16), 16, 10) AS DECIMAL(20,0))"
     Tables.t(s, d, "customer")
-      .select(col("c_nationkey"), xxhash64(col("c_custkey")).as("h"),
+      .select(col("c_nationkey"),
+        expr(s"CAST($u - (CASE WHEN $u >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT)").as("h"),
         col("c_acctbal").cast("double").as("v"))
       .write.mode("overwrite").parquet(s"$QuantHashDir/data")
     Files.writeString(marker, fp)
@@ -199,16 +209,20 @@ object Aggs {
     // HLL pattern above: per-nation bottom-k sketches of account balances
     // (hash-ranked uniform samples, deterministic) merge to global quantile
     // estimates WITHOUT touching the base table again; only K pairs per
-    // group shuffle. ORACLED via the staged-hash table (round 11): DuckDB
-    // mirrors per-group bottom-256 → merged bottom-256 (≡ global bottom-256
-    // by h, see [[stageQuantHash]]) → sorted-value percentile pick over the
-    // same staged (h, v) rows — every step exact ORDER BY math. OpsSpec
-    // additionally asserts merged ≡ direct and bounds the rank error.
-    // Key is memoized (staged input layout).
+    // group shuffle. FULLY INDEPENDENT oracle (upgraded from staged,
+    // round 12): the rank hash is md5-derived — DuckDB parses the same
+    // 16 hex chars to the same signed-64 value and mirrors per-group
+    // bottom-256 → merged bottom-256 (≡ global bottom-256 by h, see
+    // [[stageQuantHash]]) → sorted-value percentile pick, all from the
+    // base table; every step exact ORDER BY math. OpsSpec additionally
+    // asserts merged ≡ direct and bounds the rank error. Key is memoized
+    // (staged input layout — a Spark-side performance artifact).
     QueryDef(
       "agg_quantile_merge",
       Some(
-        "WITH s AS (SELECT h, v FROM read_parquet('" + QuantHashDir + "/data/*.parquet')), " +
+        "WITH u0 AS (SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16)) AS UBIGINT) AS u, " +
+          "CAST(c_acctbal AS DOUBLE) AS v FROM customer), " +
+          "s AS (SELECT CAST(CAST(u AS HUGEINT) - (CASE WHEN u >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS h, v FROM u0), " +
           "g AS (SELECT v FROM s ORDER BY h LIMIT 256), " +
           "a AS (SELECT array_agg(v ORDER BY v) AS vals, (SELECT count(*) FROM s) AS n_rows FROM g) " +
           "SELECT CAST(n_rows AS BIGINT) AS n_rows, " +

@@ -140,29 +140,38 @@ object Udx {
     def outputEncoder: Encoder[Array[(String, Long)]] = ExpressionEncoder[Array[(String, Long)]]()
   }
 
-  /** Fixed staging path for the minhash token-hash table (the
-    * staged-signature discipline — see Llm.SimhashSigDir): one
-    * (source, xxhash64(token)) row per distinct token per document.
+  /** Fixed staging path for the minhash token-hash table — a Spark-side
+    * PERFORMANCE artifact only since round 12: one (source, h) row per
+    * distinct token per document, where h is the md5-derived signed-64
+    * token hash (first 16 hex chars parsed unsigned, re-centered at 2^63
+    * in exact decimal math). Both engines compute the identical h, so the
+    * ORACLE rebuilds the token table from `documents` itself.
     */
   private val MinhashTokDir = s"${sys.props("java.io.tmpdir")}/graft_minhash_toks"
 
   private def stageMinhashToks(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
-    // content-fingerprint marker — see Llm.stageLshBuckets
-    val fp = Tables.fingerprint(d, "documents")
+    // content-fingerprint marker + kernel-version tag (round-12 xxhash64
+    // -> md5 switch must invalidate staged artifacts on unchanged data)
+    val fp = "md5tok|" + Tables.fingerprint(d, "documents")
     val marker = Paths.get(MinhashTokDir, "_dataset")
     if (Files.exists(marker) && Files.readString(marker) == fp) return
+    val u = "CAST(conv(substring(md5(tok), 1, 16), 16, 10) AS DECIMAL(20,0))"
     Tables.t(s, d, "documents")
       .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .select(col("source"), xxhash64(col("tok")).as("h"))
+      .select(col("source"),
+        expr(s"CAST($u - (CASE WHEN $u >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT)").as("h"))
       .write.mode("overwrite").parquet(s"$MinhashTokDir/data")
     Files.writeString(marker, fp)
   }
 
-  /** DuckDB mirror of the 64-permutation min fold over the staged hashes:
+  /** FULLY INDEPENDENT DuckDB mirror (upgraded from staged, round 12):
+    * rebuilds the (source, h) token table from `documents` — split on
+    * space, md5-derived signed-64 h — then the 64-permutation min fold:
     * per perm i, v = wrap64(a_i·h + b_i) with Java two's-complement
     * semantics — a_i·h + b_i fits HUGEINT (|a·h| < 2^126), reduced mod
-    * 2^64 and re-centered to signed — then min per source.
+    * 2^64 and re-centered to signed — then min per source. Multiplicity
+    * differences (distinct-per-doc vs raw) cannot affect a min fold.
     */
   private def minhashOracle: String = {
     val U = "18446744073709551616::HUGEINT"
@@ -173,7 +182,9 @@ object Udx {
     val mins = (0 until NumPerms).map { i =>
       s"CAST(min(CASE WHEN m$i >= $H THEN m$i - $U ELSE m$i END) AS BIGINT)"
     }.mkString(", ")
-    s"WITH t AS (SELECT source, h FROM read_parquet('$MinhashTokDir/data/*.parquet')), " +
+    "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "u0 AS (SELECT source, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS u FROM tok), " +
+      s"t AS (SELECT source, CAST(CAST(u AS HUGEINT) - (CASE WHEN u >= $H THEN $U ELSE 0 END) AS BIGINT) AS h FROM u0), " +
       s"e AS (SELECT source, $ms FROM t) " +
       s"SELECT source, array_to_string([$mins], ',') AS sig FROM e " +
       "GROUP BY source ORDER BY source"
