@@ -79,6 +79,25 @@ class OpsSpec extends AnyFunSuite {
     assert(staged.subsetOf(memo), s"staged but not memoized: ${staged -- memo}")
   }
 
+  test("oracles that read staged /tmp artifacts are exactly the flagged ones") {
+    // Regression guard on verification strength: an oracle that reads a
+    // Spark-written /tmp artifact is NOT independently recomputing the
+    // kernel — every such key must be flagged staged (or be the one
+    // declared input-layout key, where the staged FILES are the operator's
+    // input, not its output). Conversely a flagged key whose oracle no
+    // longer touches /tmp is a stale flag overstating weakness.
+    val tmp = sys.props("java.io.tmpdir")
+    val inputLayout = Set("scan_binaryfile_ingest")
+    val readsTmp = SparkEntry.oracleSql.collect {
+      case (k, sql) if sql.contains(tmp) => k
+    }.toSet
+    val staged = SparkEntry.stagedOracle.toSet
+    assert((readsTmp -- staged -- inputLayout).isEmpty,
+      s"unflagged staged-artifact oracles: ${readsTmp -- staged -- inputLayout}")
+    assert((staged -- readsTmp).isEmpty,
+      s"flagged keys whose oracle no longer reads a staged artifact: ${staged -- readsTmp}")
+  }
+
   test("SURVEY §2 inventory and SparkEntry.queries agree key-for-key") {
     // The judge audits SURVEY §2 line by line against the registry; a key
     // declared but unregistered (or registered but undeclared) is a silent
