@@ -25,11 +25,19 @@ object PlanDump {
       b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "64")
     else b).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_PLANDUMP_FORMATTED=1 prints explain("formatted") (the PLANS.md
+    // style: numbered operators + per-operator detail) instead of the
+    // executed-plan tree.
+    val formatted = sys.env.get("GRAFT_PLANDUMP_FORMATTED").contains("1")
     for (k <- args) {
       println(s"======== $k ========")
       val df = SparkEntry.queries(k)(spark, dir)
       df.collect() // materialize so AQE finalizes every stage
-      println(df.queryExecution.executedPlan.toString.take(9000))
+      if (formatted)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(12000))
+      else
+        println(df.queryExecution.executedPlan.toString.take(9000))
     }
     spark.stop()
   }
