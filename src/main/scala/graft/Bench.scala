@@ -136,18 +136,39 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // Anchors run FIRST (immediately after warm-up), same estimator as the
-    // suite, so the drift ratio reflects the box during THIS run.
-    // Anchors always take max(repeat, 5) samples: everything downstream is
-    // DIVIDED by the anchor ratio, so anchor noise multiplies into every
-    // normalized number — and the four anchors are sub-second, so the extra
-    // samples cost < 5 s against a 100+ s run.
-    val anchorTimes = anchorDefs.map { case (name, fn) =>
+    // Anchors BRACKET the suite (round-12 judge task #1: the driver's r12
+    // run inflated 31 keys >1.5× vs a same-code run at a near-identical
+    // single pre-suite anchor ratio — one global ratio measured once cannot
+    // see drift that arrives DURING the run). Each bracket takes
+    // max(repeat, 5) samples per anchor: everything downstream is DIVIDED
+    // by an anchor ratio, so anchor noise multiplies into every normalized
+    // number — and the four anchors are sub-second, so the extra samples
+    // cost < 5 s against a 100+ s run.
+    def anchorPass(): Seq[(String, Double)] = anchorDefs.map { case (name, fn) =>
       name -> Seq.fill(math.max(repeat, 5))(time(fn)).map(_._1).min
     }
-    val anchorRatio = anchorTimes.map(_._2).sum / anchorDefs.map(a => anchorRef(a._1)).sum
+    val anchorRefSum = anchorDefs.map(a => anchorRef(a._1)).sum
+    val anchorTimes = anchorPass()
+    val anchorRatio = anchorTimes.map(_._2).sum / anchorRefSum
+    // Interleaved fixed-overhead PROBE (the v4 drift tripwire): the two
+    // cheapest FROZEN anchors re-timed min-of-3 at suite position 0, after
+    // every ProbeEvery keys, and after the last key. Each suite key is then
+    // normalized by the MEAN of its two bracketing probe ratios — a local
+    // box-speed estimate — instead of one global ratio, so a stall window
+    // mid-run inflates only the keys inside it AND the artifact names them
+    // (probe_flagged) when the window's own probes disagree. Probe queries
+    // and their reference values are the frozen anchors' — nothing new to
+    // freeze, ~1 s per probe point, ~10 s across a 223-key run.
+    val ProbeEvery = 25
+    val probeDefs = Seq(anchorDefs.head, anchorDefs.last)
+    val probeRefSum = probeDefs.map(a => anchorRef(a._1)).sum
+    def probeRatio(): Double =
+      probeDefs.map { case (_, fn) => Seq.fill(3)(time(fn)).map(_._1).min }.sum / probeRefSum
     val peaks = scala.collection.mutable.Map.empty[String, Double]
-    val results = selected.map { case (name, fn) =>
+    val drainCapped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val probes = scala.collection.mutable.ArrayBuffer[Double](probeRatio())
+    val orderedKeys = selected.toSeq
+    val results = orderedKeys.zipWithIndex.map { case ((name, fn), idx) =>
       // MINIMUM of repeats, not median: this VM freezes for 1-2 minute
       // windows (host-side; a stall poisoned all 3 repeats of text_langid
       // to 71 s where a fresh JVM runs it in 1.7 s). Timing noise here is
@@ -162,41 +183,77 @@ object Bench {
       val best = samples.map(_._1).min
       // Drain-to-stability instead of a fixed 20 ms nap (round-11 advisor:
       // late task-end events from a slow key could be credited to the NEXT
-      // key across a fixed drain). Poll until the async listener stops
-      // moving the max, then read; the next key's reset is then safe. Sits
-      // entirely outside the timed samples.
-      var lastPeak = -1L
+      // key across a fixed drain). Require 3 consecutive stable 15 ms polls
+      // (round-12 advisor: a single unchanged poll can land inside a >15 ms
+      // gap of a bursty listener backlog), and record a cap hit in the
+      // artifact so an unstable drain is visible rather than silently
+      // credited to the next key. Sits entirely outside the timed samples.
+      var lastPeak = peakNow.get()
+      var stable = 0
       var drainMs = 0
-      while (drainMs < 300 && peakNow.get() != lastPeak) {
-        lastPeak = peakNow.get(); Thread.sleep(15); drainMs += 15
+      while (drainMs < 300 && stable < 2) {
+        Thread.sleep(15); drainMs += 15
+        val cur = peakNow.get()
+        if (cur == lastPeak) stable += 1 else { stable = 0; lastPeak = cur }
       }
+      if (stable < 2) drainCapped += name
       peaks(name) = peakNow.get() / 1048576.0
+      if ((idx + 1) % ProbeEvery == 0 || idx == orderedKeys.size - 1)
+        probes += probeRatio()
       name -> (if (samples.forall(_._2)) best else -1.0)
     }
+    val anchorTimesPost = anchorPass()
+    val anchorRatioPost = anchorTimesPost.map(_._2).sum / anchorRefSum
+    // value_norm divides by the MEAN of the two bracket ratios (v4 — one
+    // pre-suite ratio under-corrects any drift arriving mid-run);
+    // bracket disagreement > 10% flags the whole artifact.
+    val anchorRatioMean = (anchorRatio + anchorRatioPost) / 2
+    val bracketDisagree =
+      math.max(anchorRatio, anchorRatioPost) / math.min(anchorRatio, anchorRatioPost) > 1.10
+    // per-key local ratio: mean of the probe before and after the key's
+    // ProbeEvery-sized segment
+    def keyRatio(idx: Int): Double = {
+      val seg = idx / ProbeEvery
+      (probes(seg) + probes(math.min(seg + 1, probes.size - 1))) / 2
+    }
+    // keys whose segment's bracketing probes disagree > 25% — the named
+    // poisoned-window list a cross-round comparison must consult before
+    // reading a per-key regression as a plan change
+    val probeFlagged = orderedKeys.zipWithIndex.collect {
+      case ((name, _), idx)
+        if {
+          val seg = idx / ProbeEvery
+          val a = probes(seg); val b = probes(math.min(seg + 1, probes.size - 1))
+          math.max(a, b) / math.min(a, b) > 1.25
+        } => name
+    }.map(_.toString)
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    // Per-key ANCHOR-NORMALIZED seconds: the number to read for cross-round
-    // per-key forensics (raw per-key values inherit the full box drift that
-    // value_norm corrects at the total level). Errors stay -1.
-    val qsNorm = results.map { case (k, v) =>
-      s"\"" + k + "\":" + r3(if (v < 0) v else v / anchorRatio)
+    // Per-key PROBE-NORMALIZED seconds (v4): each key divided by the mean of
+    // its segment's bracketing probe ratios — the number to read for
+    // cross-round per-key forensics (raw per-key values inherit the full box
+    // drift; a single global ratio inherits mid-run drift). Errors stay -1.
+    val qsNorm = results.zipWithIndex.map { case ((k, v), idx) =>
+      s"\"" + k + "\":" + r3(if (v < 0) v else v / keyRatio(idx))
     }.mkString("{", ",", "}")
-    val errors = results.values.count(_ < 0)
+    val errors = results.count(_._2 < 0)
     // A crashing query must never make the headline total look BETTER than a
     // working build (round-4 advisor finding): each errored key contributes a
     // penalty of max(30 s, slowest measured query) — data-derived so a future
     // legitimately-slow query can't make a crashed build beat a working one
     // (round-5 advisor finding).
-    val penalty = math.max(30.0, results.values.filter(_ >= 0).maxOption.getOrElse(0.0))
-    val total = results.values.filter(_ >= 0).sum + errors * penalty
-    // anchor block: per-anchor seconds, frozen refs' drift ratio, and the
-    // anchor-normalized total — the number comparable across rounds. ratio
-    // is only meaningful at the refs' scale (sf0.1); at other sf dirs it is
-    // reported but value_norm should be read with that caveat.
+    val penalty = math.max(30.0, results.map(_._2).filter(_ >= 0).maxOption.getOrElse(0.0))
+    val total = results.map(_._2).filter(_ >= 0).sum + errors * penalty
+    // anchor block: per-anchor seconds, frozen refs' drift ratio per bracket,
+    // and the anchor-normalized total — the number comparable across rounds.
+    // ratio is only meaningful at the refs' scale (sf0.1); at other sf dirs
+    // it is reported but value_norm should be read with that caveat.
     val anchorJson = anchorTimes.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", s""","ratio":${r3(anchorRatio)}}""")
-    val valueNorm = total / anchorRatio
+    val anchorPostJson = anchorTimesPost.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", s""","ratio":${r3(anchorRatioPost)}}""")
+    val valueNorm = total / anchorRatioMean
     // Measurement-protocol block (round-9 advisor finding): keys listed in
     // "memoized" reuse a per-(session,dataset) artifact that the untimed
     // warm-up pass built — their timed repeats measure post-artifact
@@ -212,19 +269,23 @@ object Bench {
     // peak_mb, which for these keys reflects the post-staging read plan)
     // need the list.
     val stagedJson = SparkEntry.stagedOracle.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val protocol = "\"protocol\":\"v3-warm-all-min-of-n-memo-flagged-stagedmarked\"," +
+    val protocolName = "v4-bracketed-anchors-probe-normalized"
+    val protocol = s""""protocol":"$protocolName",""" +
       s""""memoized":$memoJson,"staged_oracle":$stagedJson"""
     // per-key peak task execution memory (MB) — NOT normalized (memory
     // does not drift with box speed); 0.0 = key ran entirely in codegen
     // pipelines with no memory-consuming operator
-    val peakJson = results.keys.map { k =>
+    val peakJson = results.map { case (k, _) =>
       s"\"" + k + "\":" + r3(peaks.getOrElse(k, 0.0))
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"sf":"$sfDir"}"""
+    val probesJson = probes.map(r3).mkString("[", ",", "]")
+    val probeFlaggedJson = probeFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val drainCappedJson = drainCapped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"anchor_post":$anchorPostJson,"anchor_bracket_disagree":$bracketDisagree,"probes":$probesJson,"probe_flagged":$probeFlaggedJson,"peak_drain_capped":$drainCappedJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"sf":"$sfDir"}"""
     // "agg"/"repeat" appear in BOTH artifacts: the round-5 estimator change
     // (median -> min) moved the headline total, and a consumer reading only
     // BENCH_total.json must be able to tell estimator change from plan change.
-    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatio)},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"protocol":"v3-warm-all-min-of-n-memo-flagged-stagedmarked","sf":"$sfDir"}"""
+    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatioMean)},"anchor_bracket_disagree":$bracketDisagree,"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"protocol":"$protocolName","sf":"$sfDir"}"""
     // Driver-parse posture (BENCH_r01/r02 lesson): the driver's stdout tail
     // capture truncates long lines from the HEAD, so the ~3 KB per-query map
     // must never be the last line. Persist the full detail to a file, print

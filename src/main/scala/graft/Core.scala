@@ -144,10 +144,19 @@ object Tables {
     * code's own error surfaces.
     */
   def fingerprint(d: String, tables: String*): String = {
+    // listFiles() returns null on I/O or permission errors — treat like
+    // "absent" so marker probing never throws before staging's own error
+    // surfaces; the directory's own name joins its stamp so renaming a
+    // subdirectory (same file names/sizes/mtimes inside) still changes the
+    // fingerprint (round-12 advisor).
     def stamp(f: java.io.File): String =
       if (!f.exists) s"${f.getName}:absent"
       else if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).map(stamp).mkString(",")
+        Option(f.listFiles()) match {
+          case Some(fs) =>
+            fs.sortBy(_.getName).map(stamp).mkString(s"${f.getName}[", ",", "]")
+          case None => s"${f.getName}:unlistable"
+        }
       else s"${f.getName}:${f.length}:${f.lastModified}"
     val body = tables.map(t => stamp(new java.io.File(s"$d/$t.parquet"))).mkString(";")
     d + "|" + java.lang.Long.toHexString(

@@ -48,9 +48,16 @@ object Ivf {
     * stale artifacts are abandoned, never overwritten mid-read.
     */
   private def srcFingerprint(d: String): String = {
+    // null-guarded listFiles + dir-name-in-stamp, like Tables.fingerprint
+    // (round-12 advisor finding applied to both stamp implementations)
     def stamp(f: java.io.File): String =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).map(stamp).mkString(",")
+      if (!f.exists) s"${f.getName}:absent"
+      else if (f.isDirectory)
+        Option(f.listFiles()) match {
+          case Some(fs) =>
+            fs.sortBy(_.getName).map(stamp).mkString(s"${f.getName}[", ",", "]")
+          case None => s"${f.getName}:unlistable"
+        }
       else s"${f.getName}:${f.length}:${f.lastModified}"
     val src = new java.io.File(s"$d/embeddings.parquet")
     Integer.toHexString((d + "|" + stamp(src)).hashCode)

@@ -782,7 +782,12 @@ object Pipeline {
         // broadcasts it to every scoring job, so the (minC, span, q)
         // triple memoizes per (session, dataset) instead of re-exploding
         // the corpus per invocation. Scoring below always re-runs.
-        val (minC, span, q) = bigramLmCache.computeIfAbsent((s, d), { case (ss, dd) =>
+        // memo keyed on the CONTENT fingerprint, not the raw path (round-12
+        // advisor: in-place regeneration at the same path must re-train the
+        // LM — the Ivf.index invalidate-together discipline)
+        val (minC, span, q) = bigramLmCache.computeIfAbsent(
+          (s, Tables.fingerprint(d, "documents")), { case (ss, _) =>
+          val dd = d
           val cb = Tables.spread(ss,
               Tables.t(ss, dd, "documents").where(length(col("text")) >= 2))
             .select(col("doc_id"), explode(expr(
@@ -929,8 +934,10 @@ object Pipeline {
           "GROUP BY p.doc_id ORDER BY p.doc_id"),
       (s, d) => {
         val docs = Tables.t(s, d, "documents").where(length(col("text")) >= 3)
-        val (minC, nRanks, rankArr, q3) = trigramLmCache.computeIfAbsent((s, d), { case (ss, dd) =>
-          val base = Tables.t(ss, dd, "documents")
+        // fingerprint-keyed like [[bigramLmCache]] (round-12 advisor)
+        val (minC, nRanks, rankArr, q3) = trigramLmCache.computeIfAbsent(
+          (s, Tables.fingerprint(d, "documents")), { case (ss, _) =>
+          val base = Tables.t(ss, d, "documents")
           // one explode pass per model level; both are combinable counts
           val tri = Tables.spread(ss, base.where(length(col("text")) >= 3))
             .select(explode(expr(

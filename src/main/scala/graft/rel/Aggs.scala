@@ -160,7 +160,7 @@ object Aggs {
            | ex AS (SELECT c_nationkey, count(DISTINCT c_custkey) AS exact_cust,
            |   count(*) AS n FROM customer GROUP BY c_nationkey)
            |SELECT e.c_nationkey, e.approx_cust, x.n,
-           | abs(e.approx_cust - x.exact_cust) <= x.exact_cust * 0.10 AS within_bound
+           | 10 * abs(e.approx_cust - x.exact_cust) <= x.exact_cust AS within_bound
            |FROM est e JOIN ex x ON e.c_nationkey = x.c_nationkey
            |ORDER BY e.c_nationkey""".stripMargin.replaceAll("\\s+", " ").trim),
       (s, d) => {
@@ -169,11 +169,14 @@ object Aggs {
           .groupBy("c_nationkey")
           .agg(countDistinct(col("c_custkey")).as("exact_cust"),
             count(lit(1)).as("n"))
+        // 10%/5% bounds in pure BIGINT arithmetic (10·|Δ| ≤ exact) — a
+        // double 0.10·exact differs between engines when an estimate lands
+        // exactly on the bound (round-12 advisor), integer compares cannot
         s.read.parquet(s"$HllEstDir/approx")
           .join(exact, "c_nationkey")
           .select(col("c_nationkey"), col("approx_cust"), col("n"),
-            (abs(col("approx_cust") - col("exact_cust")) <=
-              col("exact_cust") * 0.10).as("within_bound"))
+            (abs(col("approx_cust") - col("exact_cust")) * 10 <=
+              col("exact_cust")).as("within_bound"))
           .orderBy("c_nationkey")
       }),
 
@@ -189,7 +192,7 @@ object Aggs {
       "agg_sketch_merge",
       Some(
         s"""SELECT e.est_total, x.n_rows,
-           | abs(e.est_total - x.exact_total) <= x.exact_total * 0.05 AS within_bound
+           | 20 * abs(e.est_total - x.exact_total) <= x.exact_total AS within_bound
            |FROM read_parquet('$HllEstDir/merge/*.parquet') e,
            | (SELECT count(DISTINCT c_custkey) AS exact_total, count(*) AS n_rows
            |  FROM customer) x""".stripMargin.replaceAll("\\s+", " ").trim),
@@ -201,8 +204,8 @@ object Aggs {
         s.read.parquet(s"$HllEstDir/merge")
           .crossJoin(exact)
           .select(col("est_total"), col("n_rows"),
-            (abs(col("est_total") - col("exact_total")) <=
-              col("exact_total") * 0.05).as("within_bound"))
+            (abs(col("est_total") - col("exact_total")) * 20 <=
+              col("exact_total")).as("within_bound"))
       }),
 
     // Mergeable QUANTILE sketch re-aggregation — the percentile twin of the

@@ -36,8 +36,14 @@ object Formats {
   private val BinFilesDir = s"${sys.props("java.io.tmpdir")}/graft_binfiles"
 
   /** Stage every 97th document's UTF-8 bytes as doc_<id>.bin — bounded
-    * (≈ n/97 files), deterministic, driver-side by design: staging is the
-    * fixture build, not the measured operator (the binaryFile scan is).
+    * (≈ n/97 files), deterministic. Files are written EXECUTOR-SIDE via
+    * foreachPartition (round-12 judge task #6): a driver `.collect()` loop
+    * materialized the selected rows on the driver, which at corpus scale
+    * OOMs the staging step itself even though it is 1/97 of documents and
+    * never on the timed read path. Each task writes its own partition's
+    * files; under local / local-cluster all executors share the host
+    * filesystem, which is the same single-box assumption the fixed staging
+    * path already makes.
     */
   private def stageBinFiles(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -55,13 +61,17 @@ object Formats {
       finally listing.close()
     }
     Files.createDirectories(dir)
+    // capture the RESOLVED path: executor JVMs (local-cluster) carry their
+    // own java.io.tmpdir, so the closure must never re-derive BinFilesDir
+    val dirStr = dir.toAbsolutePath.toString
     Tables.t(s, d, "documents")
       .where(pmod(col("doc_id"), lit(97L)) === 0L)
       .select(col("doc_id"), col("text"))
-      .collect()
-      .foreach { r =>
-        Files.write(dir.resolve(s"doc_${r.getLong(0)}.bin"),
-          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          Files.write(Paths.get(dirStr, s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
       }
     Files.writeString(marker, fp)
   }

@@ -42,12 +42,24 @@ object Joins {
     // is non-negative and inside its digit budget — the packing contract:
     // 0 ≤ days < 10^5 (through year 2243), 0 ≤ o_orderkey < 10^15,
     // 0 ≤ ts_ms < 10^13 (through year 2286).
+    // Digit budgets are a RUNTIME-GUARDED contract (round-12 advisor: with
+    // ANSI off, a budget violation NULLs the CAST/multiply and max() then
+    // silently drops that candidate — a wrong pick with no error). The CASE
+    // raises loudly on the first out-of-budget row instead; the guard is a
+    // codegen-friendly three-range check per row, and the agg buffer stays
+    // the fixed-width DECIMAL(38,0) that keeps the partial a HASH aggregate.
     e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts_ts"))
       .groupBy(col("event_id"))
       .agg(max(expr(
-        "CAST(datediff(o_orderdate, DATE'1970-01-01') AS DECIMAL(10,0))" +
+        "CASE WHEN datediff(o_orderdate, DATE'1970-01-01') BETWEEN 0 AND 99999" +
+          " AND o_orderkey BETWEEN 0 AND 999999999999999" +
+          " AND ts_ms BETWEEN 0 AND 9999999999999" +
+          " THEN CAST(datediff(o_orderdate, DATE'1970-01-01') AS DECIMAL(10,0))" +
           " * 10000000000000000000000000000" +
-          " + CAST(o_orderkey AS DECIMAL(16,0)) * 10000000000000 + ts_ms")).as("p"))
+          " + CAST(o_orderkey AS DECIMAL(16,0)) * 10000000000000 + ts_ms" +
+          " ELSE CAST(raise_error('join_asof packed pick: digit budget violated" +
+          " (need 0<=days<1e5, 0<=o_orderkey<1e15, 0<=ts_ms<1e13)') AS DECIMAL(38,0))" +
+          " END")).as("p"))
       .select(col("event_id"),
         expr("CAST(p % 10000000000000 AS BIGINT)").as("ts_ms"),
         expr("CAST((p % 10000000000000000000000000000) div 10000000000000 AS BIGINT)")
@@ -65,11 +77,19 @@ object Joins {
   private[graft] def asofNearestPick(e: DataFrame, o: DataFrame): DataFrame = {
     val od = o.select(col("o_orderkey"), col("o_custkey"),
       unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"))
+    // Same runtime budget guard as [[asofPick]] — min() must never see a
+    // silently-NULLed packed value.
     e.join(od, e("user_id") === od("o_custkey"))
       .groupBy(col("event_id"))
       .agg(min(expr(
-        "CAST(abs(ts_ms - od_ms) AS DECIMAL(14,0)) * 10000000000000000000000000" +
-          " + CAST(o_orderkey AS DECIMAL(13,0)) * 10000000000000 + ts_ms")).as("p"))
+        "CASE WHEN abs(ts_ms - od_ms) BETWEEN 0 AND 9999999999999" +
+          " AND o_orderkey BETWEEN 0 AND 999999999999" +
+          " AND ts_ms BETWEEN 0 AND 9999999999999" +
+          " THEN CAST(abs(ts_ms - od_ms) AS DECIMAL(14,0)) * 10000000000000000000000000" +
+          " + CAST(o_orderkey AS DECIMAL(13,0)) * 10000000000000 + ts_ms" +
+          " ELSE CAST(raise_error('join_asof_nearest packed pick: digit budget violated" +
+          " (need dist_ms<1e13, 0<=o_orderkey<1e12, 0<=ts_ms<1e13)') AS DECIMAL(38,0))" +
+          " END")).as("p"))
       .select(col("event_id"),
         expr("CAST(p % 10000000000000 AS BIGINT)").as("ts_ms"),
         expr("CAST((p % 10000000000000000000000000) div 10000000000000 AS BIGINT)")
