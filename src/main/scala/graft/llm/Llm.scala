@@ -318,17 +318,47 @@ object Llm {
 
   private[llm] val shinglesFromW = s"array_distinct($gramsFromW)"
 
-  private val duckShingles =
-    "SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS sh " +
-      "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 5"
-
-  /** DuckDB near-dup pair CTE body (brute-force oracle of L2). */
-  private val duckNearPairs =
-    s"s AS ($duckShingles), " +
-      "p AS (SELECT a.doc_id AS i, b.doc_id AS j, " +
-      "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-      "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jac " +
-      "FROM s a JOIN s b ON a.doc_id < b.doc_id)"
+  /** DuckDB BAND-THEN-VERIFY near-dup CTE chain (round 13 — replaces the
+    * brute-force all-pairs oracle, whose O(N²) list-intersections were
+    * intractable at sf0.1 and forced 3 keys out of the full-scale sweep):
+    * recomputes the ENTIRE Spark pipeline from the base table — per-doc
+    * distinct 5-gram strings, md5-derived signed-64 gram hashes, the
+    * 64-perm HUGEINT signature fold (exact Udx.MinHashSig mirror, the
+    * udaf_imperative_minhash discipline), 32-band × 2-perm RAW-SLICE
+    * banding, candidate pairs via the band equi-join, exact Jaccard over
+    * the deduped hash sets. Fully independent — no staged artifact.
+    * DuckDB bands UNCOLLAPSED documents, provably the same final pair set
+    * as the collapsed Spark plan: identical gram sets have identical
+    * signatures (share all bands), and a cross pair band-matches iff its
+    * representatives do; verification is exact either way. Oracle
+    * complexity now matches the operator's own (banded, not all-pairs).
+    * Exposes the final CTE `p` with columns (i, j, jac).
+    */
+  private def duckBandedNearPairs: String = {
+    val U = "18446744073709551616::HUGEINT"
+    val H = "9223372036854775808::HUGEINT"
+    val perms = (0 until Udx.NumPerms).map { i =>
+      s"((CAST(${Udx.permA(i)} AS HUGEINT) * h + CAST(${Udx.permB(i)} AS HUGEINT)) % $U + $U) % $U AS m$i"
+    }.mkString(", ")
+    val mins = (0 until Udx.NumPerms).map { i =>
+      s"CAST(min(CASE WHEN m$i >= $H THEN m$i - $U ELSE m$i END) AS BIGINT)"
+    }.mkString(", ")
+    "w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "s0 AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS sh " +
+      "FROM w WHERE len(w) >= 5), " +
+      "gr AS (SELECT doc_id, unnest(sh) AS g FROM s0), " +
+      "hx AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT) AS u FROM gr), " +
+      s"hh AS (SELECT doc_id, CAST(CAST(u AS HUGEINT) - (CASE WHEN u >= $H THEN $U ELSE 0::HUGEINT END) AS BIGINT) AS h FROM hx), " +
+      s"pm AS (SELECT doc_id, $perms FROM hh), " +
+      s"sg AS (SELECT doc_id, [$mins] AS sig FROM pm GROUP BY doc_id), " +
+      "bd AS (SELECT doc_id, r.b AS band, sig[2*r.b + 1] AS s1, sig[2*r.b + 2] AS s2 FROM sg, range(32) r(b)), " +
+      "cd AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j FROM bd a JOIN bd c " +
+      "ON a.band = c.band AND a.s1 = c.s1 AND a.s2 = c.s2 AND a.doc_id < c.doc_id), " +
+      "gh AS (SELECT doc_id, list_sort(list_distinct(list(h))) AS gh FROM hh GROUP BY doc_id), " +
+      "pp AS (SELECT i, j, len(list_intersect(a.gh, c.gh)) AS inter, len(a.gh) AS na, len(c.gh) AS nc " +
+      "FROM cd JOIN gh a ON a.doc_id = cd.i JOIN gh c ON c.doc_id = cd.j), " +
+      "p AS (SELECT i, j, round(CAST(inter AS DOUBLE) / CAST(na + nc - inter AS DOUBLE), 6) AS jac FROM pp)"
+  }
 
   /** L2's collapsed minhash state, shared by the pair query and the
     * component-clustering step: one representative per distinct gram set
@@ -370,7 +400,7 @@ object Llm {
 
   /** Word 5-gram Jaccard on 64-bit gram hashes, verified by a sorted-merge
     * intersection kernel — exact w.r.t. the hashed gram sets; equal to
-    * string-set Jaccard absent an FNV-64 collision inside one pair's union
+    * string-set Jaccard absent an md5-64 collision inside one pair's union
     * (p < 10⁻¹³ at 10³ grams/doc — and the candidate set is tiny anyway).
     */
   private def minhashStateUncached(s: SparkSession, d: String): MinhashState = {
@@ -395,12 +425,18 @@ object Llm {
         first(col("sig")).as("sig"), first(col("gh")).as("gh"))
       .withColumn("gid", col("members")(0))
       .select(col("gid"), col("members"), col("sig"), col("gh")))
+    // Band key = the RAW 2-perm slice (band, s1, s2) rather than a hash of
+    // it (round 13): an engine-specific hash (xxhash64) can only ADD
+    // candidates via collisions, which a cross-engine banded oracle cannot
+    // reproduce — raw slices make the candidate set a pure function of the
+    // signatures, identical in both engines, at the cost of an 8-byte-wider
+    // shuffle key.
     val bands = grouped.select(col("gid"),
-      explode(expr("transform(sequence(0, 31), b -> struct(b AS band, xxhash64(slice(sig, b*2+1, 2)) AS bkey))")).as("bb"))
-      .select(col("gid"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      explode(expr("transform(sequence(0, 31), b -> struct(b AS band, element_at(sig, b*2+1) AS s1, element_at(sig, b*2+2) AS s2))")).as("bb"))
+      .select(col("gid"), col("bb.band").as("band"), col("bb.s1").as("s1"), col("bb.s2").as("s2"))
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.gid") < col("y.gid"))
+        col("x.band") === col("y.band") && col("x.s1") === col("y.s1") &&
+          col("x.s2") === col("y.s2") && col("x.gid") < col("y.gid"))
       .select(col("x.gid").as("ga"), col("y.gid").as("gb")).distinct()
     val jacUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       var ia = 0; var ib = 0; var inter = 0
@@ -444,9 +480,24 @@ object Llm {
     cross.unionByName(within)
   }
 
-  /** (doc_id, minhash sig, sorted distinct 5-gram FNV hashes) per document
+  /** md5-derived signed-64 hash of a string: first 8 digest bytes
+    * big-endian — the same two's-complement value DuckDB computes as
+    * `('0x' || substr(md5(x), 1, 16))::UBIGINT` re-centered at 2^63 (the
+    * round-12 cross-engine hash toolkit). Callers pass a per-partition
+    * MessageDigest (digest() resets it after each call).
+    */
+  private[llm] def md5hash64(md: java.security.MessageDigest, s: String): Long = {
+    val dg = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(dg, 0, 8).getLong
+  }
+
+  /** (doc_id, minhash sig, sorted distinct 5-gram hashes) per document
     * with ≥5 tokens. split semantics match Spark/DuckDB `split(text, ' ')`
-    * (interior AND trailing empties kept, hence the -1 limit).
+    * (interior AND trailing empties kept, hence the -1 limit). Gram hashes
+    * are the md5-derived signed-64 values (round 13 — was fnv64) so the
+    * DuckDB oracle can recompute the ENTIRE pipeline — hashes, 64-perm
+    * signature, banding, exact Jaccard — from the base table, which is
+    * what makes a band-then-verify (sf0.1-tractable) oracle possible.
     */
   private def docsSigGrams(
       s: SparkSession, d: String): org.apache.spark.sql.Dataset[(Long, Array[Long], Array[Long])] = {
@@ -457,6 +508,7 @@ object Llm {
     Tables.spread(s, Tables.t(s, d, "documents").select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
           val toks = text.split(" ", -1)
           if (toks.length < 5) Iterator.empty
@@ -473,7 +525,7 @@ object Llm {
                 if (k > 0) sb.append(' ')
                 sb.append(toks(i + k)); k += 1
               }
-              val h = fnv64(sb.toString)
+              val h = md5hash64(md, sb.toString)
               if (seen.add(h)) Udx.MinHashSig.reduce(sig, h)
               i += 1
             }
@@ -485,6 +537,154 @@ object Llm {
           }
         }
       }
+  }
+
+  // ---- banded cosine threshold join (sim_join_lsh_threshold) ----
+
+  private val LshJoinBands = 16
+  private val LshJoinR = 12
+  private val LshJoinTau = 0.9
+
+  /** Frozen ±1 hyperplanes for the banded threshold join: component (p, k)
+    * is +1 iff the first hex char of md5("pl<p>:<k>") is even — a seedless,
+    * engine-portable derivation the JVM kernel and the DuckDB oracle
+    * compute identically (md5 is bit-identical cross-engine; the first hex
+    * char is the high nibble of digest byte 0).
+    */
+  private lazy val lshJoinPlanes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(LshJoinBands * LshJoinR, 64) { (p, k) =>
+      val dg = md.digest(s"pl$p:$k".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((dg(0) >>> 4) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** embeddings ∪ jittered twins as (vec_id, emb DOUBLE[]): twin id =
+    * -vec_id-1 (disjoint from any non-negative base id at any scale,
+    * GenScale offsets included); twin noise is keyed on the ORIGINAL
+    * vec_id and the 0-based component index. All arithmetic is
+    * double multiply-add over exact small decimals, so both engines
+    * produce bit-identical values.
+    */
+  private def lshJoinInput(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.spread(s, Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+    val base = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val twin = e.select((-col("vec_id") - 1).as("vec_id"),
+      expr("transform(embedding, (x, k) -> CAST(x AS DOUBLE) + " +
+        "(CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), ':', CAST(k AS STRING))), 1, 4), 16, 10) AS INT) % 21 - 10) / 1000.0)")
+        .as("emb"))
+    base.unionByName(twin)
+  }
+
+  /** Banded threshold join kernel: exact-dup collapse → 16 band keys per
+    * representative (12-bit sign fold over the frozen planes, computed in
+    * an ascending-index JVM loop — the same sequential accumulation as
+    * list_dot_product, so band keys agree bit-for-bit with the oracle) →
+    * band equi-join candidates → exact cosine verify ≥ τ → expansion back
+    * to vec_id pairs (output-bounded), the collapsedPairSim discipline.
+    */
+  private def lshJoinThreshold(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val (grouped, ckptIds) = ckpt(lshJoinInput(s, d)
+      .groupBy(xxhash64(col("emb")).as("eh"), size(col("emb")).as("en"),
+        try_element_at(col("emb"), lit(1)).as("e0"),
+        try_element_at(col("emb"), lit(-1)).as("e1"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"),
+        first(col("emb")).as("emb"))
+      .select(col("members"), col("emb"), col("members")(0).as("gid")))
+    Option(collapseFinal.put((s, s"$d#lshjoin"), (grouped, ckptIds)))
+      .foreach { case (_, oldIds) => release(s, oldIds) }
+    val nBands = LshJoinBands
+    val nR = LshJoinR
+    val bandRows = grouped.select(col("gid"), col("emb"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (gid, emb) =>
+        val ps = lshJoinPlanes
+        (0 until nBands).iterator.map { b =>
+          var key = 0L
+          var r = 0
+          while (r < nR) {
+            val pl = ps(b * nR + r)
+            var dot = 0.0
+            var k = 0
+            while (k < emb.length) { dot += emb(k) * pl(k); k += 1 }
+            if (dot >= 0.0) key |= (1L << r)
+            r += 1
+          }
+          (b, key, gid)
+        }
+      }
+      .toDF("band", "bkey", "gid")
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.gid") < col("y.gid"))
+      .select(col("x.gid").as("ga"), col("y.gid").as("gb")).distinct()
+    val verified = cand
+      .join(grouped.select(col("gid").as("ga"), col("emb").as("ea")), "ga")
+      .join(grouped.select(col("gid").as("gb"), col("emb").as("eb")), "gb")
+      .withColumn("sim", round(cosCol("ea", "eb"), 6))
+      .where(col("sim") >= LshJoinTau)
+    val mem = grouped.select(col("gid"), explode(col("members")).as("m"))
+    val cross = verified
+      .join(mem.select(col("gid").as("ga"), col("m").as("va")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("m").as("vb")), "gb")
+      .select(least(col("va"), col("vb")).as("i"),
+        greatest(col("va"), col("vb")).as("j"), col("sim"))
+    // within-group pairs: identical vectors — self-cosine from the rep
+    // (1.0 unless all-zero, whose NaN drops like the per-pair form)
+    val within = grouped
+      .select(col("members"), col("emb")).as[(Array[Long], Array[Double])]
+      .flatMap { case (ids, emb) =>
+        if (ids.length < 2) Iterator.empty
+        else {
+          var dot = 0.0
+          var k = 0
+          while (k < emb.length) { dot += emb(k) * emb(k); k += 1 }
+          val n = math.sqrt(dot)
+          val sim = round6(dot / (n * n))
+          if (sim.isNaN || sim < LshJoinTau) Iterator.empty
+          else ids.indices.iterator.flatMap(x =>
+            (x + 1 until ids.length).iterator.map(y => (ids(x), ids(y), sim)))
+        }
+      }
+      .toDF("i", "j", "sim")
+    cross.unionByName(within).orderBy("i", "j")
+  }
+
+  /** Fully independent DuckDB mirror of [[lshJoinThreshold]]: jittered
+    * twins, the 192 inlined ±1 plane lists (md5-parity-derived — the SAME
+    * values lshJoinPlanes tabulates), 12-bit band-key folds, band
+    * equi-join candidates, exact shared-accumulation cosine ≥ τ. DuckDB
+    * bands UNCOLLAPSED vectors — same final pair set as the collapsed
+    * Spark plan (identical vectors share all band keys; a cross pair
+    * band-matches iff its representatives do).
+    */
+  private def lshJoinOracle: String = {
+    def planeList(p: Int): String =
+      lshJoinPlanes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val keyCols = (0 until LshJoinBands).map { b =>
+      val fold = (0 until LshJoinR).map { r =>
+        s"(CASE WHEN list_dot_product(emb, ${planeList(b * LshJoinR + r)}) >= 0 THEN ${1L << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST($fold AS BIGINT) AS k$b"
+    }.mkString(", ")
+    val caseB = (0 until LshJoinBands).map(b => s"WHEN $b THEN k$b")
+      .mkString("CASE r.b ", " ", " END")
+    "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      "tw AS (SELECT -vec_id - 1 AS vec_id, list_transform(embedding, (x, k) -> " +
+      "CAST(x AS DOUBLE) + (CAST(('0x' || substr(md5(vec_id || ':' || (k - 1)), 1, 4)) AS INTEGER) % 21 - 10) / 1000.0) AS emb " +
+      "FROM embeddings), " +
+      "u AS (SELECT vec_id, emb FROM e0 UNION ALL SELECT vec_id, emb FROM tw), " +
+      s"kk AS (SELECT vec_id, emb, $keyCols FROM u), " +
+      s"bd AS (SELECT vec_id, r.b AS band, $caseB AS bkey FROM kk, range($LshJoinBands) r(b)), " +
+      "cd AS (SELECT DISTINCT a.vec_id AS i, c.vec_id AS j FROM bd a JOIN bd c " +
+      "ON a.band = c.band AND a.bkey = c.bkey AND a.vec_id < c.vec_id), " +
+      s"p AS (SELECT i, j, round(${duckCos("a.emb", "c.emb")}, 6) AS sim " +
+      "FROM cd JOIN u a ON a.vec_id = cd.i JOIN u c ON c.vec_id = cd.j) " +
+      s"SELECT i, j, sim FROM p WHERE sim >= $LshJoinTau ORDER BY i, j"
   }
 
   /** Exact set-similarity self-join with exact-duplicate collapse.
@@ -774,16 +974,20 @@ object Llm {
 
     // L2 — MinHash + LSH near-dup: 5-gram shingles → 64-perm MinHash (K3
     // aggregator) → exact-dup collapse (one rep per distinct gram set) →
-    // 32 bands × 2 rows over reps → candidate pairs via band equi-join →
-    // exact Jaccard verification ≥ 0.5 → expansion back to id pairs
-    // (output-bounded). The oracle is the brute-force pair scan, valid
-    // because band recall at the planted-dup similarity (~0.9) is
-    // 1 - (1-s²)³² ≈ 1 (identical sets always pair at Jaccard 1.0);
-    // candidates are exactly verified either way.
+    // 32 bands × 2 raw-slice keys over reps → candidate pairs via band
+    // equi-join → exact Jaccard verification ≥ 0.5 → expansion back to id
+    // pairs (output-bounded). FULLY INDEPENDENT banded oracle (round 13 —
+    // was a brute-force pair scan, quadratic and sf0.1-intractable):
+    // DuckDB recomputes gram hashes, signatures, banding and the exact
+    // verify from the base table ([[duckBandedNearPairs]]) — the oracle's
+    // complexity now matches the operator's, so the full-scale sweep can
+    // include this key. Band recall at the planted-dup similarity (~0.9)
+    // is 1 - (1-s²)³² ≈ 1 (identical sets always pair at Jaccard 1.0);
+    // candidates are exactly verified in both engines.
     QueryDef(
       "dedup_minhash_near",
       Some(
-        s"WITH $duckNearPairs " +
+        s"WITH $duckBandedNearPairs " +
           "SELECT i, j, jac FROM p WHERE jac >= 0.5 ORDER BY i, j"),
       (s, d) => minhashNearPairsFromState(s, minhashStateFresh(s, d)).orderBy("i", "j")),
 
@@ -798,7 +1002,7 @@ object Llm {
     QueryDef(
       "dedup_cluster_components",
       Some(
-        s"WITH RECURSIVE $duckNearPairs, " +
+        s"WITH RECURSIVE $duckBandedNearPairs, " +
           "pe AS (SELECT i, j FROM p WHERE jac >= 0.5), " +
           "e AS (SELECT i, j FROM pe UNION SELECT j, i FROM pe), " +
           "reach(a, b) AS (SELECT i, j FROM e UNION " +
@@ -817,7 +1021,7 @@ object Llm {
     QueryDef(
       "dedup_corpus_filter",
       Some(
-        s"WITH RECURSIVE $duckNearPairs, " +
+        s"WITH RECURSIVE $duckBandedNearPairs, " +
           "pe AS (SELECT i, j FROM p WHERE jac >= 0.5), " +
           "e AS (SELECT i, j FROM pe UNION SELECT j, i FROM pe), " +
           "reach(a, b) AS (SELECT i, j FROM e UNION " +
@@ -1045,7 +1249,18 @@ object Llm {
           .orderBy("qid", "rn")
       }),
 
-    // L4 — similarity threshold self-join scoped to label groups.
+    // L4 — similarity threshold self-join scoped to label groups. EXACT BY
+    // DESIGN and therefore quadratic on distinct content within a label:
+    // tools/embed_geometry_probe.py measures this corpus as ~uniform on
+    // the 64-dim unit sphere (top PC 2.8%, max pair cosine 0.38), where at
+    // τ=0.35 NO recall-1 sub-quadratic method exists — d_τ=1.14 exceeds
+    // every centroid separation (triangle-inequality cluster pruning is
+    // vacuous) and sign-LSH at near-1 boundary recall admits ≥85% of
+    // random pairs (ρ=0.70). Quarantined like dedup_embed_cosine behind
+    // the same cardinality guard so no scale tooling reaches the O(d²)
+    // kernel by accident; the production paths are sim_join_lsh_threshold
+    // (banded near-dup join at a near-dup τ, provable per-pair recall
+    // bound) and dedup_semdedup_cluster (cluster-scoped dedup).
     QueryDef(
       "sim_join_threshold",
       Some(
@@ -1054,10 +1269,43 @@ object Llm {
           "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
           s"WHERE round(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35 " +
           "ORDER BY label, i, j"),
-      (s, d) =>
+      (s, d) => {
+        val n = Tables.t(s, d, "embeddings").count()
+        require(n <= ExactCosineMaxRows ||
+            sys.env.get("GRAFT_ALLOW_EXACT_COSINE").contains("1"),
+          s"sim_join_threshold is the declared-exact label-blocked O(d^2) " +
+            s"oracle fixture ($n rows > $ExactCosineMaxRows cap); use " +
+            "sim_join_lsh_threshold or dedup_semdedup_cluster at scale, or " +
+            "set GRAFT_ALLOW_EXACT_COSINE=1 for a deliberate exact baseline")
         cosinePairsFast(s, d, sameLabelOnly = true, tau = 0.35)
           .select(col("label"), col("i"), col("j"), col("sim"))
-          .orderBy("label", "i", "j")),
+          .orderBy("label", "i", "j")
+      }),
+
+    // L4b — BANDED cosine threshold join, the production sibling of the
+    // exact fixture above: sign-LSH candidate generation (16 bands × 12
+    // frozen ±1 hyperplanes) followed by exact verification of banded
+    // candidates at τ=0.9 — the near-duplicate regime a threshold join is
+    // actually run at over training corpora. Input is embeddings ∪ one
+    // deterministically JITTERED twin per vector (twin id = -vec_id-1;
+    // component noise ±0.010 keyed on md5(vec_id:dim), giving each base a
+    // true partner at cosine ≈ 0.9988 while cross pairs stay < 0.4), so
+    // the operator has a non-trivial, analytically-known answer at every
+    // scale. Semantics: a τ-pair is emitted iff it shares ≥1 of 16 band
+    // keys; per-pair miss probability (1-p^12)^16 with p = 1-θ/π — 6.6%
+    // at exactly τ=0.9, < 1e-12 at the twins' 0.9988, so empirical recall
+    // is 1 on this corpus. Precision is always 1 (survivors are exactly
+    // verified). Scale posture: hashing is linear (192 codegen-free JVM
+    // dots per vector over collapsed reps); candidate mass is
+    // N²·2.4e-4·16 per band-collision for UNcorrelated pairs — the prune
+    // factor that kills the O(d²) enumeration the exact fixture pays.
+    // FULLY INDEPENDENT oracle: the ±1 planes derive from md5 parity
+    // ("pl<p>:<k>"), so DuckDB recomputes jitter, planes, band keys,
+    // candidates and the exact cosine from the base table alone.
+    QueryDef(
+      "sim_join_lsh_threshold",
+      Some(lshJoinOracle),
+      (s, d) => lshJoinThreshold(s, d)),
 
     // Hybrid-retrieval rank fusion (RRF, k=60): the step that combines a
     // lexical ranking (BM25-family term scores) with a vector ranking

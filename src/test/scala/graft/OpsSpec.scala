@@ -355,6 +355,44 @@ class OpsSpec extends AnyFunSuite {
     assert(run("dedup_embed_cosine").columns.sameElements(Array("drop_id")))
   }
 
+  test("sim_join_threshold: cardinality guard quarantines the declared quadratic (round 13)") {
+    // same quarantine as dedup_embed_cosine — the geometry probe proves no
+    // recall-1 sub-quadratic exists at τ=0.35 on this corpus, so the exact
+    // fixture must fail FAST above the cap and name its production siblings.
+    // Own fixture dir: Tables.t caches the reader per (session, path), so
+    // overwriting another test's dir would hand that test a stale listing.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_simjoin_guard"
+    spark.range(llm.Llm.ExactCosineMaxRows + 1)
+      .select(col("id").as("vec_id"), lit(0).as("label"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("sim_join_threshold")(spark, dir)
+    }
+    assert(e.getMessage.contains("sim_join_lsh_threshold"),
+      s"guard message must point at the production path: ${e.getMessage}")
+    assert(run("sim_join_threshold").columns
+      .sameElements(Array("label", "i", "j", "sim")))
+  }
+
+  test("sim_join_lsh_threshold: finds every jittered twin pair; precision exact at τ") {
+    // every base vector v has a deterministic twin -v-1 at cosine ≈ 0.9988;
+    // the banded join's per-pair miss bound there is < 1e-12, so the twin
+    // pair set must be found COMPLETELY at any gate scale — and every
+    // emitted pair must verify exactly at τ (precision 1 by construction)
+    val out = run("sim_join_lsh_threshold").collect()
+    val baseIds = Tables.t(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missingTwins = baseIds.filter(v => !pairs.contains((-v - 1, v)))
+    assert(missingTwins.isEmpty,
+      s"banded join missed twin pairs for: ${missingTwins.take(5)}")
+    assert(out.forall(_.getDouble(2) >= 0.9), "emitted pair below τ")
+    // on this corpus cross pairs sit < 0.4, so twins are the whole answer
+    assert(out.length == baseIds.size,
+      s"expected exactly ${baseIds.size} twin pairs, got ${out.length}")
+  }
+
   test("dedup_semdedup_cluster: drops ⊆ exact drop set, recall ≥ 0.9 vs the oracle fixture (sf0.01)") {
     // the exact/approx PAIRING bound (SURVEY §2): dedup_embed_cosine is the
     // declared-exact oracle fixture, semdedup the production path — run at
@@ -469,6 +507,7 @@ class OpsSpec extends AnyFunSuite {
       run("dedup_containment").count()
       run("sim_join_threshold").count()
       run("dedup_embed_cosine").count()
+      run("sim_join_lsh_threshold").count()
     }
     sweep()
     val afterFirst = persisted
