@@ -212,6 +212,17 @@ object FhirQueries {
             s"CAST(count($field) AS BIGINT) AS n_checked, " +
             s"CAST(count(CASE WHEN NOT regexp_matches($field, '^($re)$$') THEN 1 END) AS BIGINT) AS n_bad " +
             s"FROM read_parquet('$G/$tbl.parquet')"
+        } ++ Seq {
+          // UCUM linear-scale rule (round 13): quantity codes on a special
+          // (logarithmic / pH) scale cannot be linear-canonicalized — A8
+          // leaves their canonical group NULL; this rule COUNTS them so a
+          // corpus full of dB/pH Observations is flagged, not silent.
+          val specials = UcumGrammar.specialLoneCodes.map(c => s"'$c'").mkString(", ")
+          "SELECT 'Observation' AS tbl, 'valueQuantity.code' AS field, " +
+            "'ucum-linear-scale' AS fhir_type, " +
+            "CAST(count(valueQuantity.code) AS BIGINT) AS n_checked, " +
+            s"CAST(count(CASE WHEN valueQuantity.code IN ($specials) THEN 1 END) AS BIGINT) AS n_bad " +
+            s"FROM read_parquet('$G/Observation.parquet')"
         }).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl, field"),
       ),
       (s, d) =>
@@ -229,16 +240,26 @@ object FhirQueries {
                 Seq(
                   count(expr(f)).as(s"nc_$i"),
                   count(when(!expr(f).rlike(s"^($re)$$"), 1)).as(s"nb_$i"))
-              }
+              } ++
+              (if (tbl == "Observation") Seq(
+                count(expr("valueQuantity.code")).as("nc_ucum"),
+                count(when(expr("valueQuantity.code")
+                  .isin(UcumGrammar.specialLoneCodes: _*), 1)).as("nb_ucum"))
+               else Nil)
           val entries =
             struct(
               lit("resourceType").as("field"), lit("resource-types").as("fhir_type"),
               col("nc_rt").as("n_checked"), col("nb_rt").as("n_bad")) +:
-              fields.zipWithIndex.map { case ((_, f, typ), i) =>
+              (fields.zipWithIndex.map { case ((_, f, typ), i) =>
                 struct(
                   lit(f).as("field"), lit(typ).as("fhir_type"),
                   col(s"nc_$i").as("n_checked"), col(s"nb_$i").as("n_bad"))
-              }
+              } ++
+                (if (tbl == "Observation") Seq(struct(
+                  lit("valueQuantity.code").as("field"),
+                  lit("ucum-linear-scale").as("fhir_type"),
+                  col("nc_ucum").as("n_checked"), col("nb_ucum").as("n_bad")))
+                 else Nil))
           Tables.golden(s, tbl, d)
             .agg(aggCols.head, aggCols.tail: _*)
             .select(explode(array(entries: _*)).as("r"))

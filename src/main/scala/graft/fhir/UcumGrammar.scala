@@ -111,6 +111,72 @@ object UcumGrammar {
     "[iU]" -> (JBD.ONE, Map("iU" -> 1), false),
     "[IU]" -> (JBD.ONE, Map("iU" -> 1), false))
 
+  /** UCUM SPECIAL units (ucum.org §21-23) — measured on non-ratio scales:
+    * logarithmic (bel `B` and its suffixed forms, neper `Np`) and pH
+    * (`[pH]`, negative log of molar concentration). They convert through
+    * y = f(x) (log₁₀, ln), NOT through a linear factor(+offset), so no
+    * (canonicalCode, factor, offset) triple can represent them — a linear
+    * "conversion" would be silently wrong for every value. `parse` /
+    * `canonical` therefore return None for any expression containing one
+    * (round 13: an EXPLICIT classification, not an unknown-atom accident),
+    * which under A8's left-join contract leaves the `__<q>_canonical`
+    * group NULL — flagged, never mis-converted. [[classify]] distinguishes
+    * this case from a genuinely unknown atom so conformance reporting can
+    * name the reason.
+    */
+  val specialAtoms: Set[String] = Set(
+    "B", "Np", "[pH]", "B[SPL]", "B[V]", "B[mV]", "B[uV]", "B[10.nV]",
+    "B[W]", "B[kW]")
+
+  /** Split a code into component tokens (operators outside brackets),
+    * exponent digits stripped — just enough resolution to recognize a
+    * special atom inside a compound or behind a metric prefix.
+    */
+  private def componentTokens(code: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inBr = false
+    code.foreach {
+      case '[' => inBr = true; sb += '['
+      case ']' => inBr = false; sb += ']'
+      case '.' | '/' if !inBr => out += sb.result(); sb.clear()
+      case c => sb += c
+    }
+    out += sb.result()
+    out.toSeq.map(_.replaceAll("[+-]?\\d+$", "")).filter(_.nonEmpty)
+  }
+
+  /** True iff the code contains a special (non-ratio-scale) atom, bare or
+    * metric-prefixed (`dB`, `mB[SPL]`).
+    */
+  def isSpecial(code: String): Boolean =
+    componentTokens(code.trim).exists(t =>
+      specialAtoms.contains(t) || prefixes.exists { case (p, _) =>
+        t.startsWith(p) && specialAtoms.contains(t.substring(p.length))
+      })
+
+  /** Lone-code special vocabulary for conformance IN-list checks: the
+    * special atoms plus every metric-prefixed form (`dB`, `cNp`, `mB[SPL]`
+    * — prefixes never apply to bracket-initial atoms like `[pH]`). An
+    * IN-list keeps the rule expressible identically in Spark `isin` and
+    * DuckDB `IN`, with this sorted sequence as the single source.
+    */
+  lazy val specialLoneCodes: Seq[String] =
+    (specialAtoms.toSeq ++ (for {
+      (p, _) <- prefixes
+      a <- specialAtoms.toSeq if !a.startsWith("[")
+    } yield p + a)).distinct.sorted
+
+  /** Three-way classification for conformance reporting: "linear"
+    * (canonicalizable to factor·Π base^dim (+offset)), "special-nonlinear"
+    * (logarithmic / pH — representable only as y = f(x), flagged), or
+    * "unknown" (no grammar derivation).
+    */
+  def classify(code: String): String =
+    if (parse(code).isDefined) "linear"
+    else if (isSpecial(code)) "special-nonlinear"
+    else "unknown"
+
   /** Offsets for the lone temperature units (exponent 1, no compounding). */
   private val loneOffsets: Map[String, (U, JBD)] = Map(
     "Cel" -> (U(JBD.ONE, Map("K" -> 1)), bd("273.15")),
@@ -224,6 +290,8 @@ object UcumGrammar {
           case _ => (tok, 1)
         }
       }
+    if (specialAtoms.contains(unit))
+      sys.error(s"special (non-ratio-scale) atom '$unit' — not linear-canonicalizable")
     val base = atoms.get(unit) match {
       case Some((f, dm, _)) => U(f, dm)
       case None =>

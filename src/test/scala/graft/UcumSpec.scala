@@ -37,6 +37,28 @@ class UcumSpec extends AnyFunSuite {
     assert(UcumGrammar.canonical("mg/").isEmpty)
   }
 
+  test("grammar: special (logarithmic/pH) units flagged non-linear, never mis-converted (round 13)") {
+    // bel, neper, pH convert via log, not a linear factor(+offset): any
+    // (canon, factor, offset) triple would be silently wrong, so parse and
+    // canonical must return None — A8's left join then leaves the
+    // __<q>_canonical group NULL (flagged, not converted)
+    for (c <- Seq("B", "Np", "[pH]", "dB", "B[SPL]", "mB[SPL]", "cNp"))
+      assert(UcumGrammar.canonical(c).isEmpty, s"special unit '$c' must not canonicalize")
+    // classification names the reason, distinguishing special from unknown
+    assert(UcumGrammar.classify("B") == "special-nonlinear")
+    assert(UcumGrammar.classify("[pH]") == "special-nonlinear")
+    assert(UcumGrammar.classify("dB/m") == "special-nonlinear")
+    assert(UcumGrammar.classify("furlong") == "unknown")
+    assert(UcumGrammar.classify("mg/dL") == "linear")
+    // the conformance IN-list covers bare and metric-prefixed forms but
+    // never prefixes a bracket-initial atom
+    assert(UcumGrammar.specialLoneCodes.contains("dB"))
+    assert(UcumGrammar.specialLoneCodes.contains("[pH]"))
+    assert(!UcumGrammar.specialLoneCodes.exists(c => c.endsWith("[pH]") && c != "[pH]"))
+    // golden vocabulary untouched: every code still parses linear
+    assert(UcumGrammar.vocabTable.size == UcumGrammar.vocabulary.size)
+  }
+
   test("grammar: temperature offsets only on the lone units") {
     val (cc, cf, co) = canon("Cel")
     assert(cc == "K" && cf == 1.0 && co == 273.15)
