@@ -28,6 +28,12 @@ object Llm {
     */
   val ExactCosineMaxRows: Long = 10000L
 
+  /** Per-source distinct-content cap for the declared-exact gram-pair
+    * kernels (dedup_ngram_jaccard / dedup_containment) — see the round-13
+    * quarantine note inside [[collapsedPairSim]].
+    */
+  val GramPairMaxReps: Long = 16384L
+
   /** Fixed staging path for the simhash signature table — a Spark-side
     * PERFORMANCE artifact since round 12: the per-doc signature kernel
     * runs once per (JVM, dataset) and the query's banding reads it, but
@@ -741,6 +747,26 @@ object Llm {
       .withColumn("gid", col("members")(0)))
     Option(collapseFinal.put((sp, cacheKey), (grouped, ckptIds)))
       .foreach { case (_, oldIds) => release(sp, oldIds) }
+    // Round-13 quarantine (the distinct-content rehearsal stamped
+    // exponents 1.32/1.21 on the two callers — collapse only absorbs
+    // string-identical replicas, so on DISTINCT content the rep kernel
+    // pays O(max_source_reps²) by declared-exact design): fail fast past
+    // the cap instead of silently melting at corpus scale, pointing at
+    // the banded production siblings. The cap admits the gate scales and
+    // the 10× distinct rehearsal (10⁴ reps/source ≈ 15 s); the count is
+    // one tiny aggregate over the ALREADY-materialized (eager
+    // localCheckpoint) collapsed table. GRAFT_ALLOW_EXACT_GRAMS=1
+    // overrides for a deliberate exact baseline.
+    val maxReps = grouped.groupBy(col("source")).count()
+      .agg(max(col("count"))).collect()(0)
+    val maxRepsL = if (maxReps.isNullAt(0)) 0L else maxReps.getLong(0)
+    require(maxRepsL <= GramPairMaxReps ||
+        sys.env.get("GRAFT_ALLOW_EXACT_GRAMS").contains("1"),
+      s"collapsedPairSim($outCol) is a declared-exact all-pairs kernel " +
+        s"over distinct gram sets ($maxRepsL distinct contents in one " +
+        s"source > $GramPairMaxReps cap); use the banded near-dup family " +
+        "(dedup_minhash_near / dedup_simhash) or substring winnowing " +
+        "(dedup_substring_winnow) at scale, or set GRAFT_ALLOW_EXACT_GRAMS=1")
     val reps = grouped.select(col("source"), col("gid"), col("grams"))
       .as[(String, Long, Array[Long])]
       .flatMap { case (src, gid, grams) =>

@@ -393,6 +393,31 @@ class OpsSpec extends AnyFunSuite {
       s"expected exactly ${baseIds.size} twin pairs, got ${out.length}")
   }
 
+  test("gram-pair kernels: per-source distinct-content guard fails fast (round 13)") {
+    // the r13 distinct-content rehearsal stamped exponents 1.32/1.21 on
+    // the two declared-exact gram kernels — past the per-source cap they
+    // must fail BEFORE paying the O(reps²) kernel, naming the banded
+    // siblings; the guard counts the collapsed table, so the fixture's
+    // 16385 distinct one-source texts trip it in one tiny aggregate
+    // md5 payload per doc: a bare numeric suffix is NOT enough — "111" and
+    // "1111" have IDENTICAL char-3-gram SETS (so do all periodic digit
+    // strings), and one such merge under the collapse lands exactly at the
+    // cap instead of over it (found the hard way)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_gram_guard"
+    spark.range(llm.Llm.GramPairMaxReps + 1)
+      .select(col("id").as("doc_id"), lit("web").as("source"),
+        concat(lit("guard text "), md5(col("id").cast("string"))).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+    }
+    assert(e.getMessage.contains("dedup_minhash_near"),
+      s"guard message must point at the banded siblings: ${e.getMessage}")
+    // at/below the cap both kernels still run (gate scales sit well under)
+    assert(run("dedup_ngram_jaccard").columns
+      .sameElements(Array("source", "i", "j", "jac")))
+  }
+
   test("dedup_semdedup_cluster: drops ⊆ exact drop set, recall ≥ 0.9 vs the oracle fixture (sf0.01)") {
     // the exact/approx PAIRING bound (SURVEY §2): dedup_embed_cosine is the
     // declared-exact oracle fixture, semdedup the production path — run at
