@@ -56,9 +56,13 @@ object Corpus {
     * would need the pattern's leading space inside a symbol — symbols never
     * contain spaces, they come from space-split words).
     */
-  private def bpeOracle: String = {
+  /** The trainer CTE chain (w0/s0, per-round p_r/b_r/s_r) shared by the
+    * train oracle and the round-13 apply oracle — b_r holds round r's
+    * winning pair as a scalar-subquery-able one-row table.
+    */
+  private def bpeCtes: String = {
     val sb = new StringBuilder
-    sb ++= "WITH w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq " +
+    sb ++= "w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq " +
       "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
       "WHERE length(word) > 0 GROUP BY word), "
     sb ++= "s0 AS MATERIALIZED (SELECT freq, '  ' || array_to_string([word[i] for i in range(1, length(word) + 1)], '  ') || '  ' AS seq FROM w0)"
@@ -74,13 +78,102 @@ object Corpus {
           s"' ' || string_split((SELECT pair FROM b$r), ' ')[1] || '  ' || string_split((SELECT pair FROM b$r), ' ')[2] || ' ', " +
           s"' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ') AS seq FROM $prev)"
     }
-    sb ++= " SELECT rank, pair, freq FROM ("
-    sb ++= (1 to BpeMerges)
-      .map(r => s"SELECT CAST($r AS BIGINT) AS rank, pair, f AS freq FROM b$r")
-      .mkString(" UNION ALL ")
-    sb ++= ") ORDER BY rank"
     sb.toString
   }
+
+  private def bpeOracle: String = {
+    s"WITH $bpeCtes SELECT rank, pair, freq FROM (" +
+      (1 to BpeMerges)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS rank, pair, f AS freq FROM b$r")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY rank"
+  }
+
+  /** Round-13 apply oracle: re-derives the merge list (the trainer chain's
+    * b_r tables) from the base table, then encodes every document — the
+    * per-word double-space segmentation, the SAME eight literal replaces in
+    * rank order, token/symbol counts and the first-8-token stream (word
+    * order via WITH ORDINALITY ↔ Spark's posexplode). Fully independent.
+    */
+  private def bpeApplyOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $bpeCtes"
+    // position via the generate_series lateral (DuckDB 1.0 has no
+    // WITH ORDINALITY); 1-based pos, used only for ordering, matching
+    // Spark's 0-based posexplode order
+    sb ++= ", d0 AS MATERIALIZED (SELECT doc_id, CAST(t.i AS INT) AS pos, w[CAST(t.i AS INT)] AS word FROM " +
+      "(SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w FROM documents), " +
+      "unnest(generate_series(1, len(w))) AS t(i))"
+    sb ++= ", a0 AS MATERIALIZED (SELECT doc_id, pos, " +
+      "'  ' || array_to_string([word[i] for i in range(1, length(word) + 1)], '  ') || '  ' AS seq FROM d0)"
+    for (r <- 1 to BpeMerges)
+      sb ++= s", a$r AS MATERIALIZED (SELECT doc_id, pos, replace(seq, " +
+        s"' ' || string_split((SELECT pair FROM b$r), ' ')[1] || '  ' || string_split((SELECT pair FROM b$r), ' ')[2] || ' ', " +
+        s"' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ') AS seq FROM a${r - 1})"
+    sb ++= s", tk AS (SELECT doc_id, pos, list_filter(string_split(seq, '  '), x -> x != '') AS toks FROM a$BpeMerges) "
+    sb ++= "SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens, " +
+      "CAST(len(list_distinct(flatten(list(toks)))) AS BIGINT) AS n_symbols, " +
+      "array_to_string(flatten(list(toks ORDER BY pos))[1:8], ' ') AS head_tokens " +
+      "FROM tk GROUP BY doc_id ORDER BY doc_id"
+    sb.toString
+  }
+
+  /** Run the BPE merge loop (the trainer): BpeMerges rounds of
+    * argmax-pair + literal merge over the word-frequency table. Returns
+    * (rank, pair, freq) rows; callers own memoization policy —
+    * tokenizer_train_bpe recomputes fresh per invocation (bench honesty),
+    * tokenizer_apply_bpe reuses the per-dataset model artifact.
+    */
+  private def trainBpeMerges(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(Long, String, Long)] = {
+    val words = Tables.spread(s, Tables.t(s, d, "documents"))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit("  "),
+          array_join(expr("filter(split(word, ''), x -> x != '')"), "  "),
+          lit("  ")).as("seq"))
+    var (cur, ids) = Llm.ckpt(words)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (r <- 1 to BpeMerges) {
+      val best = cur
+        .select(col("freq"),
+          expr("filter(split(seq, '  '), x -> x != '')").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("pair"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"BPE round $r: no pairs left to merge")
+      val pair = best(0).getString(0)
+      merges += ((r.toLong, pair, best(0).getLong(1)))
+      if (r < BpeMerges) {
+        val Array(a, b) = pair.split(" ", 2)
+        val (nxt, nids) = Llm.ckpt(cur.withColumn("seq",
+          replace(col("seq"), lit(s" $a  $b "), lit(s" $a$b "))))
+        cur = nxt
+        ids = ids ++ nids
+      }
+    }
+    // every job that reads the checkpoints has completed (ckpt is
+    // eager, the argmax collects are the only consumers) — release now
+    Llm.release(s, ids)
+    merges.toSeq
+  }
+
+  /** Per-dataset trained-merge artifact, fingerprint-keyed like the
+    * Pipeline LMs (in-place regeneration re-trains).
+    */
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Seq[(Long, String, Long)]]()
+
+  private def bpeMergesCached(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(Long, String, Long)] =
+    bpeMergeCache.computeIfAbsent(
+      (s, Tables.fingerprint(d, "documents")), _ => trainBpeMerges(s, d))
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -161,44 +254,52 @@ object Corpus {
       "tokenizer_train_bpe",
       Some(bpeOracle),
       (s, d) => {
-        val words = Tables.spread(s, Tables.t(s, d, "documents"))
-          .select(explode(split(col("text"), " ")).as("word"))
-          .where(length(col("word")) > 0)
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-          .select(col("freq"),
-            concat(lit("  "),
-              array_join(expr("filter(split(word, ''), x -> x != '')"), "  "),
-              lit("  ")).as("seq"))
-        var (cur, ids) = Llm.ckpt(words)
-        val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-        for (r <- 1 to BpeMerges) {
-          val best = cur
-            .select(col("freq"),
-              expr("filter(split(seq, '  '), x -> x != '')").as("t"))
-            .where(size(col("t")) >= 2)
-            .select(col("freq"), explode(expr(
-              "transform(sequence(1, size(t) - 1), " +
-                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
-            .groupBy("pair").agg(sum(col("freq")).as("f"))
-            .orderBy(col("f").desc, col("pair"))
-            .limit(1).collect()
-          require(best.nonEmpty, s"BPE round $r: no pairs left to merge")
-          val pair = best(0).getString(0)
-          merges += ((r.toLong, pair, best(0).getLong(1)))
-          if (r < BpeMerges) {
-            val Array(a, b) = pair.split(" ", 2)
-            val (nxt, nids) = Llm.ckpt(cur.withColumn("seq",
-              replace(col("seq"), lit(s" $a  $b "), lit(s" $a$b "))))
-            cur = nxt
-            ids = ids ++ nids
-          }
-        }
-        // every job that reads the checkpoints has completed (ckpt is
-        // eager, the argmax collects are the only consumers) — release now
-        Llm.release(s, ids)
         val sp = s
         import sp.implicits._
-        merges.toSeq.toDF("rank", "pair", "freq").orderBy("rank")
+        trainBpeMerges(s, d).toDF("rank", "pair", "freq").orderBy("rank")
+      }),
+
+    // Tokenizer family step 3 (round 13): APPLY the trained merges — encode
+    // every document with the 8-merge BPE the trainer produced, the step a
+    // pipeline runs over the whole corpus once training converges. Per-word
+    // segmentations use the trainer's double-space string representation,
+    // so applying merge r is the SAME literal replace in both engines;
+    // merges apply in rank order (the deterministic BPE encode). Output per
+    // doc: encoded token count, distinct symbols used, and the first 8
+    // tokens of the encoded stream (word order preserved via posexplode /
+    // WITH ORDINALITY). The merge list is a per-dataset model artifact
+    // (fingerprint-memoized — the trained-LM discipline; the key is in
+    // SparkEntry.memoizedKeys); encoding itself always re-runs, one narrow
+    // codegen string pass per word plus a doc-keyed aggregate — linear,
+    // broadcast-free at any corpus size.
+    QueryDef(
+      "tokenizer_apply_bpe",
+      Some(bpeApplyOracle),
+      (s, d) => {
+        val merges = bpeMergesCached(s, d)
+        val seq0 = concat(lit("  "),
+          array_join(expr("filter(split(word, ''), x -> x != '')"), "  "),
+          lit("  "))
+        val encoded = merges.foldLeft(seq0) { case (c, (_, pair, _)) =>
+          val Array(a, b) = pair.split(" ", 2)
+          replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+        }
+        Tables.spread(s, Tables.t(s, d, "documents"))
+          .select(col("doc_id"),
+            posexplode(expr("filter(split(text, ' '), x -> x != '')"))
+              .as(Seq("pos", "word")))
+          .select(col("doc_id"), col("pos"),
+            filter(split(encoded, "  "), x => x =!= lit("")).as("toks"))
+          .groupBy("doc_id")
+          .agg(
+            sum(size(col("toks"))).as("n_tokens"),
+            size(array_distinct(flatten(collect_list(col("toks"))))).cast("long")
+              .as("n_symbols"),
+            array_join(
+              slice(flatten(expr(
+                "transform(array_sort(collect_list(struct(pos, toks))), x -> x.toks)")),
+                1, 8), " ").as("head_tokens"))
+          .orderBy("doc_id")
       }),
 
     // Per-document salient terms: top-3 words by an exact-integer tf-idf

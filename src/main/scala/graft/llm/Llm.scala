@@ -1333,6 +1333,52 @@ object Llm {
       Some(lshJoinOracle),
       (s, d) => lshJoinThreshold(s, d)),
 
+    // L4c — Matryoshka (MRL) coarse-search / fine-rerank funnel (round 13):
+    // rank ALL candidates by cosine over the FIRST 16 of 64 dims (the 4×
+    // cheaper truncated prefix an MRL-trained embedding is built to make
+    // meaningful), keep top-20 per query, exactly re-rank those 20 by
+    // full-dim cosine, emit top-5 — the standard two-stage serving funnel
+    // where the expensive metric touches only a constant-size candidate
+    // set per query. At 100 TB the coarse pass reads a 4×-narrower column
+    // (here: a slice of the same column — the plumbing, ordering and
+    // funnel semantics are what the key pins); the rerank is O(20) per
+    // query. Both stages rank on round-6 sims under total orders (the
+    // cross-engine tie discipline); oracle mirrors the slices exactly.
+    QueryDef(
+      "sim_mrl_rerank",
+      Some(
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, CAST(embedding[1:16] AS DOUBLE[]) AS emb16 FROM embeddings), " +
+          "q AS (SELECT vec_id AS qid, emb AS qe, emb16 AS qe16 FROM e WHERE vec_id < 5), " +
+          s"coarse AS (SELECT q.qid, c.vec_id AS cid, round(${duckCos("q.qe16", "c.emb16")}, 6) AS sim_coarse, " +
+          "c.emb AS ce, q.qe AS qe FROM q JOIN e c ON c.vec_id != q.qid), " +
+          "top20 AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim_coarse DESC, cid) AS rc " +
+          "FROM coarse QUALIFY rc <= 20), " +
+          s"rr AS (SELECT qid, cid, sim_coarse, round(${duckCos("qe", "ce")}, 6) AS sim_full FROM top20) " +
+          "SELECT qid, cid, sim_coarse, sim_full, " +
+          "CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_full DESC, cid) AS BIGINT) AS rn " +
+          "FROM rr QUALIFY rn <= 5 ORDER BY qid, rn"),
+      (s, d) => {
+        val e = Tables.spread(s, Tables.t(s, d, "embeddings"))
+          .select(col("vec_id"), col("embedding"),
+            slice(col("embedding"), 1, 16).as("emb16"))
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("emb16").as("qe16"))
+        val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("emb16").as("ce16"))
+        val wc = Window.partitionBy(col("qid")).orderBy(col("sim_coarse").desc, col("cid"))
+        val wf = Window.partitionBy(col("qid")).orderBy(col("sim_full").desc, col("cid"))
+        c.join(broadcast(q), col("qid") =!= col("cid"))
+          .withColumn("sim_coarse", round(cosCol("qe16", "ce16"), 6))
+          .withColumn("rc", row_number().over(wc))
+          .where(col("rc") <= 20)
+          .withColumn("sim_full", round(cosCol("qe", "ce"), 6))
+          .select(col("qid"), col("cid"), col("sim_coarse"), col("sim_full"),
+            row_number().over(wf).cast("long").as("rn"))
+          .where(col("rn") <= 5)
+          .orderBy("qid", "rn")
+      }),
+
     // Hybrid-retrieval rank fusion (RRF, k=60): the step that combines a
     // lexical ranking (BM25-family term scores) with a vector ranking
     // (embedding cosine) in every RAG / retrieval pipeline — neither list

@@ -71,7 +71,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // brute-force similarity baselines: the broadcast side is the FIXED
     // 5-row query set, so candidate×query NLJ is the intended plan — every
     // candidate partition streams once past an O(1) broadcast table
-    "sim_cosine_topk", "knn_label_vote", "sim_topk_int8",
+    // (sim_mrl_rerank's COARSE stage shares the shape; its expensive
+    // full-dim rerank then touches only 20 rows per query)
+    "sim_cosine_topk", "knn_label_vote", "sim_topk_int8", "sim_mrl_rerank",
     // staged-bound oracle join: 1-row staged merged-HLL estimate ×
     // 1-row exact-count aggregate — a declared 1×1 cross join
     "agg_sketch_merge")
