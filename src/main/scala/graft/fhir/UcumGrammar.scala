@@ -123,9 +123,37 @@ object UcumGrammar {
     * group NULL — flagged, never mis-converted. [[classify]] distinguishes
     * this case from a genuinely unknown atom so conformance reporting can
     * name the reason.
+    *
+    * Round 14: the set covers the FULL UCUM special-units table (ucum.org
+    * §§21-23, "special units" rows), not just the bel/neper/pH family —
+    * prism diopter `[p'diop]` (tan), slope `%[slope]` (100·tan),
+    * the homeopathic potency series `[hp'_X/C/M/Q]` (decimal/centesimal
+    * retired + hahnemannian `[hp_X/C/M/Q]`... the spec marks both primes
+    * and non-primes special) plus korsakovian `[kp_X/C/M/Q]`, bit
+    * logarithmus dualis `bit_s` (ld), and Réaumur `[degRe]` (the spec
+    * models it via the `degre` function pair, so it rides the special list
+    * even though the function is affine). `Cel`/`[degF]` are ALSO on the
+    * spec's special list but have exact affine function pairs, which this
+    * grammar represents directly via [[loneOffsets]] — they classify
+    * "linear" by design (converted correctly when standalone, refused in
+    * compounds).
     */
   val specialAtoms: Set[String] = Set(
     "B", "Np", "[pH]", "B[SPL]", "B[V]", "B[mV]", "B[uV]", "B[10.nV]",
+    "B[W]", "B[kW]",
+    "[p'diop]", "%[slope]", "bit_s", "[degRe]",
+    "[hp'_X]", "[hp'_C]", "[hp'_M]", "[hp'_Q]",
+    "[hp_X]", "[hp_C]", "[hp_M]", "[hp_Q]",
+    "[kp_X]", "[kp_C]", "[kp_M]", "[kp_Q]")
+
+  /** The metric subset of [[specialAtoms]] — only these accept UCUM
+    * prefixes (`dB`, `cNp`). The bracket-initial and non-metric atoms
+    * (`[pH]`, `%[slope]`, `bit_s`, the potency series) never prefix, so
+    * generating `d%[slope]`-style codes would admit invalid UCUM into the
+    * special IN-list and mislabel them "special-nonlinear" over "unknown".
+    */
+  private val metricSpecialAtoms: Set[String] = Set(
+    "B", "Np", "B[SPL]", "B[V]", "B[mV]", "B[uV]", "B[10.nV]",
     "B[W]", "B[kW]")
 
   /** Split a code into component tokens (operators outside brackets),
@@ -152,7 +180,7 @@ object UcumGrammar {
   def isSpecial(code: String): Boolean =
     componentTokens(code.trim).exists(t =>
       specialAtoms.contains(t) || prefixes.exists { case (p, _) =>
-        t.startsWith(p) && specialAtoms.contains(t.substring(p.length))
+        t.startsWith(p) && metricSpecialAtoms.contains(t.substring(p.length))
       })
 
   /** Lone-code special vocabulary for conformance IN-list checks: the
@@ -164,7 +192,7 @@ object UcumGrammar {
   lazy val specialLoneCodes: Seq[String] =
     (specialAtoms.toSeq ++ (for {
       (p, _) <- prefixes
-      a <- specialAtoms.toSeq if !a.startsWith("[")
+      a <- metricSpecialAtoms.toSeq
     } yield p + a)).distinct.sorted
 
   /** Three-way classification for conformance reporting: "linear"
