@@ -144,8 +144,24 @@ object Bench {
     // by an anchor ratio, so anchor noise multiplies into every normalized
     // number — and the four anchors are sub-second, so the extra samples
     // cost < 5 s against a 100+ s run.
+    // ok flags from anchor/probe samples are PROPAGATED, not discarded
+    // (round-13 advisor): a throwing anchor's time-to-exception (often ms)
+    // would otherwise become the min sample and silently collapse the
+    // ratio, inflating every queries_norm value with no error surfaced —
+    // in a protocol that flags every other anomaly. A failed sample is
+    // excluded from the min and counted in anchor_errors/probe_errors; if
+    // ALL samples of an anchor fail the run aborts loudly (there is no
+    // denominator to normalize by).
+    val anchorErrors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val probeErrors = new java.util.concurrent.atomic.AtomicInteger(0)
+    def minOk(samples: Seq[(Double, Boolean)], errCounter: java.util.concurrent.atomic.AtomicInteger, what: String): Double = {
+      val (good, bad) = samples.partition(_._2)
+      errCounter.addAndGet(bad.size)
+      require(good.nonEmpty, s"bench $what: every sample threw — no valid timing denominator")
+      good.map(_._1).min
+    }
     def anchorPass(): Seq[(String, Double)] = anchorDefs.map { case (name, fn) =>
-      name -> Seq.fill(math.max(repeat, 5))(time(fn)).map(_._1).min
+      name -> minOk(Seq.fill(math.max(repeat, 5))(time(fn)), anchorErrors, s"anchor $name")
     }
     val anchorRefSum = anchorDefs.map(a => anchorRef(a._1)).sum
     val anchorTimes = anchorPass()
@@ -163,7 +179,9 @@ object Bench {
     val probeDefs = Seq(anchorDefs.head, anchorDefs.last)
     val probeRefSum = probeDefs.map(a => anchorRef(a._1)).sum
     def probeRatio(): Double =
-      probeDefs.map { case (_, fn) => Seq.fill(3)(time(fn)).map(_._1).min }.sum / probeRefSum
+      probeDefs.map { case (name, fn) =>
+        minOk(Seq.fill(3)(time(fn)), probeErrors, s"probe $name")
+      }.sum / probeRefSum
     val peaks = scala.collection.mutable.Map.empty[String, Double]
     val drainCapped = scala.collection.mutable.ArrayBuffer.empty[String]
     val probes = scala.collection.mutable.ArrayBuffer[Double](probeRatio())
@@ -188,15 +206,18 @@ object Bench {
       // gap of a bursty listener backlog), and record a cap hit in the
       // artifact so an unstable drain is visible rather than silently
       // credited to the next key. Sits entirely outside the timed samples.
+      // (round-13 advisor: the loop previously exited at 2 consecutive
+      // unchanged polls while this comment promised 3 — condition now
+      // matches the documented guarantee.)
       var lastPeak = peakNow.get()
       var stable = 0
       var drainMs = 0
-      while (drainMs < 300 && stable < 2) {
+      while (drainMs < 300 && stable < 3) {
         Thread.sleep(15); drainMs += 15
         val cur = peakNow.get()
         if (cur == lastPeak) stable += 1 else { stable = 0; lastPeak = cur }
       }
-      if (stable < 2) drainCapped += name
+      if (stable < 3) drainCapped += name
       peaks(name) = peakNow.get() / 1048576.0
       if ((idx + 1) % ProbeEvery == 0 || idx == orderedKeys.size - 1)
         probes += probeRatio()
@@ -281,11 +302,11 @@ object Bench {
     val probesJson = probes.map(r3).mkString("[", ",", "]")
     val probeFlaggedJson = probeFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val drainCappedJson = drainCapped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"anchor_post":$anchorPostJson,"anchor_bracket_disagree":$bracketDisagree,"probes":$probesJson,"probe_flagged":$probeFlaggedJson,"peak_drain_capped":$drainCappedJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"anchor_post":$anchorPostJson,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"probes":$probesJson,"probe_flagged":$probeFlaggedJson,"peak_drain_capped":$drainCappedJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"sf":"$sfDir"}"""
     // "agg"/"repeat" appear in BOTH artifacts: the round-5 estimator change
     // (median -> min) moved the headline total, and a consumer reading only
     // BENCH_total.json must be able to tell estimator change from plan change.
-    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatioMean)},"anchor_bracket_disagree":$bracketDisagree,"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"protocol":"$protocolName","sf":"$sfDir"}"""
+    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatioMean)},"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"protocol":"$protocolName","sf":"$sfDir"}"""
     // Driver-parse posture (BENCH_r01/r02 lesson): the driver's stdout tail
     // capture truncates long lines from the HEAD, so the ~3 KB per-query map
     // must never be the last line. Persist the full detail to a file, print

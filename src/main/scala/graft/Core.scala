@@ -44,10 +44,18 @@ object Tables {
   private val readCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  // Keyed on the CONTENT fingerprint, not the bare path (round 14 — the
+  // invalidate-together discipline): a DataFrame's file index snapshots
+  // names+sizes at creation, so in-place regeneration at the same path
+  // within one JVM would otherwise serve a stale listing (FileNotFound at
+  // best, wrong byte ranges at worst) while every fingerprint-keyed memo
+  // above it correctly re-derives. The fingerprint is one stat per table
+  // file (shallow, local-FS metadata) — the cache still avoids the footer
+  // read + schema inference that it exists for.
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     readCache.computeIfAbsent(
-      (spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+      (spark, fingerprint(dir, name) + "#" + name),
+      { case (s, _) => s.read.parquet(s"$dir/$name.parquet") })
 
   /** Parallelize an under-partitioned scan before a per-row compute kernel
     * (JVM mapPartitions, interpreted HOFs): local testdata tables are

@@ -78,9 +78,25 @@ object FaultDrill {
     while (attempt < maxAttempts && !killedDuringRun) {
       attempt += 1
       val taskStartSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // Recovery evidence (round-13 advisor: destroyForcibly() only SENDS
+      // the signal — the executor may die after the query's final collect
+      // returns, or after all of its tasks for this query already finished,
+      // in which case the run exercised nothing and a kill_landed=true
+      // verdict would be a false positive). A kill only counts when BOTH:
+      //   (a) the killed executor PROCESS was confirmed dead (onExit future
+      //       completed) while the query was still running, and
+      //   (b) the scheduler OBSERVED the loss before the run was marked
+      //       done — a failed-task end event or an executor-removed event —
+      //       i.e. the recompute/FetchFailed machinery actually engaged.
+      val lossObserved = new java.util.concurrent.atomic.AtomicBoolean(false)
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskStart(ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
           taskStartSeen.set(true)
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.reason != org.apache.spark.Success) lossObserved.set(true)
+        override def onExecutorRemoved(
+            er: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+          lossObserved.set(true)
       }
       spark.sparkContext.addSparkListener(listener)
       val queryDone = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -90,24 +106,31 @@ object FaultDrill {
         if (!queryDone.get()) {
           executorPids().headOption.foreach { p =>
             p.destroyForcibly()
-            // landed only counts if the query was still running
-            if (!queryDone.get()) killLanded.set(true)
+            // poll actual process DEATH (not signal dispatch) — landed only
+            // counts if the process is gone while the query still runs
+            val deadline = System.nanoTime() + 10_000_000_000L
+            while (p.isAlive && System.nanoTime() < deadline) Thread.sleep(2)
+            if (!p.isAlive && !queryDone.get()) killLanded.set(true)
           }
         }
       })
       watcher.setDaemon(true)
       watcher.start()
       val (h, n) = rowsHash(fn(spark, d))
+      // capture the recovery evidence BEFORE declaring the run done — an
+      // event arriving after this point proves nothing about this query
+      val observedBeforeDone = lossObserved.get()
       queryDone.set(true)
-      watcher.join(5000)
+      watcher.join(15000)
       spark.sparkContext.removeSparkListener(listener)
-      if (killLanded.get()) { killedDuringRun = true; h1 = h; n1 = n }
+      if (killLanded.get() && observedBeforeDone) { killedDuringRun = true; h1 = h; n1 = n }
       // give the worker time to respawn the executor before a retry/next run
       Thread.sleep(3000)
     }
     val ok = killedDuringRun && h0 == h1 && n0 == n1
     println(s"""{"drill":"executor_kill","key":"$key","sf":"$d","rows":$n0,""" +
       s""""hash_base":"$h0","hash_killed":"$h1","kill_landed":$killedDuringRun,""" +
+      s""""kill_evidence":"process_dead_during_query+scheduler_loss_event",""" +
       s""""attempts":$attempt,"match":${h0 == h1 && n0 == n1},"ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)

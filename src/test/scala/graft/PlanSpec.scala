@@ -637,4 +637,41 @@ class PlanSpec extends AnyFunSuite {
     assert(Tables.spread(spark, wide) eq wide,
       "spread must be identity on an input at or above defaultParallelism")
   }
+
+  test("sim_mrl_rerank: coarse stage scans ONLY the staged 16-dim prefix table") {
+    // Round-13 judge task #6: the funnel's IO win must be physical, not
+    // semantic. (a) Structurally, every leaf under the coarse top-20
+    // window (the data-sized pass) is the staged prefix relation — the
+    // wide embeddings.parquet feeds only the bounded rerank join.
+    // (b) The prefix scan's ReadSchema carries emb16, never the 64-dim
+    // column. (c) The staged file is measurably narrower than the base
+    // table (the 100 TB coarse-scan bytes ratio; recorded in PLANS.md).
+    val df = SparkEntry.queries("sim_mrl_rerank")(spark, sf)
+    df.collect() // ensure staging ran
+    val lp = df.queryExecution.optimizedPlan
+    val coarse = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.windowExpressions.exists(_.name == "rc") => w
+    }
+    assert(coarse.nonEmpty, "coarse top-20 window not found in optimized plan")
+    // a leaf relation's schema identifies it: the staged prefix table IS
+    // (vec_id, emb16); the wide base table would surface `embedding`
+    val leaves = coarse.head.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(l =>
+      l.output.exists(_.name == "emb16") && !l.output.exists(_.name == "embedding")),
+      s"coarse subtree reads a non-prefix relation:\n${leaves.mkString("\n")}")
+    val phys = df.queryExecution.executedPlan.toString
+    val prefixScan = phys.linesIterator.find(l =>
+      l.contains("graft_mrl_prefix") && l.contains("ReadSchema"))
+    assert(prefixScan.exists(l =>
+      l.contains("emb16") && !l.contains("embedding")), prefixScan.toString)
+    def dirBytes(p: java.io.File): Long =
+      if (p.isFile) p.length
+      else Option(p.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+    val pfxBytes = dirBytes(new java.io.File(llm.Llm.mrlPrefixDataDir))
+    val baseBytes = dirBytes(new java.io.File(s"$sf/embeddings.parquet"))
+    assert(pfxBytes > 0 && baseBytes > 0)
+    assert(pfxBytes * 2 < baseBytes,
+      s"staged prefix not materially narrower: $pfxBytes vs $baseBytes bytes")
+  }
 }

@@ -30,11 +30,17 @@ updated = []
 for k in sorted(set(qa) & set(qb)):
     t0, t1 = qa[k], qb[k]
     exp = round(math.log10(t1 / t0), 3) if t0 > 0 and t1 > 0 else None
-    rec = doc["queries"].setdefault(k, {"t_sf0.1": t0})
+    # Distinct-run provenance lives in its OWN fields (round-13 advisor:
+    # writing rec["round"] = stamp clobbered the replicated-mode round that
+    # produced t_sf1/exponent; and a setdefault-seeded t_sf0.1 would wrongly
+    # present the distinct-base time as the replicated baseline). A key not
+    # yet present gets an empty record — its replicated fields stay absent
+    # rather than being faked from the distinct run.
+    rec = doc["queries"].setdefault(k, {})
     rec["t_sf0.1_distinct_base"] = t0
     rec["t_sf1_distinct"] = t1
     rec["exponent_distinct"] = exp
-    rec["round"] = stamp
+    rec["round_distinct"] = stamp
     if k in b.get("peak_mb", {}):
         rec["peak_mb_distinct"] = b["peak_mb"][k]
     updated.append(k)
