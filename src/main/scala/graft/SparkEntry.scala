@@ -52,10 +52,15 @@ object SparkEntry {
     * the oracle independently verifies all downstream math — banding,
     * joins, exact integer/percentile arithmetic, error bounds vs DuckDB's
     * own exact counts — but the kernel step itself (fnv64 simhash, LSH
-    * plane fold, PNG decode+dHash, k-means assignment, eigensolve,
-    * xxhash64 ranks/winnow, HLL estimation) is covered by property specs,
-    * not by a second engine. Flagged in the bench artifact so consumers
-    * can distinguish the two verification strengths (round-11 advisor).
+    * plane fold, PNG decode + area-average, k-means assignment,
+    * eigensolve, xxhash64 ranks/winnow, HLL estimation) is covered by
+    * property specs, not by a second engine. Flagged in the bench
+    * artifact so consumers can distinguish the two verification strengths
+    * (round-11 advisor). multimodal_phash_neardup's staged surface shrank
+    * in round 14 (judge task #7): the oracle refolds the dHash from staged
+    * raw 9×8 luma grids in SQL, so only the image DECODE itself remains
+    * kernel-only — it stays flagged because DuckDB has no PNG codec
+    * (SURVEY §5.7).
     */
   private val stagedOracleKeys: Set[String] = Set(
     "multimodal_phash_neardup", "sim_ann_ivf",

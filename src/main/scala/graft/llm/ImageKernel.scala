@@ -134,6 +134,17 @@ object ImageKernel {
     * perceptual dedup needs (same image, different exposure).
     */
   def dHash(img: BufferedImage): Long = {
+    val (sums, cnts) = lumaGrid(img)
+    foldDHash(sums, cnts)
+  }
+
+  /** The area-average accumulation step of [[dHash]], exposed separately
+    * (round-13 judge task #7) so the 9×8 (sum, count) grids can be STAGED
+    * and the final bit-fold recomputed in DuckDB SQL — the oracle then
+    * cross-checks the kernel's last arithmetic mile instead of trusting
+    * the finished hash. Row-major flattening: index cy * 9 + cx.
+    */
+  def lumaGrid(img: BufferedImage): (Array[Long], Array[Long]) = {
     val gw = 9
     val gh = 8
     val w = img.getWidth
@@ -165,13 +176,22 @@ object ImageKernel {
       }
       y += 1
     }
+    (sums.flatten, cnts.flatten)
+  }
+
+  /** The bit-fold step of [[dHash]] over row-major 9×8 grids: bit k
+    * (k = cy·8 + cx, MSB-first) = "cell (cy,cx) brighter than (cy,cx+1)",
+    * compared by exact integer cross-multiplication — no float averages.
+    * Mirrored verbatim by the multimodal_phash_neardup oracle's SQL fold.
+    */
+  def foldDHash(sums: Array[Long], cnts: Array[Long]): Long = {
     var bits = 0L
     var cy = 0
-    while (cy < gh) {
+    while (cy < 8) {
       var cx = 0
-      while (cx < gw - 1) {
-        val lhs = sums(cy)(cx) * cnts(cy)(cx + 1)
-        val rhs = sums(cy)(cx + 1) * cnts(cy)(cx)
+      while (cx < 8) {
+        val lhs = sums(cy * 9 + cx) * cnts(cy * 9 + cx + 1)
+        val rhs = sums(cy * 9 + cx + 1) * cnts(cy * 9 + cx)
         bits = (bits << 1) | (if (lhs > rhs) 1L else 0L)
         cx += 1
       }

@@ -81,8 +81,10 @@ object Multimodal {
 
   private def stagePhash(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
-    // content-fingerprint marker — see Llm.stageLshBuckets
-    val fp = Tables.fingerprint(d, "documents")
+    // content-fingerprint marker — see Llm.stageLshBuckets; kernel-version
+    // tag (see stageQuantHash): the round-14 grid-staging schema change
+    // must invalidate any hash-only staged table from earlier code
+    val fp = "lumagrids1|" + Tables.fingerprint(d, "documents")
     val marker = Paths.get(PhashDir, "_dataset")
     if (Files.exists(marker) && Files.readString(marker) == fp) return
     val sp = s
@@ -107,10 +109,16 @@ object Multimodal {
           val bytes = ImageKernel.encodePng(img)
           // hash the DECODED container bytes: a broken decode path
           // changes every hash and collapses the group structure the
-          // spec asserts
-          (id, ImageKernel.dHash(ImageKernel.decode(bytes).get))
+          // spec asserts. The 9×8 (sum, count) luma grids are staged
+          // BESIDE the hash (round-13 judge task #7): the oracle refolds
+          // the hash from the raw grids in SQL, so the kernel's bit-fold
+          // arithmetic is cross-engine checked — only the PNG decode +
+          // area-average accumulation remain kernel-only (no second
+          // engine here has an image codec; documented in SURVEY §5.7).
+          val (sums, cnts) = ImageKernel.lumaGrid(ImageKernel.decode(bytes).get)
+          (id, ImageKernel.foldDHash(sums, cnts), sums, cnts)
         }
-      }.toDF("doc_id", "ph")
+      }.toDF("doc_id", "ph", "sums", "cnts")
       .write.mode("overwrite").parquet(s"$PhashDir/data")
     Files.writeString(marker, fp)
   }
@@ -333,7 +341,20 @@ object Multimodal {
     QueryDef(
       "multimodal_phash_neardup",
       Some(
-        "WITH h AS (SELECT doc_id, ph FROM read_parquet('" + PhashDir + "/data/*.parquet')), " +
+        // The oracle REFOLDS the hash from the staged raw 9×8 luma grids
+        // (round-13 judge task #7): bit k (k = cy·8+cx, MSB-first) set iff
+        // sums[cy,cx]·cnts[cy,cx+1] > sums[cy,cx+1]·cnts[cy,cx] — the exact
+        // integer cross-multiplication of ImageKernel.foldDHash, summed as
+        // HUGEINT powers and mapped to the signed-64 value (the
+        // stageQuantHash HUGEINT-mirror pattern). A fold bug in either
+        // engine now hash-mismatches; only decode + area-average stay
+        // kernel-only.
+        "WITH g AS (SELECT doc_id, sums, cnts FROM read_parquet('" + PhashDir + "/data/*.parquet')), " +
+          "hs AS (SELECT doc_id, sum(CASE WHEN sums[(i // 8) * 9 + (i % 8) + 1] * cnts[(i // 8) * 9 + (i % 8) + 2] " +
+          "> sums[(i // 8) * 9 + (i % 8) + 2] * cnts[(i // 8) * 9 + (i % 8) + 1] " +
+          "THEN CAST(1 AS HUGEINT) << (63 - i) ELSE CAST(0 AS HUGEINT) END) AS s " +
+          "FROM g, range(64) r(i) GROUP BY doc_id), " +
+          "h AS (SELECT doc_id, CAST(s - (CASE WHEN s >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS ph FROM hs), " +
           "hc AS (SELECT ph, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY ph), " +
           "ex AS (SELECT ph, r.p AS blk, (ph >> (16 * r.p)) & 65535 AS v FROM hc, range(4) r(p)), " +
           "pr AS (SELECT ph, blk, CASE WHEN f.i = 16 THEN v ELSE xor(v, CAST(1 AS BIGINT) << f.i) END AS v " +
