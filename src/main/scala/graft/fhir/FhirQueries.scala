@@ -147,7 +147,7 @@ object FhirQueries {
         // decode runs ONCE: schema inference (spark.read.json) and the
         // re-encode both consume the checkpointed strings instead of each
         // re-running scan+decode (round-8 task: multi-scan FHIR keys).
-        val ndjson = FhirCodec.decode(Tables.golden(s, "Observation", d)).localCheckpoint()
+        val ndjson = graft.Ckpt(FhirCodec.decode(Tables.golden(s, "Observation", d)))._1
         val schema = FhirSchema.deriveSchema(s, ndjson)
         val back = FhirCodec.encode(s, ndjson, schema)
         back.agg(count(lit(1)).as("n_rows"), countDistinct(col("id")).as("nd_ids"))

@@ -900,10 +900,8 @@ object Llm {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Seq[Int])]()
 
   private[llm] def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint()
-    val ids = (sc.getPersistentRDDs.keySet -- before).toSeq
+    // backend selected by GRAFT_RELIABLE_CKPT — see graft.Ckpt
+    val (out, ids) = graft.Ckpt(df)
     if (sys.env.contains("GRAFT_CKPT_DEBUG"))
       Console.err.println(s"[ckpt] +$ids from ${Thread.currentThread.getStackTrace()(3)}")
     (out, ids)

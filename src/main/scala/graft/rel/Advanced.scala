@@ -34,12 +34,8 @@ object Advanced {
     * discipline as the label-propagation loop in llm.Llm — blocks must not
     * wait on nondeterministic ContextCleaner GC).
     */
-  private def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint()
-    (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
-  }
+  // backend selected by GRAFT_RELIABLE_CKPT — see graft.Ckpt
+  private def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = graft.Ckpt(df)
 
   private def release(s: SparkSession, ids: Seq[Int]): Unit = {
     val live = s.sparkContext.getPersistentRDDs

@@ -41,12 +41,8 @@ object Analytics {
     * release — same discipline as Advanced/Llm/Ivf: superseded blocks are
     * freed by id, never left to nondeterministic ContextCleaner GC.
     */
-  private def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint()
-    (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
-  }
+  // backend selected by GRAFT_RELIABLE_CKPT — see graft.Ckpt
+  private def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = graft.Ckpt(df)
 
   private def release(s: SparkSession, ids: Seq[Int]): Unit = {
     val live = s.sparkContext.getPersistentRDDs

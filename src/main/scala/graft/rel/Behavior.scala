@@ -25,13 +25,9 @@ object Behavior {
     * Advanced/Llm/Ivf); rfm releases its checkpoint before returning, so no
     * one-slot registry is needed here.
     */
+  // backend selected by GRAFT_RELIABLE_CKPT — see graft.Ckpt
   private def ckpt(df: org.apache.spark.sql.DataFrame)
-      : (org.apache.spark.sql.DataFrame, Seq[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint()
-    (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
-  }
+      : (org.apache.spark.sql.DataFrame, Seq[Int]) = graft.Ckpt(df)
 
   private def release(s: org.apache.spark.sql.SparkSession, ids: Seq[Int]): Unit = {
     val live = s.sparkContext.getPersistentRDDs
