@@ -1043,6 +1043,91 @@ object Llm {
           "SELECT i, j, jac FROM p WHERE jac >= 0.5 ORDER BY i, j"),
       (s, d) => minhashNearPairsFromState(s, minhashStateFresh(s, d)).orderBy("i", "j")),
 
+    // L2c — INCREMENTAL near-dup (round 14): a new ingest batch (doc_id %
+    // 10 = 5 — a GenScale-stable split, 10⁹ ≡ 0 mod 10, chosen so the
+    // batch demonstrably CONTAINS near-dup hits at the gate scale: an
+    // all-novel output would let a broken kernel pass trivially) deduped
+    // against the EXISTING corpus's banded MinHash
+    // index — the near-dup twin of dedup_incremental_bloom (which is
+    // exact-only). Production shape: the collapsed index (one banded
+    // representative per distinct gram set) is the persisted artifact a
+    // pipeline maintains between ingests; per batch doc the kernel emits
+    // how many index docs it near-duplicates (5-gram Jaccard ≥ 0.5), the
+    // best score, the smallest best-scoring index doc, and an is_novel
+    // flag. Batch band keys equi-join the index bands — candidate work
+    // scales with the BATCH, never re-pairing the corpus against itself;
+    // batch-batch pairs are out of scope by definition (they dedup at the
+    // next index rebuild). Verification is exact set intersection via
+    // array_intersect over the sorted distinct gram hashes — a Catalyst
+    // expression, no UDF. Oracle: fully independent — reuses the
+    // band-then-verify CTE chain (all banded pairs from the base table)
+    // and filters to batch↔index pairs, so both engines derive the same
+    // result from opposite plan shapes.
+    QueryDef(
+      "dedup_incremental_minhash",
+      Some(
+        s"WITH $duckBandedNearPairs, " +
+          "m AS (SELECT CASE WHEN i % 10 = 5 THEN i ELSE j END AS b, " +
+          "CASE WHEN i % 10 = 5 THEN j ELSE i END AS o, jac FROM p " +
+          "WHERE jac >= 0.5 AND ((i % 10 = 5) <> (j % 10 = 5))), " +
+          "ag AS (SELECT b, CAST(count(*) AS BIGINT) AS n_dup, max(jac) AS best_jac FROM m GROUP BY b), " +
+          "bm AS (SELECT m.b, CAST(min(m.o) AS BIGINT) AS best_match FROM m " +
+          "JOIN ag ON m.b = ag.b AND m.jac = ag.best_jac GROUP BY m.b) " +
+          "SELECT d.doc_id, CAST(coalesce(ag.n_dup, 0) AS BIGINT) AS n_dup, " +
+          "CAST(coalesce(ag.best_jac, 0.0) AS DOUBLE) AS best_jac, " +
+          "CAST(coalesce(bm.best_match, -1) AS BIGINT) AS best_match, " +
+          "ag.b IS NULL AS is_novel " +
+          "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 5) d " +
+          "LEFT JOIN ag ON d.doc_id = ag.b LEFT JOIN bm ON d.doc_id = bm.b " +
+          "ORDER BY d.doc_id"),
+      (s, d) => {
+        val base = docsSigGrams(s, d).toDF("doc_id", "sig", "gh")
+        val isBatch = pmod(col("doc_id"), lit(10)) === 5
+        val batch = base.where(isBatch)
+        // collapsed index (batch excluded): the minhashState grouping shape
+        val grouped = base.where(!isBatch)
+          .groupBy(xxhash64(col("gh")).as("k"), size(col("gh")).as("kn"),
+            try_element_at(col("gh"), lit(1)).as("k0"),
+            try_element_at(col("gh"), lit(-1)).as("k1"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+            first(col("gh")).as("gh"), first(col("sig")).as("sig"))
+          .select(col("members")(0).as("gid"), col("members"),
+            col("sig"), col("gh"))
+        val bandExpr = "transform(sequence(0, 31), b -> struct(b AS band, " +
+          "element_at(sig, b*2+1) AS s1, element_at(sig, b*2+2) AS s2))"
+        val ib = grouped.select(col("gid"), explode(expr(bandExpr)).as("bb"))
+          .select(col("gid"), col("bb.band").as("band"),
+            col("bb.s1").as("s1"), col("bb.s2").as("s2"))
+        val bb = batch.select(col("doc_id").as("b"), explode(expr(bandExpr)).as("bb"))
+          .select(col("b"), col("bb.band").as("band"),
+            col("bb.s1").as("s1"), col("bb.s2").as("s2"))
+        val cand = bb.as("x").join(ib.as("y"),
+            col("x.band") === col("y.band") && col("x.s1") === col("y.s1") &&
+              col("x.s2") === col("y.s2"))
+          .select(col("x.b").as("b"), col("y.gid").as("gid")).distinct()
+        val verified = cand
+          .join(batch.select(col("doc_id").as("b"), col("gh").as("gha")), "b")
+          .join(grouped.select(col("gid"), col("gh").as("ghb"), col("members")), "gid")
+          .withColumn("inter", size(array_intersect(col("gha"), col("ghb"))))
+          .withColumn("jac", round(col("inter") /
+            (size(col("gha")) + size(col("ghb")) - col("inter")), 6))
+          .where(col("jac") >= 0.5)
+        val ag = verified.groupBy(col("b"))
+          .agg(sum(size(col("members"))).cast("long").as("n_dup"),
+            max(col("jac")).as("best_jac"))
+        val bm = verified.join(ag, "b").where(col("jac") === col("best_jac"))
+          .groupBy(col("b")).agg(min(col("gid")).as("best_match"))
+        Tables.t(s, d, "documents").where(isBatch).select(col("doc_id"))
+          .join(ag.withColumnRenamed("b", "doc_id"), Seq("doc_id"), "left")
+          .join(bm.withColumnRenamed("b", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            coalesce(col("best_jac"), lit(0.0)).cast("double").as("best_jac"),
+            coalesce(col("best_match"), lit(-1L)).as("best_match"),
+            col("n_dup").isNull.as("is_novel"))
+          .orderBy("doc_id")
+      }),
+
     // Near-dup pairs → connected components: the step between "pairs" and
     // "keep one per cluster" in a production dedup pipeline (A~B, B~C must
     // collapse to ONE kept doc, which pairwise drops alone cannot do).

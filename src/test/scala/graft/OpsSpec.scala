@@ -1262,6 +1262,30 @@ class OpsSpec extends AnyFunSuite {
       5L -> 83L, 6L -> 83L), got.toString)
   }
 
+  test("dedup_incremental_minhash: batch near-dups matched to index, novel flagged, batch-batch ignored") {
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"w$i")
+    val base = words.mkString(" ")                        // index doc 7's text
+    val nearDup = (words.take(38) :+ "zz" :+ "yy").mkString(" ") // ~0.9 jaccard vs base
+    val texts = Seq(
+      7L -> base,            // index
+      15L -> nearDup,        // batch: near-dup of 7
+      25L -> (0 until 40).map(i => s"u$i").mkString(" "), // batch: novel
+      35L -> nearDup,        // batch: identical to batch 15 — batch-batch must NOT count
+      8L -> base)            // index: exact dup of 7 (same gram set)
+    val dir = java.nio.file.Files.createTempDirectory("graft_incmh").toString
+    texts.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_incremental_minhash")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    // 15 and 35 each match BOTH index copies of the base text (7 and 8),
+    // best match = min id 7; each other (identical, batch-batch) is ignored
+    assert(got(15L) == ((2L, 7L, false)), got.toString)
+    assert(got(35L) == ((2L, 7L, false)), got.toString)
+    assert(got(25L) == ((0L, -1L, true)), got.toString)
+    assert(got.keySet == Set(15L, 25L, 35L), got.toString)
+  }
+
   test("join_asof packed picks: digit-budget violation raises loudly, never a silent drop") {
     // Round-13 judge task #1: with ANSI off, an out-of-budget component
     // would NULL the packed CAST/multiply and max()/min() would silently

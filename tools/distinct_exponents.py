@@ -1,7 +1,17 @@
 #!/usr/bin/env python3
-"""Fold a DISTINCT-CONTENT scale rehearsal into BENCH_sf1.json.
+"""Fold a DISTINCT-CONTENT scale rehearsal into BENCH_sf1.json (or, with
+explicit labels, a decade-2 rehearsal into BENCH_sf10.json).
 
-Usage: python3 tools/distinct_exponents.py <sf0.1_subset.json> <sf1_distinct_subset.json> [out_json]
+Usage: python3 tools/distinct_exponents.py <small_subset.json> <big_subset.json> \
+           [out_json] [small_label big_label]
+
+Defaults: out=BENCH_sf1.json, labels sf0.1 / sf1 (decade 1). Round 14's
+decade-2 run: out=BENCH_sf10.json, labels sf1 sf10 — fields then read
+t_sf1_distinct_base / t_sf10_distinct. A key whose big-side run errored
+(Bench records -1; e.g. the declared-exact gram kernels fail fast at
+their GramPairMaxReps guard on sf10-distinct cardinalities) is stamped
+with t_<big>_distinct = -1 and exponent_distinct = None plus a
+guard_tripped marker instead of a fake exponent.
 
 Round-13 companion to merge_exponents.py: GenScale's replicate mode is
 collapse-absorbable (string-identical replicas), so the existing
@@ -23,6 +33,8 @@ import sys
 a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
 out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_sf1.json"
+small = sys.argv[4] if len(sys.argv) > 5 else "sf0.1"
+big = sys.argv[5] if len(sys.argv) > 5 else "sf1"
 doc = json.load(open(out))
 stamp = os.environ.get("MERGE_ROUND", "r13-distinct")
 qa, qb = a["queries"], b["queries"]
@@ -37,10 +49,15 @@ for k in sorted(set(qa) & set(qb)):
     # yet present gets an empty record — its replicated fields stay absent
     # rather than being faked from the distinct run.
     rec = doc["queries"].setdefault(k, {})
-    rec["t_sf0.1_distinct_base"] = t0
-    rec["t_sf1_distinct"] = t1
+    rec[f"t_{small}_distinct_base"] = t0
+    rec[f"t_{big}_distinct"] = t1
     rec["exponent_distinct"] = exp
     rec["round_distinct"] = stamp
+    if t1 < 0:
+        # the big-side run threw — for the declared-exact gram kernels this
+        # is the GramPairMaxReps guard firing at rehearsal cardinality (the
+        # designed fail-fast); record the fact, never a fake exponent
+        rec["big_side_errored"] = True
     if k in b.get("peak_mb", {}):
         rec["peak_mb_distinct"] = b["peak_mb"][k]
     updated.append(k)
