@@ -217,7 +217,11 @@ object FhirQueries {
           // (logarithmic / pH) scale cannot be linear-canonicalized — A8
           // leaves their canonical group NULL; this rule COUNTS them so a
           // corpus full of dB/pH Observations is flagged, not silent.
-          val specials = UcumGrammar.specialLoneCodes.map(c => s"'$c'").mkString(", ")
+          // SQL-escape embedded quotes: the UCUM special list includes the
+          // homeopathic primes ([hp'_X]…) whose ' would otherwise terminate
+          // the literal and break the oracle's parse (round-14 find)
+          val specials = UcumGrammar.specialLoneCodes
+            .map(c => s"'${c.replace("'", "''")}'").mkString(", ")
           "SELECT 'Observation' AS tbl, 'valueQuantity.code' AS field, " +
             "'ucum-linear-scale' AS fhir_type, " +
             "CAST(count(valueQuantity.code) AS BIGINT) AS n_checked, " +
