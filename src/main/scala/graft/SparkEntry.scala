@@ -51,16 +51,17 @@ object SparkEntry {
     * kernel under test (the staged-signature / staged-bound discipline):
     * the oracle independently verifies all downstream math — banding,
     * joins, exact integer/percentile arithmetic, error bounds vs DuckDB's
-    * own exact counts — but the kernel step itself (fnv64 simhash, LSH
-    * plane fold, PNG decode + area-average, k-means assignment,
-    * eigensolve, xxhash64 ranks/winnow, HLL estimation) is covered by
-    * property specs, not by a second engine. Flagged in the bench
-    * artifact so consumers can distinguish the two verification strengths
-    * (round-11 advisor). multimodal_phash_neardup's staged surface shrank
-    * in round 14 (judge task #7): the oracle refolds the dHash from staged
-    * raw 9×8 luma grids in SQL, so only the image DECODE itself remains
-    * kernel-only — it stays flagged because DuckDB has no PNG codec
-    * (SURVEY §5.7).
+    * own exact counts — but the kernel step itself is covered by property
+    * specs, not by a second engine. Flagged in the bench artifact so
+    * consumers can distinguish the two verification strengths (round-11
+    * advisor). Round 14 shrank the staged surfaces to the genuinely
+    * non-relational residue (SURVEY §5.7): phash stages raw 9×8 luma
+    * grids and the oracle REFOLDS the dHash in SQL (only PNG decode stays
+    * kernel-only — DuckDB has no image codec); the two k-means keys stage
+    * ONLY centroids and the oracle re-derives argmin assignment, probe
+    * and multi-assignment via the bit-identical squared-distance fold
+    * (only the Lloyd iteration stays kernel-only); eigensolve and the two
+    * HLL library estimates complete the flagged set.
     */
   private val stagedOracleKeys: Set[String] = Set(
     "multimodal_phash_neardup", "sim_ann_ivf",
