@@ -638,6 +638,16 @@ class PlanSpec extends AnyFunSuite {
       "spread must be identity on an input at or above defaultParallelism")
   }
 
+  test("dedup_incremental_minhash: band join is a hash equi-join; small sides broadcast; no cartesian") {
+    val p = plan("dedup_incremental_minhash")
+    // the batch-bands ⋈ index-bands candidate join must plan as a HASH
+    // equi-join on (band, s1, s2) — a nested-loop here would re-pair the
+    // corpus against itself at scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no hash equi-join found")
+  }
+
   test("sim_mrl_rerank: coarse stage scans ONLY the staged 16-dim prefix table") {
     // Round-13 judge task #6: the funnel's IO win must be physical, not
     // semantic. (a) Structurally, every leaf under the coarse top-20
