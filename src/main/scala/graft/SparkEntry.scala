@@ -41,7 +41,7 @@ object SparkEntry {
     "sim_ann_lsh", "udaf_imperative_minhash", "embed_pca_project",
     "agg_quantile_merge", "agg_approx_distinct", "agg_sketch_merge",
     "dedup_substring_winnow", "quality_perplexity_trigram",
-    "tokenizer_apply_bpe", "sim_mrl_rerank",
+    "tokenizer_apply_bpe", "tokenizer_fertility", "sim_mrl_rerank",
     "stream_rate_limited_ingest", "stream_checkpoint_recovery",
     "stream_tumbling_window",
     "stream_sliding_window", "stream_session_window", "stream_chained_agg",

@@ -118,6 +118,33 @@ object Corpus {
     sb.toString
   }
 
+  /** Round-14 fertility oracle: re-derives the trainer chain's merges from
+    * the base table, encodes every word (the same replace chain as the
+    * apply oracle, without positional bookkeeping), and aggregates the
+    * tokenizer-evaluation ratios per language in exact integer micro-units.
+    * Fully independent.
+    */
+  private def bpeFertilityOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $bpeCtes"
+    sb ++= ", f0 AS MATERIALIZED (SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents)"
+    sb ++= ", g0 AS MATERIALIZED (SELECT doc_id, lang, word, " +
+      "'  ' || array_to_string([word[i] for i in range(1, length(word) + 1)], '  ') || '  ' AS seq FROM f0)"
+    for (r <- 1 to BpeMerges)
+      sb ++= s", g$r AS MATERIALIZED (SELECT doc_id, lang, word, replace(seq, " +
+        s"' ' || string_split((SELECT pair FROM b$r), ' ')[1] || '  ' || string_split((SELECT pair FROM b$r), ' ')[2] || ' ', " +
+        s"' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ') AS seq FROM g${r - 1})"
+    sb ++= s", ft AS (SELECT doc_id, lang, length(word) AS n_chr, " +
+      s"len(list_filter(string_split(seq, '  '), x -> x != '')) AS n_tok FROM g$BpeMerges) "
+    sb ++= "SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+      "CAST(count(*) AS BIGINT) AS n_words, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(n_chr) AS BIGINT) AS n_chars, " +
+      "(1000000 * CAST(sum(n_tok) AS BIGINT)) // CAST(count(*) AS BIGINT) AS fertility_micro, " +
+      "(1000000 * CAST(sum(n_chr) AS BIGINT)) // CAST(sum(n_tok) AS BIGINT) AS chars_per_token_micro " +
+      "FROM ft GROUP BY lang ORDER BY lang"
+    sb.toString
+  }
+
   /** Run the BPE merge loop (the trainer): BpeMerges rounds of
     * argmax-pair + literal merge over the word-frequency table. Returns
     * (rank, pair, freq) rows; callers own memoization policy —
@@ -300,6 +327,46 @@ object Corpus {
                 "transform(array_sort(collect_list(struct(pos, toks))), x -> x.toks)")),
                 1, 8), " ").as("head_tokens"))
           .orderBy("doc_id")
+      }),
+
+    // Tokenizer family step 4 (round 14): EVALUATE the trained tokenizer —
+    // per-language fertility (encoded tokens per word) and compression
+    // (chars per token), the standard multilingual tokenizer-quality
+    // metrics (a tokenizer trained on one language's distribution encodes
+    // others at higher fertility — the number a data pipeline watches when
+    // choosing vocab size / training mix). Same per-word literal-replace
+    // encode as tokenizer_apply_bpe (one codegen pass, merges
+    // fingerprint-memoized), then one map-side-combinable per-lang
+    // aggregate over exact integer micro-units — linear, broadcast-free;
+    // the lang-cardinality output is tiny at any corpus size.
+    QueryDef(
+      "tokenizer_fertility",
+      Some(bpeFertilityOracle),
+      (s, d) => {
+        val merges = bpeMergesCached(s, d)
+        val seq0 = concat(lit("  "),
+          array_join(expr("filter(split(word, ''), x -> x != '')"), "  "),
+          lit("  "))
+        val encoded = merges.foldLeft(seq0) { case (c, (_, pair, _)) =>
+          val Array(a, b) = pair.split(" ", 2)
+          replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+        }
+        Tables.spread(s, Tables.t(s, d, "documents"))
+          .select(col("doc_id"), col("lang"),
+            explode(expr("filter(split(text, ' '), x -> x != '')")).as("word"))
+          .select(col("doc_id"), col("lang"),
+            size(filter(split(encoded, "  "), x => x =!= lit(""))).as("n_tok"),
+            length(col("word")).as("n_chr"))
+          .groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_words"),
+            sum(col("n_tok")).cast("long").as("n_tokens"),
+            sum(col("n_chr")).cast("long").as("n_chars"))
+          .select(col("lang"), col("n_docs"), col("n_words"),
+            col("n_tokens"), col("n_chars"),
+            expr("(1000000 * n_tokens) DIV n_words").as("fertility_micro"),
+            expr("(1000000 * n_chars) DIV n_tokens").as("chars_per_token_micro"))
+          .orderBy("lang")
       }),
 
     // Per-document salient terms: top-3 words by an exact-integer tf-idf
