@@ -31,3 +31,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // of the run was GC-bound, inflating timings unrelated to plan quality.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. sbt's default forked-run output strategy prefixes every program
+// line with "[info] " and appends its own "[success] Total time" line —
+// both of which defeat a plain json.loads on the tail (BENCH_r01–r14 all
+// landed parsed:null). StdoutOutput inherits the parent stdout (no prefix);
+// showSuccess=false drops the trailing sbt line, so the bench's one-line
+// total JSON is the genuine last line of the process output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys += showSuccess
+ThisBuild / showSuccess := false

@@ -44,6 +44,31 @@ object Bench {
     "anchor_window_rank" -> 0.356,
     "anchor_group_topk" -> 0.157)
 
+  /** Bracket agreement predicate: >10% spread between the pre- and
+    * post-suite anchor ratios marks the measurement window as drifting.
+    */
+  def disagree(a: Double, b: Double): Boolean =
+    math.max(a, b) / math.min(a, b) > 1.10
+
+  /** v5 bracket reconciliation (pure, unit-tested in BenchProtocolSpec):
+    * while the two bracket ratios disagree and retries remain, take a fresh
+    * anchor measurement and replace whichever existing bracket is FARTHER
+    * from it in log-space (the outlier — e.g. a cold-start pre bracket on a
+    * box that settled). Returns the final pair plus retries used; callers
+    * recompute disagree() on the pair, so a box that never settles still
+    * publishes anchor_bracket_disagree=true.
+    */
+  @annotation.tailrec
+  def reconcileBrackets(pre: Double, post: Double, remeasure: () => Double,
+      maxRetries: Int, used: Int = 0): (Double, Double, Int) =
+    if (!disagree(pre, post) || used >= maxRetries) (pre, post, used)
+    else {
+      val fresh = remeasure()
+      if (math.abs(math.log(pre / fresh)) > math.abs(math.log(post / fresh)))
+        reconcileBrackets(fresh, post, remeasure, maxRetries, used + 1)
+      else reconcileBrackets(pre, fresh, remeasure, maxRetries, used + 1)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -131,9 +156,15 @@ object Bench {
     // A throwing query must NOT contribute a plausible-looking median
     // (round-3 advisor finding): record ok=false and report the key as -1
     // plus an "errors" count so a broken query is visible in the JSON.
+    // rows_out (round-15 judge task #9): the count each timed sample already
+    // computes is the key's OUTPUT cardinality — recorded per key so
+    // "time tracks emitted pairs" claims on construction-driven exponents
+    // (semdedup/simhash/lsh_threshold distinct-content stamps) are measured
+    // fields (pairs_out, s_per_pair via tools/distinct_exponents.py), not prose.
+    val lastCount = new java.util.concurrent.atomic.AtomicLong(-1L)
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { lastCount.set(fn(spark, sfDir).count()); true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Anchors BRACKET the suite (round-12 judge task #1: the driver's r12
@@ -183,6 +214,7 @@ object Bench {
         minOk(Seq.fill(3)(time(fn)), probeErrors, s"probe $name")
       }.sum / probeRefSum
     val peaks = scala.collection.mutable.Map.empty[String, Double]
+    val rowsOut = scala.collection.mutable.Map.empty[String, Long]
     val drainCapped = scala.collection.mutable.ArrayBuffer.empty[String]
     val probes = scala.collection.mutable.ArrayBuffer[Double](probeRatio())
     val orderedKeys = selected.toSeq
@@ -199,6 +231,8 @@ object Bench {
           base ++ Seq.fill(repeatSlow - repeat)(time(fn))
         else base
       val best = samples.map(_._1).min
+      // read BEFORE the trailing probe pass overwrites it; -1 if all threw
+      rowsOut(name) = if (samples.exists(_._2)) lastCount.get() else -1L
       // Drain-to-stability instead of a fixed 20 ms nap (round-11 advisor:
       // late task-end events from a slow key could be credited to the NEXT
       // key across a fixed drain). Require 3 consecutive stable 15 ms polls
@@ -226,11 +260,21 @@ object Bench {
     val anchorTimesPost = anchorPass()
     val anchorRatioPost = anchorTimesPost.map(_._2).sum / anchorRefSum
     // value_norm divides by the MEAN of the two bracket ratios (v4 — one
-    // pre-suite ratio under-corrects any drift arriving mid-run);
-    // bracket disagreement > 10% flags the whole artifact.
-    val anchorRatioMean = (anchorRatio + anchorRatioPost) / 2
-    val bracketDisagree =
-      math.max(anchorRatio, anchorRatioPost) / math.min(anchorRatio, anchorRatioPost) > 1.10
+    // pre-suite ratio under-corrects any drift arriving mid-run).
+    // Bracket disagreement > 10% means the box was drifting across the
+    // measurement; v5 (round-15 judge task #5) RETRIES instead of
+    // publishing a number stamped through a drift window: re-measure the
+    // anchors (the suite raw times are what they are — the brackets only
+    // pick the denominator) and replace whichever bracket the fresh pass
+    // says was the outlier, up to 3 times. If the box never settles the
+    // artifact still says anchor_bracket_disagree=true — the flag is
+    // honest, the retry just gives a settling box a chance to be measured
+    // settled. Logic is pure (reconcileBrackets) and unit-tested.
+    val (anchorRatioFinal, anchorRatioPostFinal, anchorRetries) =
+      reconcileBrackets(anchorRatio, anchorRatioPost,
+        () => anchorPass().map(_._2).sum / anchorRefSum, maxRetries = 3)
+    val anchorRatioMean = (anchorRatioFinal + anchorRatioPostFinal) / 2
+    val bracketDisagree = disagree(anchorRatioFinal, anchorRatioPostFinal)
     // per-key local ratio: mean of the probe before and after the key's
     // ProbeEvery-sized segment
     def keyRatio(idx: Int): Double = {
@@ -290,7 +334,13 @@ object Bench {
     // peak_mb, which for these keys reflects the post-staging read plan)
     // need the list.
     val stagedJson = SparkEntry.stagedOracle.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val protocolName = "v4-bracketed-anchors-probe-normalized"
+    // v5 (round 15): bracket-disagree auto-retry (reconcileBrackets), per-key
+    // rows_out, stdout reduced to the single total-only line. Per-key timing
+    // estimator (warm-up + min-of-n + probe normalization) is UNCHANGED from
+    // v4, so per-key cross-round comparison v4↔v5 remains valid; only the
+    // headline denominator can differ (and only on runs v4 would have
+    // flagged anchor_bracket_disagree=true).
+    val protocolName = "v5-bracket-retry-rows-out"
     val protocol = s""""protocol":"$protocolName",""" +
       s""""memoized":$memoJson,"staged_oracle":$stagedJson"""
     // per-key peak task execution memory (MB) — NOT normalized (memory
@@ -299,19 +349,26 @@ object Bench {
     val peakJson = results.map { case (k, _) =>
       s"\"" + k + "\":" + r3(peaks.getOrElse(k, 0.0))
     }.mkString("{", ",", "}")
+    val rowsJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + rowsOut.getOrElse(k, -1L)
+    }.mkString("{", ",", "}")
     val probesJson = probes.map(r3).mkString("[", ",", "]")
     val probeFlaggedJson = probeFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val drainCappedJson = drainCapped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"anchor_post":$anchorPostJson,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"probes":$probesJson,"probe_flagged":$probeFlaggedJson,"peak_drain_capped":$drainCappedJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"anchor_post":$anchorPostJson,"anchor_ratio_final":[${r3(anchorRatioFinal)},${r3(anchorRatioPostFinal)}],"anchor_retries":$anchorRetries,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"probes":$probesJson,"probe_flagged":$probeFlaggedJson,"peak_drain_capped":$drainCappedJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"rows_out":$rowsJson,"sf":"$sfDir"}"""
     // "agg"/"repeat" appear in BOTH artifacts: the round-5 estimator change
     // (median -> min) moved the headline total, and a consumer reading only
     // BENCH_total.json must be able to tell estimator change from plan change.
-    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatioMean)},"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"protocol":"$protocolName","sf":"$sfDir"}"""
-    // Driver-parse posture (BENCH_r01/r02 lesson): the driver's stdout tail
-    // capture truncates long lines from the HEAD, so the ~3 KB per-query map
-    // must never be the last line. Persist the full detail to a file, print
-    // it as a penultimate line (best-effort), stop Spark so no log lines
-    // follow, and make a <=120-byte total-only JSON the absolute last line.
+    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatioMean)},"anchor_retries":$anchorRetries,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"protocol":"$protocolName","sf":"$sfDir"}"""
+    // Driver-parse posture (round-15 judge task #6 — BENCH_r01..r14 ALL
+    // landed parsed:null): the full per-query detail goes EXCLUSIVELY to
+    // BENCH_local.json — printing it put a ~3 KB line in the stdout tail the
+    // driver captures, crowding out / head-truncating the parseable line.
+    // Stdout carries exactly ONE short total-only JSON line, printed after
+    // spark.stop() so no shutdown logging follows it; build.sbt pairs this
+    // with outputStrategy=StdoutOutput (no "[info] " prefix) and
+    // showSuccess=false (no trailing "[success]" line), making it the
+    // genuine last line of the sbt process output.
     // Subset runs (CLI args given) must not clobber the full-run artifact
     // (round-4 advisor finding): they go to BENCH_subset.json instead.
     // BENCH_total.json carries the parsed total on disk so no consumer ever
@@ -321,7 +378,6 @@ object Bench {
     if (args.isEmpty)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_total.json"), totalOnly)
     spark.stop()
-    println(full)
     println(totalOnly)
   }
 }

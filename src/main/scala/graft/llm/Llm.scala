@@ -1209,7 +1209,8 @@ object Llm {
         stageSimhashSigs(s, d)
         val sp2 = s
         import sp2.implicits._
-        val sims = s.read.parquet(s"$SimhashSigDir/data")
+        val sims = Tables.staged(s, s"$SimhashSigDir/data",
+          "md5sim|" + Tables.fingerprint(d, "documents"))
         // Exact-dup collapse on the FULL 64-bit signature (the signature IS
         // the content key for simhash semantics: identical sig ⟺ Hamming 0,
         // so no secondary discriminator is needed — a "collision" is by
@@ -1474,7 +1475,8 @@ object Llm {
         // Coarse stage: scans ONLY the staged 16-dim prefix table — the
         // 64-dim column physically never enters this (data-sized) pass.
         stageMrlPrefix(s, d)
-        val pfx = Tables.spread(s, s.read.parquet(s"$MrlPrefixDir/data"))
+        val pfx = Tables.spread(s, Tables.staged(s, s"$MrlPrefixDir/data",
+          Tables.fingerprint(d, "embeddings")))
         val q16 = pfx.where(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("emb16").as("qe16"))
         val c16 = pfx.select(col("vec_id").as("cid"), col("emb16").as("ce16"))
@@ -1612,7 +1614,8 @@ object Llm {
       (s, d) => {
         stageLshBuckets(s, d)
         val e = Tables.spread(s, Tables.t(s, d, "embeddings"))
-          .join(s.read.parquet(s"$LshBucketDir/data"), "vec_id")
+          .join(Tables.staged(s, s"$LshBucketDir/data",
+            Tables.fingerprint(d, "embeddings")), "vec_id")
         val probeMasks = (0 until 256).filter(m => Integer.bitCount(m) <= 2)
         val q = e.where(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),

@@ -373,7 +373,8 @@ object Multimodal {
           "FROM h JOIN nn ON h.ph = nn.ph ORDER BY doc_id"),
       (s, d) => {
         stagePhash(s, d)
-        val hashed = s.read.parquet(s"$PhashDir/data")
+        val hashed = Tables.staged(s, s"$PhashDir/data",
+          "lumagrids1|" + Tables.fingerprint(d, "documents"))
         // exact-dup collapse: the near-dup relation is a function of the
         // hash alone, so all pair work runs over distinct hashes with
         // multiplicity carried as a weight; checkpointed for the five

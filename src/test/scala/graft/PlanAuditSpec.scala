@@ -113,10 +113,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // Aggregators (mergeable partial state is the point of the operator)
     "agg_quantile_merge" -> Set("ScalaAggregator"),
     "agg_freq_topk" -> Set("ScalaAggregator"),
-    // broadcast-object lookups/kernels with no expression equivalent:
-    // bloom-filter membership (driver-built sketch), IVF centroid probe
-    // (driver-held k-means state)
-    "dedup_incremental_bloom" -> Set("ScalaUDF"),
+    // broadcast-object kernel with no expression equivalent: IVF centroid
+    // probe (driver-held k-means state).
+    // dedup_incremental_bloom no longer appears here: round 15 routed its
+    // probe through Catalyst's BloomFilterMightContain (codegen'd, the
+    // InjectRuntimeFilter expression) — asserted positively in PlanSpec.
     "sim_ann_ivf" -> Set("ScalaUDF"),
     // wedge-side bloom-membership prune before the closing-edge semi join
     // (the broadcast-object pattern, as dedup_incremental_bloom)

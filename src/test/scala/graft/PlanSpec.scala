@@ -31,6 +31,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("join_broadcast_hash").contains("BroadcastHashJoin"))
   }
 
+  test("dedup_incremental_bloom probes via the codegen bloom expression (round-15 task #8)") {
+    val p = plan("dedup_incremental_bloom")
+    // BloomFilterMightContain's prettyName — the vectorizable built-in probe
+    // InjectRuntimeFilter plants; the scalar-UDF ban is enforced by
+    // PlanAuditSpec's sweep (this key no longer appears in scalaFuncOk)
+    assert(p.contains("might_contain"), s"bloom probe not planned as might_contain:\n$p")
+  }
+
   test("D2: fact-fact join is sort-merge") {
     assert(plan("join_shuffle_sortmerge").contains("SortMergeJoin"))
   }

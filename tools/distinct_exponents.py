@@ -33,6 +33,11 @@ import sys
 a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
 out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_sf1.json"
+# Labels must come as a PAIR: a half-specified invocation (only small_label)
+# used to be silently ignored, mislabeling every stamped field with the
+# sf0.1/sf1 defaults and no error (round-14 advisor finding).
+if len(sys.argv) == 5:
+    sys.exit("labels must be given as a pair: small_label big_label")
 small = sys.argv[4] if len(sys.argv) > 5 else "sf0.1"
 big = sys.argv[5] if len(sys.argv) > 5 else "sf1"
 doc = json.load(open(out))
@@ -58,8 +63,20 @@ for k in sorted(set(qa) & set(qb)):
         # is the GramPairMaxReps guard firing at rehearsal cardinality (the
         # designed fail-fast); record the fact, never a fake exponent
         rec["big_side_errored"] = True
+    else:
+        # a later successful re-merge of the same key must CLEAR a stale
+        # error marker, not leave it beside a now-valid exponent_distinct
+        # (round-14 advisor finding)
+        rec.pop("big_side_errored", None)
     if k in b.get("peak_mb", {}):
         rec["peak_mb_distinct"] = b["peak_mb"][k]
+    # pairs_out / s_per_pair (round-15 judge task #9): when the big-side
+    # artifact carries rows_out, the "time tracks emitted pairs" annotation
+    # on construction-driven exponents becomes a recorded measurement.
+    rows = b.get("rows_out", {}).get(k, -1)
+    if rows is not None and rows >= 0:
+        rec["pairs_out"] = rows
+        rec["s_per_pair"] = round(t1 / rows, 9) if t1 > 0 and rows > 0 else None
     updated.append(k)
 json.dump(doc, open(out, "w"), indent=1)
 print(json.dumps({k: doc["queries"][k]["exponent_distinct"] for k in updated}, indent=0))
