@@ -150,9 +150,17 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    (anchorDefs.map(_._2) ++ selected.values).foreach { fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    // GRAFT_BENCH_NOWARM=1 (scale-rehearsal only): skip the warm-up pass.
+    // For 100+ s rehearsal keys the cold-start share is amortized into
+    // noise and a second full execution doubles a multi-hour run for no
+    // signal; staged artifacts these keys need are built inside their first
+    // (timed) run — which is exactly the posture a fresh cluster job has.
+    // Never set for the headline bench: its sub-second keys DO need the
+    // steady-state discipline.
+    if (!sys.env.get("GRAFT_BENCH_NOWARM").contains("1"))
+      (anchorDefs.map(_._2) ++ selected.values).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     // A throwing query must NOT contribute a plausible-looking median
     // (round-3 advisor finding): record ok=false and report the key as -1
     // plus an "errors" count so a broken query is visible in the JSON.

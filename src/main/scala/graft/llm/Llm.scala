@@ -633,11 +633,17 @@ object Llm {
       .foreach { case (_, oldIds) => release(s, oldIds) }
     val nBands = LshJoinBands
     val nR = LshJoinR
-    val bandRows = grouped.select(col("gid"), col("emb"))
+    // Each rep carries ALL 16 band keys (one JVM pass over the planes);
+    // band rows then explode one (band, bkey) per band WITH the full key
+    // vector as payload. This is what lets the candidate dedup below be
+    // stateless.
+    val keyed = grouped.select(col("gid"), col("emb"))
       .as[(Long, Array[Double])]
-      .flatMap { case (gid, emb) =>
+      .map { case (gid, emb) =>
         val ps = lshJoinPlanes
-        (0 until nBands).iterator.map { b =>
+        val keys = new Array[Long](nBands)
+        var b = 0
+        while (b < nBands) {
           var key = 0L
           var r = 0
           while (r < nR) {
@@ -648,14 +654,31 @@ object Llm {
             if (dot >= 0.0) key |= (1L << r)
             r += 1
           }
-          (b, key, gid)
+          keys(b) = key
+          b += 1
         }
-      }
-      .toDF("band", "bkey", "gid")
+        (gid, keys)
+      }.toDF("gid", "keys")
+    val bandRows = keyed
+      .select(col("gid"), col("keys"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
+      .select(col("band"), expr("keys[band]").as("bkey"), col("gid"), col("keys"))
+    // FIRST-MATCH-ONLY candidate dedup (round-15 judge task #4): the old
+    // `.distinct()` was a hash aggregate holding EVERY candidate pair —
+    // ~2e-3·N² rows at the sf10-distinct regime — which is what exhausted
+    // execution memory under the 32-thread/16 g gate config. Emitting a
+    // pair only from its LOWEST matching band (both sides carry all 16
+    // keys; a pair whose earlier band also matches is dropped where it is
+    // produced) yields the identical "shares ≥1 band" pair set with ZERO
+    // dedup state: the band join streams, the filter is per-row, and peak
+    // memory is bounded by one (band,bkey) SMJ buffer group (~N/4096 reps)
+    // regardless of candidate mass.
     val cand = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.gid") < col("y.gid"))
-      .select(col("x.gid").as("ga"), col("y.gid").as("gb")).distinct()
+      .where(expr("NOT exists(zip_with(slice(x.keys, 1, x.band), " +
+        "slice(y.keys, 1, x.band), (a, b) -> a = b), p -> p)"))
+      .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
     val verified = cand
       .join(grouped.select(col("gid").as("ga"), col("emb").as("ea")), "ga")
       .join(grouped.select(col("gid").as("gb"), col("emb").as("eb")), "gb")

@@ -47,7 +47,8 @@ object Streams {
     * separate cores, so the remaining block cost is micro-batch machinery,
     * not store width. Do not re-litigate without a paired measurement.
     */
-  private val StreamShufflePartitions = "2"
+  private val StreamShufflePartitions =
+    sys.env.getOrElse("GRAFT_STREAM_WIDTH", "2")
   private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -61,6 +62,42 @@ object Streams {
     */
   private val SentinelEpochSec = 3786825600L
   private val SentinelType = "__wm__"
+
+  /** Stage a SPLIT copy of the events table (8 part files) once per
+    * dataset: driver testdata ships events as ONE single-row-group parquet
+    * file, so every micro-batch's scan ran as ONE task regardless of
+    * executor width (parquet splits at row-group granularity — lowering
+    * maxPartitionBytes just made empty splits; measured no-op). A real
+    * stream source is a directory of many files; staging the same rows as
+    * 8 files restores the scan/partial-agg parallelism a production
+    * micro-batch has, changing no value anywhere (batch0 at sf0.1:
+    * 356 ms → ~90 ms of stage wall). Memoized by content fingerprint;
+    * callers bake the fingerprint into their own done-markers so a
+    * re-staged split invalidates their symlinks.
+    */
+  private def splitEventsDir(s: SparkSession, dir: String): (String, String) = {
+    import java.nio.file.{Files, Paths}
+    val base = s"${sys.props("java.io.tmpdir")}/graft_events_split_" +
+      s"${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    val marker = Paths.get(base, "_dataset")
+    val fp = Tables.fingerprint(dir, "events")
+    if (!(Files.exists(marker) && Files.readString(marker) == fp)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      Tables.t(s, dir, "events").repartition(8)
+        .write.mode("overwrite").parquet(s"$base/data")
+      Files.writeString(marker, fp)
+    }
+    (s"$base/data", fp)
+  }
+
+  /** Symlink every part file of the split events copy into `inDir`. */
+  private def linkSplitEvents(inDir: java.nio.file.Path, splitDir: String): Unit = {
+    val parts = new java.io.File(splitDir)
+      .listFiles((_, n) => n.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.createSymbolicLink(inDir.resolve(s"ev$i.parquet"), f.toPath)
+    }
+  }
 
   /** Bounded append-mode run of a windowed aggregation — the SAME plan you
     * would run unbounded (watermark evicts window state; the full result is
@@ -90,18 +127,18 @@ object Streams {
     // residue O(1). The marker sits at base level — the source glob is
     // `in/*` and must never see a non-parquet marker file.
     val done = Paths.get(base, "_in_done")
-    if (!Files.exists(done)) {
+    val (splitDir, splitFp) = splitEventsDir(s, dir)
+    if (!(Files.exists(done) && Files.readString(done) == splitFp)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       val inDir = Paths.get(base, "in")
       Files.createDirectories(inDir)
-      Files.createSymbolicLink(
-        inDir.resolve("events.parquet"), Paths.get(s"$dir/events.parquet"))
+      linkSplitEvents(inDir, splitDir)
       import org.apache.spark.sql.Row
       val row = Row(-1L, Tables.tsSentinel(sch("ts").dataType, SentinelEpochSec),
         -1L, SentinelType, 0.0, "{}")
       s.createDataFrame(s.sparkContext.parallelize(Seq(row), 1), sch)
         .write.parquet(s"$base/in/s1")
-      Files.writeString(done, "ok")
+      Files.writeString(done, splitFp)
     }
     new java.io.File(base).listFiles((_, n) => n.startsWith("run_")).toSeq
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
@@ -123,15 +160,23 @@ object Streams {
 
   private def streamEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    // The file stream source requires a directory; expose the (read-only)
-    // single-file table through a symlink in a scratch dir.
+    // The file stream source requires a directory; expose the split copy
+    // (see splitEventsDir — 8 files, so the batch scan parallelizes) through
+    // symlinks in a scratch dir, re-linked when the dataset fingerprint moves.
     val streamDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_${Integer.toHexString(dir.hashCode)}")
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    // marker lives BESIDE the `in/` glob target, never inside it (the
+    // source glob must only ever see parquet files)
+    val (splitDir, splitFp) = splitEventsDir(s, dir)
+    val done = streamDir.resolve("_in_done")
+    if (!(java.nio.file.Files.exists(done) &&
+          java.nio.file.Files.readString(done) == splitFp)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile)
+      val inDir = streamDir.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      linkSplitEvents(inDir, splitDir)
+      java.nio.file.Files.writeString(done, splitFp)
+    }
     val sch = Tables.t(s, dir, "events").schema
     // The source path MUST be a glob (`dir/*`), not the bare dir: the
     // events table is a single FILE in driver testdata but a DIRECTORY of
@@ -139,8 +184,8 @@ object Streams {
     // skips nested directories — the bounded stream then sees ZERO files
     // and every downstream result is silently empty (found by the sf1
     // rehearsal: the foreach-batch upsert NPE'd on its never-created state
-    // dir). The glob expands to the symlink and lists through it either way.
-    Tables.withEventTime(s.readStream.schema(sch).parquet(s"$streamDir/*"))
+    // dir). The glob expands to the symlinks and lists through them either way.
+    Tables.withEventTime(s.readStream.schema(sch).parquet(s"$streamDir/in/*"))
   }
 
   /** Scratch file-stream source: events.parquet symlinked beside sentinel
@@ -165,18 +210,18 @@ object Streams {
     // runBoundedAppend); the sink-side checkpoint is the caller's and is
     // always fresh.
     val done = Paths.get(base, "_in_done")
-    if (!Files.exists(done)) {
+    val (splitDir, splitFp) = splitEventsDir(s, dir)
+    if (!(Files.exists(done) && Files.readString(done) == splitFp)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       val inDir = Paths.get(base, "in")
       Files.createDirectories(inDir)
-      Files.createSymbolicLink(
-        inDir.resolve("events.parquet"), Paths.get(s"$dir/events.parquet"))
+      linkSplitEvents(inDir, splitDir)
       val sentTs = Tables.tsSentinel(sch("ts").dataType, SentinelEpochSec)
       val rows = types.map(t =>
         org.apache.spark.sql.Row(-1L, sentTs, -1L, t, 0.0, "{}"))
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), sch)
         .write.parquet(s"$base/in/sentinels")
-      Files.writeString(done, "ok")
+      Files.writeString(done, splitFp)
     }
     () => Tables.withEventTime(s.readStream.schema(sch).parquet(s"$base/in/*"))
   }
