@@ -41,7 +41,10 @@ object Tables {
     * the reader result per (session, path) is safe. (Plans stay lazy — this
     * caches file listing + schema, never data.)
     */
-  private val readCache =
+  // private[graft] so CoreCacheSpec can assert the supersede-eviction
+  // discipline (round-14 advisor: fingerprint-keyed entries must not leak
+  // one stale DataFrame per in-place regeneration)
+  private[graft] val readCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   // Keyed on the CONTENT fingerprint, not the bare path (round 14 — the

@@ -393,6 +393,42 @@ class OpsSpec extends AnyFunSuite {
       s"expected exactly ${baseIds.size} twin pairs, got ${out.length}")
   }
 
+  test("first-match-only banding == global-distinct pair set (round-15 stateless dedup)") {
+    // the round-15 sim_join_lsh_threshold rewrite replaced `.distinct()`
+    // over band-join candidates with the lowest-matching-band filter; this
+    // property test pins the equivalence on adversarial random key arrays
+    // (independent of the embedding corpus): for every pair sharing >= 1
+    // band key, the filtered join must emit it EXACTLY once, and no pair
+    // sharing none.
+    val sp2 = spark
+    import sp2.implicits._
+    val rnd = new scala.util.Random(42)
+    val nBands = 16
+    // small key space (4 values) forces heavy multi-band collisions — the
+    // regime where a wrong filter would double-emit or drop
+    val rows = (0L until 60L).map(g => (g, Array.fill(nBands)(rnd.nextInt(4).toLong)))
+    val keyed = rows.toDF("gid", "keys")
+    val bandRows = keyed
+      .select(col("gid"), col("keys"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
+      .select(col("band"), expr("keys[band]").as("bkey"), col("gid"), col("keys"))
+    val firstMatch = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.gid") < col("y.gid"))
+      .where(expr("NOT exists(zip_with(slice(x.keys, 1, x.band), " +
+        "slice(y.keys, 1, x.band), (a, b) -> a = b), p -> p)"))
+      .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = for {
+      i <- rows.indices; j <- (i + 1) until rows.size
+      if rows(i)._2.zip(rows(j)._2).exists { case (a, b) => a == b }
+    } yield (math.min(rows(i)._1, rows(j)._1), math.max(rows(i)._1, rows(j)._1))
+    assert(firstMatch.length == firstMatch.toSet.size,
+      "first-match-only filter double-emitted a pair")
+    assert(firstMatch.toSet == expected.toSet,
+      s"pair sets differ: got ${firstMatch.length}, expected ${expected.size}")
+  }
+
   test("gram-pair kernels: per-source distinct-content guard fails fast (round 13)") {
     // the r13 distinct-content rehearsal stamped exponents 1.32/1.21 on
     // the two declared-exact gram kernels — past the per-source cap they
