@@ -214,10 +214,30 @@ object Analytics {
         // was tried and REVERTED: encoder/boxing overhead made it 3×
         // slower than this codegen join + interpreted filter at BOTH
         // rehearsal scales.)
-        val bcBloom = s.sparkContext.broadcast(
-          closing.stat.bloomFilter(xxhash64(col("b"), col("c")), oriented.count(), 0.03))
-        val bloomHit = udf { (h: Long) => bcBloom.value.mightContain(h) }
-        val pruned = wedges.where(bloomHit(xxhash64(col("b"), col("c"))))
+        // Probe via Catalyst's BloomFilterMightContain (round 15 — the same
+        // codegen routing as dedup_incremental_bloom's task-#8 fix): the
+        // sketch inserts xxhash64(b, c) longs, the expression probes
+        // mightContainLong on XxHash64(b, c) — bit-identical to the old
+        // scalar UDF, but vectorizable and inside the codegen stage that
+        // GENERATES the wedges, so the pruned 73M-row stream never leaves
+        // whole-stage codegen to call a deserialized closure per row.
+        val bloomBytes = {
+          val bf = closing.stat.bloomFilter(
+            xxhash64(col("b"), col("c")), oriented.count(), 0.03)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+        locally {
+          import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+          s.sessionState.functionRegistry.createOrReplaceTempFunction(
+            "graft_tri_bloom_probe",
+            exprs => BloomFilterMightContain(
+              Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+              new XxHash64(exprs)),
+            "internal")
+        }
+        val pruned = wedges.where(expr("graft_tri_bloom_probe(b, c)"))
         // SHUFFLE_HASH, not sort-merge, for the exact verify: hashing
         // builds on the edge-sized side and streams the probe unsorted —
         // and pins the plan across scales (AQE flips the small scale to

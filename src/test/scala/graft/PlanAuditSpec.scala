@@ -118,10 +118,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // dedup_incremental_bloom no longer appears here: round 15 routed its
     // probe through Catalyst's BloomFilterMightContain (codegen'd, the
     // InjectRuntimeFilter expression) — asserted positively in PlanSpec.
-    "sim_ann_ivf" -> Set("ScalaUDF"),
-    // wedge-side bloom-membership prune before the closing-edge semi join
-    // (the broadcast-object pattern, as dedup_incremental_bloom)
-    "graph_triangle_count" -> Set("ScalaUDF"))
+    "sim_ann_ivf" -> Set("ScalaUDF"))
+    // graph_triangle_count's wedge-side bloom prune no longer appears here:
+    // round 15 routed it through BloomFilterMightContain (codegen), same as
+    // dedup_incremental_bloom — asserted positively in PlanSpec.
     // dedup_simhash's bit-vote UDF no longer appears here: since the
     // round-11 staged-signature oracle the kernel runs inside the
     // done-marker staging write, and the audited query plan (banding +

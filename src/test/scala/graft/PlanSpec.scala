@@ -71,8 +71,9 @@ class PlanSpec extends AnyFunSuite {
       "a sort-merge join crept into the triangle plan (wedge-set sort)")
     // (the broadcast orientation joins run eagerly inside the edge-build
     // checkpoint and are not part of this audited plan segment)
-    // the wedge-side bloom prune must sit in the plan (a ScalaUDF filter)
-    assert(p.contains("UDF"), "wedge-side bloom prune filter missing")
+    // the wedge-side bloom prune must sit in the plan — as the CODEGEN
+    // might_contain expression since round 15, not a ScalaUDF
+    assert(p.contains("might_contain"), "wedge-side bloom prune filter missing")
   }
 
   test("embed_label_centroid: partial map-side aggregation; vectors never shuffle whole") {
