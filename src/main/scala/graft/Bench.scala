@@ -58,6 +58,16 @@ object Bench {
     * recompute disagree() on the pair, so a box that never settles still
     * publishes anchor_bracket_disagree=true.
     */
+  /** Median of the probe-ratio series — the v5.1 headline denominator
+    * (robust to a one-sided stall at either edge of the run window).
+    */
+  def medianOf(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of empty probe series")
+    val sorted = xs.sorted
+    val n = sorted.size
+    if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
+  }
+
   @annotation.tailrec
   def reconcileBrackets(pre: Double, post: Double, remeasure: () => Double,
       maxRetries: Int, used: Int = 0): (Double, Double, Int) =
@@ -326,7 +336,21 @@ object Bench {
       .mkString("{", ",", s""","ratio":${r3(anchorRatio)}}""")
     val anchorPostJson = anchorTimesPost.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", s""","ratio":${r3(anchorRatioPost)}}""")
-    val valueNorm = total / anchorRatioMean
+    // v5.1 headline denominator: MEDIAN of the interleaved probe ratios.
+    // The probe series samples box speed 10+ times ACROSS the run window
+    // (position 0, every ProbeEvery keys, after the last key) with the same
+    // frozen queries/refs the anchors use, so its median is robust to a
+    // one-sided stall at either edge. The bracket mean is kept as
+    // value_norm_brackets: a same-code quad of runs measured ratios
+    // 0.93/0.79/0.71/0.61 from the 2-point brackets (one run's POST bracket
+    // hit a slow window the suite never saw — the retry then converged to
+    // the post-run box state and inflated value_norm to 128 while all 11
+    // interior probes sat at 0.80-0.88 ≈ norm 94), while probe medians for
+    // the same four runs spanned a far tighter band. Medians of ≥10 frozen
+    // samples spanning the window beat means of 2 at its edges.
+    val probeMedian = medianOf(probes.toSeq)
+    val valueNorm = total / probeMedian
+    val valueNormBrackets = total / anchorRatioMean
     // Measurement-protocol block (round-9 advisor finding): keys listed in
     // "memoized" reuse a per-(session,dataset) artifact that the untimed
     // warm-up pass built — their timed repeats measure post-artifact
@@ -348,7 +372,7 @@ object Bench {
     // v4, so per-key cross-round comparison v4↔v5 remains valid; only the
     // headline denominator can differ (and only on runs v4 would have
     // flagged anchor_bracket_disagree=true).
-    val protocolName = "v5-bracket-retry-rows-out"
+    val protocolName = "v5.1-probe-median-norm"
     val protocol = s""""protocol":"$protocolName",""" +
       s""""memoized":$memoJson,"staged_oracle":$stagedJson"""
     // per-key peak task execution memory (MB) — NOT normalized (memory
@@ -363,11 +387,11 @@ object Bench {
     val probesJson = probes.map(r3).mkString("[", ",", "]")
     val probeFlaggedJson = probeFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val drainCappedJson = drainCapped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"anchor_post":$anchorPostJson,"anchor_ratio_final":[${r3(anchorRatioFinal)},${r3(anchorRatioPostFinal)}],"anchor_retries":$anchorRetries,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"probes":$probesJson,"probe_flagged":$probeFlaggedJson,"peak_drain_capped":$drainCappedJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"rows_out":$rowsJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"anchor_post":$anchorPostJson,"anchor_ratio_final":[${r3(anchorRatioFinal)},${r3(anchorRatioPostFinal)}],"probe_median":${r3(probeMedian)},"value_norm_brackets":${r3(valueNormBrackets)},"anchor_retries":$anchorRetries,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"probes":$probesJson,"probe_flagged":$probeFlaggedJson,"peak_drain_capped":$drainCappedJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"rows_out":$rowsJson,"sf":"$sfDir"}"""
     // "agg"/"repeat" appear in BOTH artifacts: the round-5 estimator change
     // (median -> min) moved the headline total, and a consumer reading only
     // BENCH_total.json must be able to tell estimator change from plan change.
-    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatioMean)},"anchor_retries":$anchorRetries,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"protocol":"$protocolName","sf":"$sfDir"}"""
+    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatioMean)},"probe_median":${r3(probeMedian)},"value_norm_brackets":${r3(valueNormBrackets)},"anchor_retries":$anchorRetries,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"protocol":"$protocolName","sf":"$sfDir"}"""
     // Driver-parse posture (round-15 judge task #6 — BENCH_r01..r14 ALL
     // landed parsed:null): the full per-query detail goes EXCLUSIVELY to
     // BENCH_local.json — printing it put a ~3 KB line in the stdout tail the

@@ -57,6 +57,18 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!Bench.disagree(a, b))
   }
 
+  test("medianOf: odd/even sizes; robust to one-sided edge stalls") {
+    assert(Bench.medianOf(Seq(3.0)) === 3.0)
+    assert(Bench.medianOf(Seq(1.0, 2.0)) === 1.5)
+    assert(Bench.medianOf(Seq(2.0, 1.0, 3.0)) === 2.0)
+    // the v5.1 motivating case: 11 interior probes ~0.84, post-run window
+    // stalled — a 2-point bracket mean would land at ~0.61, the median stays
+    // in the run-window band
+    val probes = Seq(0.801, 0.838, 0.864, 0.805, 0.861, 0.869, 0.882, 0.867, 0.737, 0.707, 0.759)
+    assert(math.abs(Bench.medianOf(probes) - 0.838) < 1e-9)
+    intercept[IllegalArgumentException](Bench.medianOf(Nil))
+  }
+
   test("outlier choice is symmetric in log-space, not absolute distance") {
     // pre=0.25, post=1.0, fresh=0.5: |log(0.25/0.5)|=log2 = |log(1.0/0.5)|
     // tie goes to replacing post (the non-strict branch); next fresh=0.52
