@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{Q, QueryDef, Tables}
-import graft.udx.Udx
+import graft.udx.{BandExpr, Udx}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -465,13 +465,26 @@ object Llm {
     // reproduce — raw slices make the candidate set a pure function of the
     // signatures, identical in both engines, at the cost of an 8-byte-wider
     // shuffle key.
+    // First-match-only candidate dedup (round 16, ports the round-15
+    // sim_join_lsh_threshold fix): each band row carries the PREFIX of the
+    // raw signature strictly before its own band (avg 31 longs — half the
+    // full 64-perm payload), and a pair is emitted only from its lowest
+    // matching band: `first_match_band(pre, pre, 2) = -1` ⟺ no band < b
+    // also matched. Identical "shares ≥1 band" pair set as the old global
+    // `.distinct()` — but with ZERO dedup state (the distinct was a hash
+    // aggregate holding the full candidate-pair set, the round-14
+    // gate-config OOM class). The filter is a codegen long-compare loop
+    // per candidate row, no allocation.
+    BandExpr.register(s)
     val bands = grouped.select(col("gid"),
-      explode(expr("transform(sequence(0, 31), b -> struct(b AS band, element_at(sig, b*2+1) AS s1, element_at(sig, b*2+2) AS s2))")).as("bb"))
-      .select(col("gid"), col("bb.band").as("band"), col("bb.s1").as("s1"), col("bb.s2").as("s2"))
+      explode(expr("transform(sequence(0, 31), b -> struct(b AS band, element_at(sig, b*2+1) AS s1, element_at(sig, b*2+2) AS s2, slice(sig, 1, b*2) AS pre))")).as("bb"))
+      .select(col("gid"), col("bb.band").as("band"), col("bb.s1").as("s1"),
+        col("bb.s2").as("s2"), col("bb.pre").as("pre"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.s1") === col("y.s1") &&
           col("x.s2") === col("y.s2") && col("x.gid") < col("y.gid"))
-      .select(col("x.gid").as("ga"), col("y.gid").as("gb")).distinct()
+      .where(expr("first_match_band(x.pre, y.pre, 2) = -1"))
+      .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
     val jacUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       var ia = 0; var ib = 0; var inter = 0
       while (ia < a.length && ib < b.length) {
@@ -672,12 +685,17 @@ object Llm {
     // produced) yields the identical "shares ≥1 band" pair set with ZERO
     // dedup state: the band join streams, the filter is per-row, and peak
     // memory is bounded by one (band,bkey) SMJ buffer group (~N/4096 reps)
-    // regardless of candidate mass.
+    // regardless of candidate mass. Round 16: the per-candidate
+    // `NOT exists(zip_with(slice, slice))` HOF (two array slices + a
+    // zipped boolean array allocated PER CANDIDATE — the +37% s_per_pair
+    // rise at the sf10-distinct regime, BENCH_sf10.json) is replaced by
+    // the codegen [[graft.udx.FirstMatchBand]] loop: zero allocation,
+    // early exit at the join's own band.
+    graft.udx.BandExpr.register(s)
     val cand = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.gid") < col("y.gid"))
-      .where(expr("NOT exists(zip_with(slice(x.keys, 1, x.band), " +
-        "slice(y.keys, 1, x.band), (a, b) -> a = b), p -> p)"))
+      .where(expr("first_match_band(x.keys, y.keys, 1) = x.band"))
       .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
     val verified = cand
       .join(grouped.select(col("gid").as("ga"), col("emb").as("ea")), "ga")
@@ -1116,18 +1134,26 @@ object Llm {
             first(col("gh")).as("gh"), first(col("sig")).as("sig"))
           .select(col("members")(0).as("gid"), col("members"),
             col("sig"), col("gh"))
+        // First-match-only candidate dedup (round 16, same discipline as
+        // dedup_minhash_near): both the batch probe and the persisted index
+        // band rows carry the raw-signature prefix before their band; a
+        // (batch doc, index group) candidate is emitted only from its
+        // lowest matching band — no candidate `.distinct()` state.
+        BandExpr.register(s)
         val bandExpr = "transform(sequence(0, 31), b -> struct(b AS band, " +
-          "element_at(sig, b*2+1) AS s1, element_at(sig, b*2+2) AS s2))"
+          "element_at(sig, b*2+1) AS s1, element_at(sig, b*2+2) AS s2, " +
+          "slice(sig, 1, b*2) AS pre))"
         val ib = grouped.select(col("gid"), explode(expr(bandExpr)).as("bb"))
           .select(col("gid"), col("bb.band").as("band"),
-            col("bb.s1").as("s1"), col("bb.s2").as("s2"))
+            col("bb.s1").as("s1"), col("bb.s2").as("s2"), col("bb.pre").as("pre"))
         val bb = batch.select(col("doc_id").as("b"), explode(expr(bandExpr)).as("bb"))
           .select(col("b"), col("bb.band").as("band"),
-            col("bb.s1").as("s1"), col("bb.s2").as("s2"))
+            col("bb.s1").as("s1"), col("bb.s2").as("s2"), col("bb.pre").as("pre"))
         val cand = bb.as("x").join(ib.as("y"),
             col("x.band") === col("y.band") && col("x.s1") === col("y.s1") &&
               col("x.s2") === col("y.s2"))
-          .select(col("x.b").as("b"), col("y.gid").as("gid")).distinct()
+          .where(expr("first_match_band(x.pre, y.pre, 2) = -1"))
+          .select(col("x.b").as("b"), col("y.gid").as("gid"))
         val verified = cand
           .join(batch.select(col("doc_id").as("b"), col("gh").as("gha")), "b")
           .join(grouped.select(col("gid"), col("gh").as("ghb"), col("members")), "gid")
@@ -1251,12 +1277,24 @@ object Llm {
         val bands = grouped.select(col("gid"), col("sim"),
           explode(expr("transform(sequence(0, 3), p -> struct(p AS band, shiftright(sim, p*16) & 65535 AS bkey))")).as("bb"))
           .select(col("gid"), col("sim"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        // First-match-only candidate dedup (round 16): the 4 bands are
+        // 16-bit fields of the one `sim` long already on the band row, so
+        // "an earlier band also matches" is pure bit arithmetic over
+        // x.sim ^ y.sim — a pair is kept only where its LOWEST zero 16-bit
+        // xor group equals the join's own band. Identical pair set as the
+        // old `.distinct()` (which held every candidate pair in a hash
+        // aggregate — peak_mb_distinct 258.5 at sf10, BENCH_sf10.json)
+        // with zero state and zero extra shuffle payload.
         val repPairs = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.gid") < col("y.gid"))
+          .where(expr(
+            "CASE WHEN ((x.sim ^ y.sim) & 65535) = 0 THEN 0 " +
+              "WHEN (shiftright(x.sim ^ y.sim, 16) & 65535) = 0 THEN 1 " +
+              "WHEN (shiftright(x.sim ^ y.sim, 32) & 65535) = 0 THEN 2 " +
+              "ELSE 3 END = x.band"))
           .select(col("x.gid").as("ga"), col("y.gid").as("gb"),
             expr("bit_count(x.sim ^ y.sim)").cast("long").as("hamming"))
-          .distinct()
           .where(col("hamming") <= 3)
         val mem = grouped.select(col("gid"), explode(col("members")).as("d"))
         val cross = repPairs

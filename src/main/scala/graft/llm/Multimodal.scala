@@ -394,11 +394,23 @@ object Multimodal {
               "THEN shiftright(ph, 16 * blk) & 65535 " +
               "ELSE (shiftright(ph, 16 * blk) & 65535) ^ shiftleft(1, i) END)")).as("v"))
         // ham_blk(x,y) ≤ 1 ⟺ x's exact-or-flipped value meets y's exact
-        // value (the flip is symmetric, so one orientation suffices)
+        // value (the flip is symmetric, so one orientation suffices).
+        // Within one block at most ONE probe variant can equal y's exact
+        // value (the exact + 16 single-bit flips are pairwise distinct),
+        // so duplicates arise only from multiple blocks matching — and the
+        // first-match-only discipline (round 16) removes them statelessly:
+        // keep a candidate only where the LOWEST block with ham_blk ≤ 1
+        // (pure bit_count arithmetic over x.ph ^ y.ph) is the join's own
+        // block. Same pair set as the old `.distinct()`, zero dedup state.
         val pairs = probe.as("x").join(exact.as("y"),
             col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
               col("x.ph") < col("y.ph"))
-          .select(col("x.ph").as("pha"), col("y.ph").as("phb")).distinct()
+          .where(expr(
+            "CASE WHEN bit_count((x.ph ^ y.ph) & 65535) <= 1 THEN 0 " +
+              "WHEN bit_count(shiftright(x.ph ^ y.ph, 16) & 65535) <= 1 THEN 1 " +
+              "WHEN bit_count(shiftright(x.ph ^ y.ph, 32) & 65535) <= 1 THEN 2 " +
+              "ELSE 3 END = x.blk"))
+          .select(col("x.ph").as("pha"), col("y.ph").as("phb"))
           .where(expr("bit_count(pha ^ phb) <= 6"))
         val ca = hcnt.select(col("ph").as("pha"), col("cnt").as("ca"))
         val cb = hcnt.select(col("ph").as("phb"), col("cnt").as("cb"))

@@ -412,11 +412,11 @@ class OpsSpec extends AnyFunSuite {
       .select(col("gid"), col("keys"),
         explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
       .select(col("band"), expr("keys[band]").as("bkey"), col("gid"), col("keys"))
+    graft.udx.BandExpr.register(spark)
     val firstMatch = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.gid") < col("y.gid"))
-      .where(expr("NOT exists(zip_with(slice(x.keys, 1, x.band), " +
-        "slice(y.keys, 1, x.band), (a, b) -> a = b), p -> p)"))
+      .where(expr("first_match_band(x.keys, y.keys, 1) = x.band"))
       .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val expected = for {
@@ -427,6 +427,73 @@ class OpsSpec extends AnyFunSuite {
       "first-match-only filter double-emitted a pair")
     assert(firstMatch.toSet == expected.toSet,
       s"pair sets differ: got ${firstMatch.length}, expected ${expected.size}")
+  }
+
+  test("first-match-only prefix banding (stride 2) == global-distinct pair set (round 16)") {
+    // the minhash kernels band on raw 2-perm slices: each band row carries
+    // the signature PREFIX strictly before its band and a candidate is
+    // kept iff first_match_band(pre, pre, 2) = -1 (no earlier band also
+    // matched). Property-pinned against brute force on adversarial keys,
+    // exactly like the stride-1 test above.
+    val sp2 = spark
+    import sp2.implicits._
+    graft.udx.BandExpr.register(spark)
+    val rnd = new scala.util.Random(7)
+    val nBands = 8
+    val rows = (0L until 50L).map(g => (g, Array.fill(nBands * 2)(rnd.nextInt(3).toLong)))
+    val bandRows = rows.toDF("gid", "sig")
+      .select(col("gid"), explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+        "b -> struct(b AS band, element_at(sig, b*2+1) AS s1, " +
+        "element_at(sig, b*2+2) AS s2, slice(sig, 1, b*2) AS pre))")).as("bb"))
+      .select(col("gid"), col("bb.band").as("band"), col("bb.s1").as("s1"),
+        col("bb.s2").as("s2"), col("bb.pre").as("pre"))
+    val got = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.s1") === col("y.s1") &&
+          col("x.s2") === col("y.s2") && col("x.gid") < col("y.gid"))
+      .where(expr("first_match_band(x.pre, y.pre, 2) = -1"))
+      .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = for {
+      i <- rows.indices; j <- (i + 1) until rows.size
+      if (0 until nBands).exists(b => rows(i)._2(2 * b) == rows(j)._2(2 * b) &&
+        rows(i)._2(2 * b + 1) == rows(j)._2(2 * b + 1))
+    } yield (rows(i)._1, rows(j)._1)
+    assert(got.length == got.toSet.size, "prefix first-match double-emitted a pair")
+    assert(got.toSet == expected.toSet,
+      s"pair sets differ: got ${got.length}, expected ${expected.size}")
+  }
+
+  test("FirstMatchBand expression: eval + codegen, strides, empty prefix") {
+    val sp2 = spark
+    import sp2.implicits._
+    graft.udx.BandExpr.register(spark)
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(9L, 2L, 3L)),      // stride1 -> 1
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),      // stride1 -> -1
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)) // stride2 -> 1 (pair (3,4))
+    ).toDF("xs", "ys")
+    val out = df.select(expr("first_match_band(xs, ys, 1)").as("a"),
+      expr("first_match_band(xs, ys, 2)").as("b")).collect()
+    assert(out(0).getInt(0) == 1 && out(1).getInt(0) == -1)
+    assert(out(2).getInt(0) == 0 && out(2).getInt(1) == 1)
+    // unequal lengths: bands beyond the shorter array are ignored
+    val uneq = Seq((Array(1L, 2L), Array(1L, 2L, 3L, 4L))).toDF("xs", "ys")
+      .select(expr("first_match_band(xs, ys, 2)").as("a")).collect()
+    assert(uneq(0).getInt(0) == 0)
+    // empty arrays (the band-0 prefix case): no band can match
+    val empty = Seq((Array.empty[Long], Array.empty[Long])).toDF("xs", "ys")
+      .select(expr("first_match_band(xs, ys, 2)").as("a")).collect()
+    assert(empty(0).getInt(0) == -1)
+    // interpreted path agrees with codegen
+    val fm = graft.udx.FirstMatchBand(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(5L, 6L, 7L, 8L)),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(5L, 9L, 7L, 8L)),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      2)
+    assert(fm.eval(null) == 1)
   }
 
   test("gram-pair kernels: per-source distinct-content guard fails fast (round 13)") {
