@@ -68,6 +68,20 @@ object Bench {
     if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
   }
 
+  /** v5.2 re-measure acceptance (pure, unit-tested in BenchProtocolSpec):
+    * a flagged key's solo re-measure is accepted only when its own two
+    * bracketing probes agree within 25% (the same criterion that flags a
+    * segment). On accept, the published raw keeps the MIN over both
+    * measurement windows (stall noise is one-sided — min stays the
+    * steady-state estimator) and the clean window's probe mean replaces
+    * the polluted segment ratio for normalization.
+    */
+  def remeasureMerge(origRaw: Double, remRaw: Double,
+      p0: Double, p1: Double): Option[(Double, Double)] =
+    if (math.max(p0, p1) / math.min(p0, p1) <= 1.25)
+      Some((math.min(origRaw, remRaw), (p0 + p1) / 2))
+    else None
+
   @annotation.tailrec
   def reconcileBrackets(pre: Double, post: Double, remeasure: () => Double,
       maxRetries: Int, used: Int = 0): (Double, Double, Int) =
@@ -179,11 +193,16 @@ object Bench {
     // "time tracks emitted pairs" claims on construction-driven exponents
     // (semdedup/simhash/lsh_threshold distinct-content stamps) are measured
     // fields (pairs_out, s_per_pair via tools/distinct_exponents.py), not prose.
-    val lastCount = new java.util.concurrent.atomic.AtomicLong(-1L)
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    // time() RETURNS the count with each sample (round-15 advisor): the old
+    // shared mutable lastCount rested on the ordering invariant that no
+    // probe/anchor pass ran between a key's samples and the rows_out read —
+    // a reorder would silently attribute the probe query's cardinality to
+    // the key. A per-sample count has no ordering to get wrong.
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Long) = {
       val t0 = System.nanoTime()
-      val ok = try { lastCount.set(fn(spark, sfDir).count()); true } catch { case _: Throwable => false }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      var cnt = -1L
+      val ok = try { cnt = fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok, cnt)
     }
     // Anchors BRACKET the suite (round-12 judge task #1: the driver's r12
     // run inflated 31 keys >1.5× vs a same-code run at a near-identical
@@ -203,7 +222,7 @@ object Bench {
     // denominator to normalize by).
     val anchorErrors = new java.util.concurrent.atomic.AtomicInteger(0)
     val probeErrors = new java.util.concurrent.atomic.AtomicInteger(0)
-    def minOk(samples: Seq[(Double, Boolean)], errCounter: java.util.concurrent.atomic.AtomicInteger, what: String): Double = {
+    def minOk(samples: Seq[(Double, Boolean, Long)], errCounter: java.util.concurrent.atomic.AtomicInteger, what: String): Double = {
       val (good, bad) = samples.partition(_._2)
       errCounter.addAndGet(bad.size)
       require(good.nonEmpty, s"bench $what: every sample threw — no valid timing denominator")
@@ -249,8 +268,8 @@ object Bench {
           base ++ Seq.fill(repeatSlow - repeat)(time(fn))
         else base
       val best = samples.map(_._1).min
-      // read BEFORE the trailing probe pass overwrites it; -1 if all threw
-      rowsOut(name) = if (samples.exists(_._2)) lastCount.get() else -1L
+      // the key's own samples carry its count — no shared state to race
+      rowsOut(name) = samples.find(_._2).map(_._3).getOrElse(-1L)
       // Drain-to-stability instead of a fixed 20 ms nap (round-11 advisor:
       // late task-end events from a slow key could be credited to the NEXT
       // key across a fixed drain). Require 3 consecutive stable 15 ms polls
@@ -274,6 +293,60 @@ object Bench {
       if ((idx + 1) % ProbeEvery == 0 || idx == orderedKeys.size - 1)
         probes += probeRatio()
       name -> (if (samples.forall(_._2)) best else -1.0)
+    }
+    // --- v5.2 flagged-key solo re-measure (round-15 judge task #2) ---
+    // The driver's own r15 run carried 50 probe-flagged keys: per-key data
+    // stamped through stall windows the protocol could DETECT but not fix,
+    // so forensics needed a manual quiet-box session. Now the run repairs
+    // itself: each flagged key is re-measured at the end of the run inside
+    // its OWN probe bracket; if those two adjacent probes agree (the same
+    // 25% criterion that flags a segment), the clean window's ratio
+    // replaces the key's polluted segment ratio and the raw keeps the
+    // min-estimator across both windows (stall noise is strictly one-sided,
+    // so min over measurement windows stays the steady-state estimator).
+    // Keys re-measured are listed in "remeasured"; keys whose re-measure
+    // never found an agreeing window (box still drifting, or wall budget
+    // exhausted — expensive keys first, they are the ones forensics reads)
+    // stay in "probe_flagged_final". A clean run pays zero extra cost.
+    def segFlagged(idx: Int): Boolean = {
+      val seg = idx / ProbeEvery
+      val a = probes(seg); val b = probes(math.min(seg + 1, probes.size - 1))
+      math.max(a, b) / math.min(a, b) > 1.25
+    }
+    val rawOverride = scala.collection.mutable.Map.empty[String, Double]
+    val ratioOverride = scala.collection.mutable.Map.empty[String, Double]
+    val remeasuredKeys = scala.collection.mutable.ArrayBuffer.empty[String]
+    val resultsMap = results.toMap
+    val flaggedIdx = orderedKeys.zipWithIndex
+      .filter { case ((_, _), idx) => segFlagged(idx) }
+      .filter { case ((name, _), _) => resultsMap.getOrElse(name, -1.0) >= 0 }
+      .sortBy { case ((name, _), _) => -resultsMap(name) }
+    val remeasureBudget = sys.env.getOrElse("SPARK_GRAFT_REMEASURE_BUDGET", "180").toDouble
+    var remeasureSpent = 0.0
+    flaggedIdx.foreach { case ((name, fn), _) =>
+      var attempt = 0
+      var done = false
+      while (attempt < 2 && !done && remeasureSpent < remeasureBudget) {
+        val t0 = System.nanoTime()
+        val p0 = probeRatio()
+        val base = Seq.fill(repeat)(time(fn))
+        val samples =
+          if (base.map(_._1).min >= slowCutoff && repeatSlow > repeat)
+            base ++ Seq.fill(repeatSlow - repeat)(time(fn))
+          else base
+        val p1 = probeRatio()
+        remeasureSpent += (System.nanoTime() - t0) / 1e9
+        val good = samples.filter(_._2)
+        if (good.nonEmpty)
+          remeasureMerge(resultsMap(name), good.map(_._1).min, p0, p1).foreach {
+            case (raw, ratio) =>
+              rawOverride(name) = raw
+              ratioOverride(name) = ratio
+              remeasuredKeys += name
+              done = true
+          }
+        attempt += 1
+      }
     }
     val anchorTimesPost = anchorPass()
     val anchorRatioPost = anchorTimesPost.map(_._2).sum / anchorRefSum
@@ -301,33 +374,35 @@ object Bench {
     }
     // keys whose segment's bracketing probes disagree > 25% — the named
     // poisoned-window list a cross-round comparison must consult before
-    // reading a per-key regression as a plan change
+    // reading a per-key regression as a plan change (v5.2: re-measured
+    // in-run; consult probe_flagged_final for what REMAINS untrusted)
     val probeFlagged = orderedKeys.zipWithIndex.collect {
-      case ((name, _), idx)
-        if {
-          val seg = idx / ProbeEvery
-          val a = probes(seg); val b = probes(math.min(seg + 1, probes.size - 1))
-          math.max(a, b) / math.min(a, b) > 1.25
-        } => name
-    }.map(_.toString)
+      case ((name, _), idx) if segFlagged(idx) => name.toString
+    }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    // per-key raw after the re-measure pass: min over measurement windows
+    val resultsFinal = results.map { case (k, v) =>
+      k -> (if (v < 0) v else math.min(v, rawOverride.getOrElse(k, v)))
+    }
+    val qs = resultsFinal.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // Per-key PROBE-NORMALIZED seconds (v4): each key divided by the mean of
     // its segment's bracketing probe ratios — the number to read for
     // cross-round per-key forensics (raw per-key values inherit the full box
     // drift; a single global ratio inherits mid-run drift). Errors stay -1.
-    val qsNorm = results.zipWithIndex.map { case ((k, v), idx) =>
-      s"\"" + k + "\":" + r3(if (v < 0) v else v / keyRatio(idx))
+    // v5.2: a successfully re-measured key divides by its OWN clean-window
+    // probe bracket instead of the polluted segment ratio.
+    val qsNorm = resultsFinal.zipWithIndex.map { case ((k, v), idx) =>
+      s"\"" + k + "\":" + r3(if (v < 0) v else v / ratioOverride.getOrElse(k, keyRatio(idx)))
     }.mkString("{", ",", "}")
-    val errors = results.count(_._2 < 0)
+    val errors = resultsFinal.count(_._2 < 0)
     // A crashing query must never make the headline total look BETTER than a
     // working build (round-4 advisor finding): each errored key contributes a
     // penalty of max(30 s, slowest measured query) — data-derived so a future
     // legitimately-slow query can't make a crashed build beat a working one
     // (round-5 advisor finding).
-    val penalty = math.max(30.0, results.map(_._2).filter(_ >= 0).maxOption.getOrElse(0.0))
-    val total = results.map(_._2).filter(_ >= 0).sum + errors * penalty
+    val penalty = math.max(30.0, resultsFinal.map(_._2).filter(_ >= 0).maxOption.getOrElse(0.0))
+    val total = resultsFinal.map(_._2).filter(_ >= 0).sum + errors * penalty
     // anchor block: per-anchor seconds, frozen refs' drift ratio per bracket,
     // and the anchor-normalized total — the number comparable across rounds.
     // ratio is only meaningful at the refs' scale (sf0.1); at other sf dirs
@@ -372,7 +447,12 @@ object Bench {
     // v4, so per-key cross-round comparison v4↔v5 remains valid; only the
     // headline denominator can differ (and only on runs v4 would have
     // flagged anchor_bracket_disagree=true).
-    val protocolName = "v5.1-probe-median-norm"
+    // v5.2 (round 16): probe-flagged keys are solo re-measured at end of run
+    // (see the re-measure block above); per-key values for NON-flagged keys
+    // are unchanged from v5.1, so cross-round per-key comparison stays valid
+    // — a flagged key's value now comes from a clean window instead of being
+    // published polluted.
+    val protocolName = "v5.2-flagged-remeasure"
     val protocol = s""""protocol":"$protocolName",""" +
       s""""memoized":$memoJson,"staged_oracle":$stagedJson"""
     // per-key peak task execution memory (MB) — NOT normalized (memory
@@ -386,12 +466,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val probesJson = probes.map(r3).mkString("[", ",", "]")
     val probeFlaggedJson = probeFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val remeasuredJson = remeasuredKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flaggedFinalJson = probeFlagged.filterNot(remeasuredKeys.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val drainCappedJson = drainCapped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"anchor_post":$anchorPostJson,"anchor_ratio_final":[${r3(anchorRatioFinal)},${r3(anchorRatioPostFinal)}],"probe_median":${r3(probeMedian)},"value_norm_brackets":${r3(valueNormBrackets)},"anchor_retries":$anchorRetries,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"probes":$probesJson,"probe_flagged":$probeFlaggedJson,"peak_drain_capped":$drainCappedJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"rows_out":$rowsJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"anchor_post":$anchorPostJson,"anchor_ratio_final":[${r3(anchorRatioFinal)},${r3(anchorRatioPostFinal)}],"probe_median":${r3(probeMedian)},"value_norm_brackets":${r3(valueNormBrackets)},"anchor_retries":$anchorRetries,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"probes":$probesJson,"probe_flagged":$probeFlaggedJson,"remeasured":$remeasuredJson,"probe_flagged_final":$flaggedFinalJson,"remeasure_spent_sec":${r3(remeasureSpent)},"peak_drain_capped":$drainCappedJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"rows_out":$rowsJson,"sf":"$sfDir"}"""
     // "agg"/"repeat" appear in BOTH artifacts: the round-5 estimator change
     // (median -> min) moved the headline total, and a consumer reading only
     // BENCH_total.json must be able to tell estimator change from plan change.
-    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatioMean)},"probe_median":${r3(probeMedian)},"value_norm_brackets":${r3(valueNormBrackets)},"anchor_retries":$anchorRetries,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"protocol":"$protocolName","sf":"$sfDir"}"""
+    val totalOnly = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor_ratio":${r3(anchorRatioMean)},"probe_median":${r3(probeMedian)},"value_norm_brackets":${r3(valueNormBrackets)},"anchor_retries":$anchorRetries,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"flagged_n":${probeFlagged.size},"remeasured_n":${remeasuredKeys.size},"unit":"sec","n":${results.size},"repeat":$repeat,"agg":"min","errors":$errors,"protocol":"$protocolName","sf":"$sfDir"}"""
     // Driver-parse posture (round-15 judge task #6 — BENCH_r01..r14 ALL
     // landed parsed:null): the full per-query detail goes EXCLUSIVELY to
     // BENCH_local.json — printing it put a ~3 KB line in the stdout tail the

@@ -94,15 +94,25 @@ object FaultDrill {
       //   (b) the scheduler OBSERVED the loss before the run was marked
       //       done — a failed-task end event or an executor-removed event —
       //       i.e. the recompute/FetchFailed machinery actually engaged.
-      val lossObserved = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // Two evidence channels with different drain trust (round-15 advisor):
+      // a FAILED-TASK end event can only come from a task that was in flight
+      // when the loss hit — it is unambiguous in-query disturbance even when
+      // delivered late on the async bus. An EXECUTOR-REMOVED event is not:
+      // an executor killed after all of its tasks for the query completed
+      // still emits one inside the drain window, which would report the
+      // recovery machinery as exercised when no task was recomputed. So the
+      // drain accepts failed-task evidence only; executor-removed evidence
+      // counts solely when observed before queryDone was set.
+      val failedTaskSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val execRemovedSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskStart(ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
           taskStartSeen.set(true)
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (te.reason != org.apache.spark.Success) lossObserved.set(true)
+          if (te.reason != org.apache.spark.Success) failedTaskSeen.set(true)
         override def onExecutorRemoved(
             er: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
-          lossObserved.set(true)
+          execRemovedSeen.set(true)
       }
       spark.sparkContext.addSparkListener(listener)
       val queryDone = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -132,9 +142,11 @@ object FaultDrill {
       // dead while the query ran, so this window cannot fabricate evidence
       // for a kill that landed after the query.
       queryDone.set(true) // freeze the watcher's "during query" window FIRST
+      val execRemovedBeforeDone = execRemovedSeen.get()
       val drainDeadline = System.nanoTime() + 500_000_000L
-      while (!lossObserved.get() && System.nanoTime() < drainDeadline) Thread.sleep(5)
-      val observedBeforeDone = lossObserved.get()
+      while (!failedTaskSeen.get() && !execRemovedBeforeDone &&
+        System.nanoTime() < drainDeadline) Thread.sleep(5)
+      val observedBeforeDone = failedTaskSeen.get() || execRemovedBeforeDone
       watcher.join(15000)
       spark.sparkContext.removeSparkListener(listener)
       if (killLanded.get() && observedBeforeDone) { killedDuringRun = true; h1 = h; n1 = n }

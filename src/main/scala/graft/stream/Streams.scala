@@ -163,8 +163,14 @@ object Streams {
     // The file stream source requires a directory; expose the split copy
     // (see splitEventsDir — 8 files, so the batch scan parallelizes) through
     // symlinks in a scratch dir, re-linked when the dataset fingerprint moves.
+    // Pid-keyed like graft_append_/graft_sent_ (round-15 advisor): the split
+    // dir the symlinks point INTO is pid-suffixed, so under a persistent
+    // shared tmpdir a later JVM whose fingerprint matches the marker would
+    // otherwise reuse links into an earlier process's reaped dir — dangling
+    // targets breaking every stream key.
     val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}")
     // marker lives BESIDE the `in/` glob target, never inside it (the
     // source glob must only ever see parquet files)
     val (splitDir, splitFp) = splitEventsDir(s, dir)

@@ -69,6 +69,22 @@ class BenchProtocolSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bench.medianOf(Nil))
   }
 
+  test("remeasureMerge: accepts only agreeing probe brackets; min-raw; clean-window ratio") {
+    // agreeing bracket (within 25%): accept — raw is the min over windows,
+    // ratio is the clean window's probe mean
+    val Some((mRaw, mRatio)) = Bench.remeasureMerge(5.0, 2.0, 0.8, 0.9)
+    assert(mRaw === 2.0 && math.abs(mRatio - 0.85) < 1e-12)
+    // the original sample can win the min (flag was spurious for the key
+    // itself): raw keeps the original, ratio still comes from the clean window
+    assert(Bench.remeasureMerge(1.5, 2.0, 1.0, 1.0) === Some((1.5, 1.0)))
+    // disagreeing bracket (the re-measure window itself drifted): reject —
+    // the key stays probe_flagged_final rather than gaining fake clean data
+    assert(Bench.remeasureMerge(5.0, 2.0, 0.6, 1.0) === None)
+    // boundary: exactly 25% spread still counts as agreement (same ≤
+    // criterion as segment flagging's strict >)
+    assert(Bench.remeasureMerge(3.0, 3.0, 1.0, 1.25).isDefined)
+  }
+
   test("outlier choice is symmetric in log-space, not absolute distance") {
     // pre=0.25, post=1.0, fresh=0.5: |log(0.25/0.5)|=log2 = |log(1.0/0.5)|
     // tie goes to replacing post (the non-strict branch); next fresh=0.52
