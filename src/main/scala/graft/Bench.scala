@@ -117,7 +117,20 @@ object Bench {
     // the signal (join_shuffle_sortmergle 0.38 s ↔ 2.19 s with identical
     // plans). Scratch here is bounded-run-scoped — nothing needs
     // durability — and sf0.1 scratch peaks well under 1 GiB.
-    val scratch = "/dev/shm/graft_bench_scratch"
+    // Pid-keyed (round 16): the fixed path let a second concurrent Bench
+    // process delete THIS process's live shuffle/blockmgr files at its own
+    // startup (observed as FileNotFoundException mid-stage in a rehearsal
+    // run). Each process owns its dir; stale dirs from dead pids are reaped
+    // here so crashes don't leak tmpfs.
+    val scratch = s"/dev/shm/graft_bench_scratch_${ProcessHandle.current().pid()}"
+    Option(new java.io.File("/dev/shm").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_bench_scratch_"))
+      .foreach { f =>
+        val pid = f.getName.stripPrefix("graft_bench_scratch_")
+        val dead = pid.toLongOption.forall(p =>
+          ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false) == false)
+        if (dead) org.apache.commons.io.FileUtils.deleteQuietly(f)
+      }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
     new java.io.File(scratch).mkdirs()
     sys.props("java.io.tmpdir") = scratch
