@@ -581,6 +581,56 @@ object FhirQueries {
             expr("filter(g.extension, x -> x.url = 'latitude')[0].__valueDecimal_numeric").cast("double").as("lat"),
             expr("filter(g.extension, x -> x.url = 'longitude')[0].__valueDecimal_numeric").cast("double").as("lon"))
           .where(col("lat").isNotNull)
-          .orderBy("id", "lat", "lon"))
+          .orderBy("id", "lat", "lon")),
+
+    // A13 — SQL-on-FHIR v2 ViewDefinition evaluator (flattening subset):
+    // the standard consumer of this columnar layout (README.md:301-309
+    // motivates annotations as serving exactly this kind of analytic
+    // view). One JSON ViewDefinition — resource-level columns, a forEach
+    // over Patient.name, a forEachOrNull over telecom (sibling selects =
+    // per-resource Cartesian product), first() on a repeating element and
+    // where predicates (equality + exists()) — compiled to one declarative
+    // Spark plan (getField projections + generate + filter; column-pruned
+    // scan, no shuffle). The oracle re-derives the identical flattening in
+    // SQL: unnest CTEs joined on id reproduce forEach (inner) and
+    // forEachOrNull (left) semantics.
+    QueryDef(
+      "fhir_view_definition",
+      Some(
+        s"WITH p AS (SELECT * FROM read_parquet('$G/Patient.parquet') WHERE gender = 'female'), " +
+          "n AS (SELECT id, unnest(name) AS nm FROM p), " +
+          "t AS (SELECT id, unnest(telecom) AS tc FROM p) " +
+          "SELECT p.id AS patient_id, p.gender AS gender, p.birthDate AS birth_date, " +
+          "p.maritalStatus.\"text\" AS marital_status, " +
+          "n.nm.family AS family_name, n.nm.\"use\" AS name_use, n.nm.given[1] AS first_given, " +
+          "t.tc.\"system\" AS telecom_system, t.tc.\"value\" AS telecom_value " +
+          "FROM p JOIN n ON p.id = n.id LEFT JOIN t ON p.id = t.id " +
+          "ORDER BY patient_id, family_name, name_use, first_given, telecom_system, telecom_value"),
+      (s, d) => {
+        val view = """{
+          "name": "patient_demographics",
+          "resource": "Patient",
+          "select": [
+            {"column": [
+              {"path": "id", "name": "patient_id"},
+              {"path": "gender", "name": "gender"},
+              {"path": "birthDate", "name": "birth_date"},
+              {"path": "maritalStatus.text", "name": "marital_status"}]},
+            {"forEach": "name", "column": [
+              {"path": "family", "name": "family_name"},
+              {"path": "use", "name": "name_use"},
+              {"path": "given.first()", "name": "first_given"}]},
+            {"forEachOrNull": "telecom", "column": [
+              {"path": "system", "name": "telecom_system"},
+              {"path": "value", "name": "telecom_value"}]}
+          ],
+          "where": [
+            {"path": "gender = 'female'"},
+            {"path": "maritalStatus.text.exists()"}]
+        }"""
+        ViewDefinition.evaluate(Tables.golden(s, "Patient", d), view)
+          .orderBy("patient_id", "family_name", "name_use", "first_given",
+            "telecom_system", "telecom_value")
+      })
   )
 }

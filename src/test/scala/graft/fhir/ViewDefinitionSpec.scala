@@ -1,0 +1,115 @@
+package graft.fhir
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-on-FHIR v2 ViewDefinition evaluator (flattening subset, round-16):
+  * golden-file evaluation plus synthetic coverage of the semantics the
+  * golden data cannot differentiate (forEachOrNull on a missing element,
+  * where-filtering, Cartesian sibling selects).
+  */
+class ViewDefinitionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val syntheticJson = Seq(
+    """{"resourceType":"Patient","id":"p1","gender":"female","name":[{"family":"A","given":["a1","a2"]},{"family":"B","given":["b1"]}],"telecom":[{"system":"phone","value":"1"},{"system":"email","value":"2"}]}""",
+    """{"resourceType":"Patient","id":"p2","gender":"male","name":[{"family":"C","given":["c1"]}]}""",
+    """{"resourceType":"Patient","id":"p3","gender":"female","name":[{"family":"D","given":["d1"]}]}""")
+
+  private def synth = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(syntheticJson))
+  }
+
+  test("golden Patient: flattening view matches a hand-built equivalent plan") {
+    val view = """{
+      "resource": "Patient",
+      "select": [
+        {"column": [{"path": "id", "name": "patient_id"},
+                     {"path": "maritalStatus.text", "name": "marital"}]},
+        {"forEach": "name", "column": [
+          {"path": "family", "name": "family"},
+          {"path": "given.first()", "name": "first_given"}]}
+      ],
+      "where": [{"path": "gender = 'female'"}]
+    }"""
+    val got = ViewDefinition.evaluate(Tables.golden(spark, "Patient"), view)
+      .orderBy("patient_id", "family")
+    val expected = Tables.golden(spark, "Patient")
+      .where(col("gender") === "female")
+      .select(col("id").as("patient_id"),
+        col("maritalStatus.text").as("marital"), explode(col("name")).as("nm"))
+      .select(col("patient_id"), col("marital"),
+        col("nm.family").as("family"), element_at(col("nm.given"), 1).as("first_given"))
+      .orderBy("patient_id", "family")
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("patient_id", "marital", "family", "first_given"))
+    assert(got.collect().toSeq == expected.collect().toSeq)
+    assert(got.count() > 0)
+  }
+
+  test("forEachOrNull keeps resources missing the element; forEach drops them") {
+    val viewOrNull = """{
+      "resource": "Patient",
+      "select": [
+        {"column": [{"path": "id", "name": "id"}]},
+        {"forEachOrNull": "telecom", "column": [{"path": "system", "name": "sys"}]}
+      ]
+    }"""
+    val rowsOrNull = ViewDefinition.evaluate(synth, viewOrNull)
+      .orderBy("id", "sys").collect()
+    // p1 contributes 2 telecom rows; p2/p3 (no telecom) keep one null row each
+    assert(rowsOrNull.map(r => (r.getString(0), Option(r.getString(1)))).toSeq ==
+      Seq(("p1", Some("email")), ("p1", Some("phone")), ("p2", None), ("p3", None)))
+    val viewInner = viewOrNull.replace("forEachOrNull", "forEach")
+    val rowsInner = ViewDefinition.evaluate(synth, viewInner).collect()
+    assert(rowsInner.map(_.getString(0)).sorted.toSeq == Seq("p1", "p1"))
+  }
+
+  test("sibling forEach selects compose as the per-resource Cartesian product") {
+    val view = """{
+      "resource": "Patient",
+      "select": [
+        {"column": [{"path": "id", "name": "id"}]},
+        {"forEach": "name", "column": [{"path": "family", "name": "family"}]},
+        {"forEach": "telecom", "column": [{"path": "value", "name": "tv"}]}
+      ]
+    }"""
+    val rows = ViewDefinition.evaluate(synth, view).collect()
+    // p1: 2 names x 2 telecoms = 4 rows; p2/p3 have no telecom -> dropped
+    assert(rows.length == 4)
+    assert(rows.forall(_.getString(0) == "p1"))
+  }
+
+  test("where: exists() and equality filter at resource level; unionAll rejected") {
+    val view = """{
+      "resource": "Patient",
+      "select": [{"column": [{"path": "id", "name": "id"}]}],
+      "where": [{"path": "telecom.exists()"}, {"path": "gender = 'female'"}]
+    }"""
+    val rows = ViewDefinition.evaluate(synth, view).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("p1"))
+    val bad = """{"resource":"Patient","select":[{"unionAll":[],"column":[{"path":"id","name":"id"}]}]}"""
+    val e = intercept[IllegalArgumentException](ViewDefinition.parse(bad))
+    assert(e.getMessage.contains("unionAll"))
+  }
+
+  test("view plan is scan-shaped: column-pruned, no shuffle") {
+    val view = """{
+      "resource": "Patient",
+      "select": [
+        {"column": [{"path": "id", "name": "patient_id"}]},
+        {"forEach": "name", "column": [{"path": "family", "name": "family"}]}
+      ],
+      "where": [{"path": "gender = 'female'"}]
+    }"""
+    val plan = ViewDefinition.evaluate(Tables.golden(spark, "Patient"), view)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"flattening view must not shuffle:\n$plan")
+    // pruned scan: the wide golden schema must not be read whole — the scan
+    // ReadSchema should mention name but not e.g. address or extension
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("address"), s"scan not column-pruned: $read")
+  }
+}
