@@ -157,6 +157,9 @@ object Bench {
       // events.parquet carries TIMESTAMP(NANOS) — unreadable without this.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // reliable-ckpt hygiene (Ckpt.scala): free superseded checkpoint
+      // trees via the ContextCleaner; no-op outside GRAFT_RELIABLE_CKPT
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Peak-memory tracker (round-10 judge task #7): max per-TASK execution

@@ -28,15 +28,22 @@ import org.apache.spark.sql.Dataset
   * not by block id); callers release superseded rounds' ids explicitly,
   * never via ContextCleaner GC (round-5 hygiene discipline).
   *
-  * Disk growth in reliable mode (round-14 advisor): checkpoint FILES are
-  * only freed by the ContextCleaner when
+  * Disk growth in reliable mode (round-14 advisor, closed round 16):
+  * checkpoint FILES are only freed by the ContextCleaner when
   * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set at
-  * context creation — FaultDrill (the mode's only driver entrypoint) sets
-  * it; any other session running under the flag should too, or accept
-  * one checkpoint tree per loop round living until the app exits.
+  * context creation. Every graft entrypoint (Verify, Bench, FaultDrill,
+  * SparkTestBase) now sets it unconditionally — harmless outside reliable
+  * mode, and in reliable mode superseded rounds' checkpoint trees are
+  * GC-collected instead of living for the app lifetime. A reliable-mode
+  * session whose context was built WITHOUT the conf (an embedding
+  * application's own session) cannot be fixed post-hoc (the ContextCleaner
+  * reads it at construction), so the first ckpt under such a context warns
+  * once with the bound: disk grows by one round-state tree per loop round
+  * until app exit.
   */
 object Ckpt {
   val reliable: Boolean = sys.env.contains("GRAFT_RELIABLE_CKPT")
+  private val warnedNoCleaner = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   def apply[T](df: Dataset[T]): (Dataset[T], Seq[Int]) = {
     val sc = df.sparkSession.sparkContext
@@ -45,6 +52,12 @@ object Ckpt {
         if (sc.getCheckpointDir.isEmpty)
           sc.setCheckpointDir(s"${sys.props("java.io.tmpdir")}/graft_reliable_ckpt")
       }
+      if (!sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints",
+          defaultValue = false) && warnedNoCleaner.compareAndSet(false, true))
+        Console.err.println("[graft.Ckpt] GRAFT_RELIABLE_CKPT is on but this " +
+          "SparkContext was built without spark.cleaner.referenceTracking." +
+          "cleanCheckpoints=true: superseded checkpoint trees will accumulate " +
+          "(one per loop round) until the application exits.")
       (df.checkpoint(), Seq.empty)
     } else {
       val before = sc.getPersistentRDDs.keySet

@@ -24,6 +24,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) — unreadable without this.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // reliable-ckpt hygiene (Ckpt.scala): free superseded checkpoint
+      // trees via the ContextCleaner; no-op outside GRAFT_RELIABLE_CKPT
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

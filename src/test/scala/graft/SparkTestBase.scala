@@ -17,6 +17,9 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // reliable-ckpt hygiene (Ckpt.scala): free superseded checkpoint
+      // trees via the ContextCleaner; no-op outside GRAFT_RELIABLE_CKPT
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
