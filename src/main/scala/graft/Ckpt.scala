@@ -60,9 +60,9 @@ object Ckpt {
           "(one per loop round) until the application exits.")
       (df.checkpoint(), Seq.empty)
     } else {
-      val before = sc.getPersistentRDDs.keySet
+      val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
+      (out, sc.getPersistentRDDs.keySet.filterNot(before).toSeq)
     }
   }
 }
