@@ -214,10 +214,30 @@ object Bench {
     // probe/anchor pass ran between a key's samples and the rows_out read —
     // a reorder would silently attribute the probe query's cardinality to
     // the key. A per-sample count has no ordering to get wrong.
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Long) = {
+    //
+    // v5.3 (round 16): suite keys are timed by FULL-RESULT materialization
+    // (queryExecution.toRdd.count — executes the key's own physical plan,
+    // streaming every output row) instead of Dataset.count(). Under
+    // count(), Catalyst prunes all output columns, eliminates final sorts,
+    // and — via distinct-keys propagation — can remove cardinality-
+    // preserving joins entirely: dedup_incremental_minhash's count plan
+    // collapsed to `documents WHERE doc_id%10=5` (verified with
+    // GRAFT_PLANDUMP_COUNT=1), i.e. the bench was timing a plan that never
+    // ran the kernel. A user of these operators materializes the result,
+    // so full materialization is the honest unit — and the one comparable
+    // to BASELINE.md, which measured full query outputs. The four frozen
+    // ANCHORS and probes keep Dataset.count(): their reference values
+    // (anchorRef, round 8) were measured under count() and the drift ratio
+    // depends on both sides staying frozen.
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        fullMat: Boolean = true): (Double, Boolean, Long) = {
       val t0 = System.nanoTime()
       var cnt = -1L
-      val ok = try { cnt = fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try {
+        cnt = if (fullMat) fn(spark, sfDir).queryExecution.toRdd.count()
+              else fn(spark, sfDir).count()
+        true
+      } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok, cnt)
     }
     // Anchors BRACKET the suite (round-12 judge task #1: the driver's r12
@@ -245,7 +265,7 @@ object Bench {
       good.map(_._1).min
     }
     def anchorPass(): Seq[(String, Double)] = anchorDefs.map { case (name, fn) =>
-      name -> minOk(Seq.fill(math.max(repeat, 5))(time(fn)), anchorErrors, s"anchor $name")
+      name -> minOk(Seq.fill(math.max(repeat, 5))(time(fn, fullMat = false)), anchorErrors, s"anchor $name")
     }
     val anchorRefSum = anchorDefs.map(a => anchorRef(a._1)).sum
     val anchorTimes = anchorPass()
@@ -264,7 +284,7 @@ object Bench {
     val probeRefSum = probeDefs.map(a => anchorRef(a._1)).sum
     def probeRatio(): Double =
       probeDefs.map { case (name, fn) =>
-        minOk(Seq.fill(3)(time(fn)), probeErrors, s"probe $name")
+        minOk(Seq.fill(3)(time(fn, fullMat = false)), probeErrors, s"probe $name")
       }.sum / probeRefSum
     val peaks = scala.collection.mutable.Map.empty[String, Double]
     val rowsOut = scala.collection.mutable.Map.empty[String, Long]
@@ -468,7 +488,14 @@ object Bench {
     // are unchanged from v5.1, so cross-round per-key comparison stays valid
     // — a flagged key's value now comes from a clean window instead of being
     // published polluted.
-    val protocolName = "v5.2-flagged-remeasure"
+    // v5.3 (round 16): suite keys timed by full-result materialization
+    // (toRdd.count) instead of Dataset.count() — see time(). Per-key values
+    // are NOT comparable to v5.2-and-earlier artifacts for keys where
+    // count() pruned material work (final sorts, output projections, and in
+    // the worst case whole kernels — dedup_incremental_minhash's count plan
+    // had collapsed to a filtered doc_id scan). Anchors/probes keep count()
+    // so the drift denominator stays frozen.
+    val protocolName = "v5.3-fullmat"
     val protocol = s""""protocol":"$protocolName",""" +
       s""""memoized":$memoJson,"staged_oracle":$stagedJson"""
     // per-key peak task execution memory (MB) — NOT normalized (memory

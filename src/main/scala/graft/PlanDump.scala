@@ -29,9 +29,16 @@ object PlanDump {
     // style: numbered operators + per-operator detail) instead of the
     // executed-plan tree.
     val formatted = sys.env.get("GRAFT_PLANDUMP_FORMATTED").contains("1")
+    // GRAFT_PLANDUMP_COUNT=1 dumps the plan of df.groupBy().count() instead
+    // of the full result — the action Bench actually times. The two can
+    // diverge: under count() Catalyst prunes every column and can collapse
+    // cardinality-preserving scaffolding, so "what the bench measures" is a
+    // question about THIS plan, not the collect plan.
+    val countMode = sys.env.get("GRAFT_PLANDUMP_COUNT").contains("1")
     for (k <- args) {
       println(s"======== $k ========")
-      val df = SparkEntry.queries(k)(spark, dir)
+      val df0 = SparkEntry.queries(k)(spark, dir)
+      val df = if (countMode) df0.groupBy().count() else df0
       df.collect() // materialize so AQE finalizes every stage
       if (formatted)
         println(df.queryExecution.explainString(
