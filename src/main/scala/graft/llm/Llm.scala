@@ -2053,12 +2053,16 @@ object Llm {
           "FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i FROM documents) " +
           "GROUP BY doc_id, text ORDER BY doc_id"),
       (s, d) =>
+        // min-digest codegen loop (round 16): the transform(sequence) HOF
+        // materialized ~40M interpreted md5-hex strings per sf0.1 pass
+        // (4.4 s under the v5.3 fullmat bench); the kernel takes the byte-
+        // lexicographic min DIGEST (hex is order-preserving) and hex-encodes
+        // once per doc. Equality vs the HOF pinned in OpsSpec.
         Tables.t(s, d, "documents")
           .where(length(col("text")) >= 8)
-          .select(col("doc_id"), col("text"),
-            expr("array_min(transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8))))").as("fp"),
+          .select(col("doc_id"),
+            graft.udx.TextExpr.minGramMd5(s, col("text"), 8).as("fp"),
             md5(col("text")).as("full_md5"))
-          .select(col("doc_id"), col("fp"), col("full_md5"))
           .orderBy("doc_id"))
   )
 }

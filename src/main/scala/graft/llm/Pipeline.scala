@@ -838,13 +838,12 @@ object Pipeline {
           (mn, sp, arr)
         })
         val t = col("text")
-        val sumQ = aggregate(
-          sequence(lit(1), length(t) - 1),
-          lit(0L),
-          (acc, i) => acc + element_at(
-            typedlit(q.toSeq),
-            (ascii(t.substr(i, lit(1))) - minC) * span +
-              (ascii(t.substr(i + 1, lit(1))) - minC) + 1))
+        // one codegen byte loop per doc (round 16 — the aggregate(sequence)
+        // HOF ran its lambda interpreted per char: 7.2 s at sf0.1 under the
+        // v5.3 fullmat bench; the kernel form is ~10x cheaper and pinned
+        // equal to the HOF in OpsSpec)
+        val sumQ = graft.udx.TextExpr.gramScoreSum(
+          s, "graft_lm2_score", t, q, null, minC, span, 2)
         docs
           .select(col("doc_id"), (length(t) - 1).cast("long").as("n_bg"), sumQ.as("sq"))
           .select(col("doc_id"), col("n_bg"), expr("sq div n_bg").cast("long").as("score_micro"))
@@ -995,16 +994,11 @@ object Pipeline {
           (mn, a, rk, q)
         })
         val t = col("text")
-        def rk(c: org.apache.spark.sql.Column) =
-          element_at(typedlit(rankArr.toSeq), ascii(c) - minC + 1)
-        val sumQ = aggregate(
-          sequence(lit(1), length(t) - 2),
-          lit(0L),
-          (acc, i) => acc + element_at(
-            typedlit(q3.toSeq),
-            ((rk(t.substr(i, lit(1))) - 1) * nRanks +
-              (rk(t.substr(i + 1, lit(1))) - 1)) * nRanks +
-              rk(t.substr(i + 2, lit(1)))))
+        // codegen byte loop with the rank-compressed cube (round 16 — the
+        // triple-substr aggregate HOF was 10.8 s at sf0.1 under v5.3;
+        // kernel equality pinned in OpsSpec)
+        val sumQ = graft.udx.TextExpr.gramScoreSum(
+          s, "graft_lm3_score", t, q3, rankArr, minC, nRanks, 3)
         docs
           .select(col("doc_id"), (length(t) - 2).cast("long").as("n_tri"), sumQ.as("sq"))
           .select(col("doc_id"), col("n_tri"), expr("sq div n_tri").cast("long").as("score_micro"))

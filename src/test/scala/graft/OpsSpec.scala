@@ -1338,6 +1338,49 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == expected, s"got ${got.toSeq}\nexpected $expected")
   }
 
+  test("text kernels == the HOF expressions they replaced (round-16 codegen loops)") {
+    // the v5.3 fullmat bench exposed the interpreted-HOF cost of the LM
+    // scorers and the fingerprint min; the byte-loop kernels must be
+    // value-identical to the old aggregate/transform forms on real corpus
+    // text (both run here side by side on the same rows)
+    val sp = spark
+    import sp.implicits._
+    val docs = Tables.t(spark, sf, "documents")
+      .where(length(col("text")) >= 8).limit(200)
+    // min-md5 fingerprint vs the transform/array_min HOF
+    val fpRows = docs.select(
+      graft.udx.TextExpr.minGramMd5(spark, col("text"), 8).as("kernel"),
+      expr("array_min(transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8))))").as("hof"))
+      .collect()
+    assert(fpRows.nonEmpty && fpRows.forall(r => r.getString(0) == r.getString(1)))
+    // dense bigram cube vs the aggregate HOF on a tiny synthetic model
+    val minC = 'a'.toInt
+    val span = 26
+    val q = Array.tabulate(span * span)(i => (i * 31 + 7).toLong)
+    val lmRows = Seq("abcabz", "zzzaab").toDF("text").select(
+      graft.udx.TextExpr.gramScoreSum(spark, "t_lm2", col("text"), q, null, minC, span, 2).as("kernel"),
+      aggregate(sequence(lit(1), length(col("text")) - 1), lit(0L),
+        (acc, i) => acc + element_at(typedlit(q.toSeq),
+          (ascii(col("text").substr(i, lit(1))) - minC) * span +
+            (ascii(col("text").substr(i + 1, lit(1))) - minC) + 1)).as("hof"))
+      .collect()
+    assert(lmRows.forall(r => r.getLong(0) == r.getLong(1)))
+    // rank-compressed trigram cube vs the HOF (ranks over 3 chars)
+    val rk = new Array[Int](26)
+    Seq('a', 'b', 'z').zipWithIndex.foreach { case (c, i) => rk(c - minC) = i + 1 }
+    val a3 = 3
+    val q3 = Array.tabulate(a3 * a3 * a3)(i => (i * 17 + 3).toLong)
+    val triRows = Seq("abzabz", "zzabba").toDF("text").select(
+      graft.udx.TextExpr.gramScoreSum(spark, "t_lm3", col("text"), q3, rk, minC, a3, 3).as("kernel"),
+      aggregate(sequence(lit(1), length(col("text")) - 2), lit(0L),
+        (acc, i) => acc + element_at(typedlit(q3.toSeq),
+          ((element_at(typedlit(rk.toSeq), ascii(col("text").substr(i, lit(1))) - minC + 1) - 1) * a3 +
+            (element_at(typedlit(rk.toSeq), ascii(col("text").substr(i + 1, lit(1))) - minC + 1) - 1)) * a3 +
+            element_at(typedlit(rk.toSeq), ascii(col("text").substr(i + 2, lit(1))) - minC + 1))).as("hof"))
+      .collect()
+    assert(triRows.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("dedup_substring_runlen: reports the EXACT planted run length at any alignment") {
     val sp = spark
     import sp.implicits._
