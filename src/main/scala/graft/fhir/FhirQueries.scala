@@ -631,6 +631,47 @@ object FhirQueries {
         ViewDefinition.evaluate(Tables.golden(s, "Patient", d), view)
           .orderBy("patient_id", "family_name", "name_use", "first_given",
             "telecom_system", "telecom_value")
+      }),
+
+    // A13b — ViewDefinition over Observation: exercises the evaluator
+    // paths the Patient view cannot — NESTED select (forEach category →
+    // forEach coding, two generate levels deep), a mid-path first()
+    // (code.coding.first().code), navigation into an annotated Quantity,
+    // and an equality where. Oracle: the same flattening as chained DuckDB
+    // unnest CTEs.
+    QueryDef(
+      "fhir_view_definition_obs",
+      Some(
+        s"WITH o AS (SELECT * FROM read_parquet('$G/Observation.parquet') WHERE status = 'final'), " +
+          "c AS (SELECT id, unnest(category) AS cat FROM o), " +
+          "cc AS (SELECT id, unnest(cat.coding) AS cd FROM c) " +
+          "SELECT o.id AS obs_id, o.status AS status, o.subject.reference AS subject_ref, " +
+          "o.code.coding[1].code AS obs_code, " +
+          "o.valueQuantity.\"value\" AS qty_value, o.valueQuantity.unit AS qty_unit, " +
+          "cc.cd.code AS cat_code, cc.cd.\"system\" AS cat_system " +
+          "FROM o JOIN cc ON o.id = cc.id " +
+          "ORDER BY obs_id, cat_code, cat_system"),
+      (s, d) => {
+        val view = """{
+          "name": "observation_categories",
+          "resource": "Observation",
+          "select": [
+            {"column": [
+              {"path": "id", "name": "obs_id"},
+              {"path": "status", "name": "status"},
+              {"path": "subject.reference", "name": "subject_ref"},
+              {"path": "code.coding.first().code", "name": "obs_code"},
+              {"path": "valueQuantity.value", "name": "qty_value"},
+              {"path": "valueQuantity.unit", "name": "qty_unit"}]},
+            {"forEach": "category", "select": [
+              {"forEach": "coding", "column": [
+                {"path": "code", "name": "cat_code"},
+                {"path": "system", "name": "cat_system"}]}]}
+          ],
+          "where": [{"path": "status = 'final'"}]
+        }"""
+        ViewDefinition.evaluate(Tables.golden(s, "Observation", d), view)
+          .orderBy("obs_id", "cat_code", "cat_system")
       })
   )
 }

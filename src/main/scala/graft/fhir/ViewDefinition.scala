@@ -104,7 +104,15 @@ object ViewDefinition {
     // Walk the select tree, threading the DataFrame (each forEach adds one
     // generate) and accumulating output columns. Sibling selects multiply
     // rows (Cartesian within a resource), matching the spec's semantics.
-    def walk(d0: DataFrame, prefix: Option[String], s: VdSelect): (DataFrame, Seq[Column]) = {
+    // Each select's columns are MATERIALIZED (withColumn under a collision-
+    // proof temp alias) adjacent to its own generate rather than deferred
+    // to one final projection: deferring nested-field paths across two
+    // stacked generates trips Catalyst's nested-column aliasing during
+    // analysis (_extract_* attributes resolved against the wrong side);
+    // materializing keeps every nested extraction local to the level that
+    // introduced its source.
+    def walk(d0: DataFrame, prefix: Option[String],
+        s: VdSelect): (DataFrame, Seq[(String, String)]) = {
       val (d1, pfx) = s.forEach.map((_, false)).orElse(s.forEachOrNull.map((_, true))) match {
         case Some((fe, orNull)) =>
           val alias = s"__vd_fe${ids.next()}"
@@ -112,19 +120,24 @@ object ViewDefinition {
           (d0.withColumn(alias, gen), Some(alias))
         case None => (d0, prefix)
       }
-      val own = s.column.map(c => ref(pfx, c.path).as(c.name))
-      s.select.foldLeft((d1, own)) { case ((d, cs), sub) =>
+      var cur = d1
+      val own = s.column.map { c =>
+        val tmp = s"__vd_c${ids.next()}"
+        cur = cur.withColumn(tmp, ref(pfx, c.path))
+        tmp -> c.name
+      }
+      s.select.foldLeft((cur, own)) { case ((d, cs), sub) =>
         val (d2, cs2) = walk(d, pfx, sub)
         (d2, cs ++ cs2)
       }
     }
-    val (exploded, cols) = vd.select.foldLeft((filtered, Seq.empty[Column])) {
+    val (exploded, cols) = vd.select.foldLeft((filtered, Seq.empty[(String, String)])) {
       case ((d, cs), s) =>
         val (d2, cs2) = walk(d, None, s)
         (d2, cs ++ cs2)
     }
     require(cols.nonEmpty, "ViewDefinition produced no columns")
-    exploded.select(cols: _*)
+    exploded.select(cols.map { case (tmp, name) => col(tmp).as(name) }: _*)
   }
 
   def evaluate(df: DataFrame, json: String): DataFrame = evaluate(df, parse(json))

@@ -95,6 +95,30 @@ class ViewDefinitionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unionAll"))
   }
 
+  test("nested select recurses: forEach category -> forEach coding on golden Observation") {
+    val view = """{
+      "resource": "Observation",
+      "select": [
+        {"column": [{"path": "id", "name": "obs_id"},
+                     {"path": "code.coding.first().code", "name": "obs_code"}]},
+        {"forEach": "category", "select": [
+          {"forEach": "coding", "column": [{"path": "code", "name": "cat_code"}]}]}
+      ]
+    }"""
+    val got = ViewDefinition.evaluate(Tables.golden(spark, "Observation"), view)
+      .orderBy("obs_id", "cat_code")
+    val expected = Tables.golden(spark, "Observation")
+      .select(col("id").as("obs_id"),
+        element_at(col("code.coding"), 1).getField("code").as("obs_code"),
+        explode(col("category")).as("cat"))
+      .select(col("obs_id"), col("obs_code"), explode(col("cat.coding")).as("cd"))
+      .select(col("obs_id"), col("obs_code"), col("cd.code").as("cat_code"))
+      .orderBy("obs_id", "cat_code")
+    assert(got.schema.fieldNames.toSeq == Seq("obs_id", "obs_code", "cat_code"))
+    assert(got.collect().toSeq == expected.collect().toSeq)
+    assert(got.count() > 0)
+  }
+
   test("view plan is scan-shaped: column-pruned, no shuffle") {
     val view = """{
       "resource": "Patient",
