@@ -384,11 +384,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "pair counts have no map-side combine")
   }
 
-  test("agg_weighted_median: vocabulary rollup combines before any window") {
-    val p = plan("agg_weighted_median")
-    assert("Scan parquet".r.findAllIn(p).size == 1, "lineitem must be scanned once")
+  test("agg_weighted_median: two-level scan — bucketed windows, broadcast offsets, one scan") {
+    // exchange reuse is an AQE RUNTIME decision: the initial plan shows the
+    // offsets/tots branches as three scans, the executed plan collapses
+    // them onto one via ReusedExchange — so this pin must read the
+    // post-execution plan
+    val df = SparkEntry.queries("agg_weighted_median")(spark, SparkTestBase.sf)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints BOTH the final and the initial
+    // plan; the reuse assertion must read the final section only
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"lineitem must be scanned once after exchange reuse:\n${p.take(1500)}")
     assert(p.contains("partial_sum"), "(group,value) rollup has no map-side combine")
-    assert(!p.contains("Join"), p.take(1200))
+    // the cumulative window must be partitioned by (rf, bucket), never rf
+    // alone — group-count-independent parallelism is the point of the
+    // round-16 rewrite
+    assert(p.contains("windowspecdefinition(rf") && p.contains(", bucket"),
+      s"intra-bucket window lost its bucket partition key:\n${p.take(1500)}")
+    // offsets/tots come back via broadcast only; a shuffled join here would
+    // re-serialize the vocabulary
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p.take(1500))
   }
 
   test("negative_sampling_pairs: ring join is equi, never cross") {
