@@ -181,7 +181,11 @@ object Funcs {
           "TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '2024-01-0' ELSE '2024-01-02' END AS DATE) AS maybe_date " +
           "FROM events ORDER BY event_id"),
       (s, d) =>
-        Tables.events(s, d).selectExpr(
+        // spread: events ships as ONE parquet file, so the parse-heavy
+        // projection (per-row date parsing) otherwise runs on a single
+        // task regardless of executor width (round 16 — the v5.3 fullmat
+        // bench stopped count-pruning the projection and exposed it)
+        Tables.spread(s, Tables.events(s, d)).selectExpr(
           "event_id",
           "TRY_CAST(CAST(event_id AS STRING) AS BIGINT) AS good_num",
           "TRY_CAST(event_type AS BIGINT) AS bad_num",
