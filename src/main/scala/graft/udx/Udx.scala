@@ -277,7 +277,9 @@ object Udx {
           "last_day(CAST(o_orderdate AS DATE)), INTERVAL 1 DAY)) AS g FROM orders) " +
           "ORDER BY o_orderkey, day"),
       (s, d) =>
-        Tables.t(s, d, "orders")
+        // spread: orders is one parquet file, so the ~30x generate (4.5M
+        // output rows at sf0.1) otherwise explodes on a single task
+        Tables.spread(s, Tables.t(s, d, "orders"))
           .select(
             col("o_orderkey"),
             explode(expr(
