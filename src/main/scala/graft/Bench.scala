@@ -131,6 +131,12 @@ object Bench {
           ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false) == false)
         if (dead) org.apache.commons.io.FileUtils.deleteQuietly(f)
       }
+    // legacy fixed-name dir from pre-round-16 builds (round-16 advisor: the
+    // prefix match above requires the trailing underscore, so the old path
+    // was never reclaimed — a permanent tmpfs leak on boxes that ran the
+    // old binary)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/dev/shm/graft_bench_scratch"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
     new java.io.File(scratch).mkdirs()
     sys.props("java.io.tmpdir") = scratch
@@ -357,32 +363,40 @@ object Bench {
       .filter { case ((_, _), idx) => segFlagged(idx) }
       .filter { case ((name, _), _) => resultsMap.getOrElse(name, -1.0) >= 0 }
       .sortBy { case ((name, _), _) => -resultsMap(name) }
-    val remeasureBudget = sys.env.getOrElse("SPARK_GRAFT_REMEASURE_BUDGET", "180").toDouble
+    // Budget raised 180 → 600 s and the queue is re-walked in passes
+    // (round-16 verdict task #2): the driver's r16 run exhausted 180 s with
+    // 20 of 50 flagged keys never re-measured — per-key values published
+    // untrusted. 600 s against a ~130 s suite is still bounded (the driver's
+    // wall cap is minutes), and a later PASS gives keys whose first
+    // re-measure window was itself drifting a second chance once the box
+    // settles. A clean run still pays zero: no flags → no passes.
+    val remeasureBudget = sys.env.getOrElse("SPARK_GRAFT_REMEASURE_BUDGET", "600").toDouble
     var remeasureSpent = 0.0
-    flaggedIdx.foreach { case ((name, fn), _) =>
-      var attempt = 0
-      var done = false
-      while (attempt < 2 && !done && remeasureSpent < remeasureBudget) {
-        val t0 = System.nanoTime()
-        val p0 = probeRatio()
-        val base = Seq.fill(repeat)(time(fn))
-        val samples =
-          if (base.map(_._1).min >= slowCutoff && repeatSlow > repeat)
-            base ++ Seq.fill(repeatSlow - repeat)(time(fn))
-          else base
-        val p1 = probeRatio()
-        remeasureSpent += (System.nanoTime() - t0) / 1e9
-        val good = samples.filter(_._2)
-        if (good.nonEmpty)
-          remeasureMerge(resultsMap(name), good.map(_._1).min, p0, p1).foreach {
-            case (raw, ratio) =>
-              rawOverride(name) = raw
-              ratioOverride(name) = ratio
-              remeasuredKeys += name
-              done = true
-          }
-        attempt += 1
+    var pass = 0
+    while (pass < 3 && remeasureSpent < remeasureBudget &&
+      flaggedIdx.exists { case ((n, _), _) => !remeasuredKeys.contains(n) }) {
+      flaggedIdx.foreach { case ((name, fn), _) =>
+        if (!remeasuredKeys.contains(name) && remeasureSpent < remeasureBudget) {
+          val t0 = System.nanoTime()
+          val p0 = probeRatio()
+          val base = Seq.fill(repeat)(time(fn))
+          val samples =
+            if (base.map(_._1).min >= slowCutoff && repeatSlow > repeat)
+              base ++ Seq.fill(repeatSlow - repeat)(time(fn))
+            else base
+          val p1 = probeRatio()
+          remeasureSpent += (System.nanoTime() - t0) / 1e9
+          val good = samples.filter(_._2)
+          if (good.nonEmpty)
+            remeasureMerge(resultsMap(name), good.map(_._1).min, p0, p1).foreach {
+              case (raw, ratio) =>
+                rawOverride(name) = raw
+                ratioOverride(name) = ratio
+                remeasuredKeys += name
+            }
+        }
       }
+      pass += 1
     }
     val anchorTimesPost = anchorPass()
     val anchorRatioPost = anchorTimesPost.map(_._2).sum / anchorRefSum
@@ -513,7 +527,7 @@ object Bench {
     val flaggedFinalJson = probeFlagged.filterNot(remeasuredKeys.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val drainCappedJson = drainCapped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"anchor_post":$anchorPostJson,"anchor_ratio_final":[${r3(anchorRatioFinal)},${r3(anchorRatioPostFinal)}],"probe_median":${r3(probeMedian)},"value_norm_brackets":${r3(valueNormBrackets)},"anchor_retries":$anchorRetries,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"probes":$probesJson,"probe_flagged":$probeFlaggedJson,"remeasured":$remeasuredJson,"probe_flagged_final":$flaggedFinalJson,"remeasure_spent_sec":${r3(remeasureSpent)},"peak_drain_capped":$drainCappedJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"rows_out":$rowsJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"value_norm":${r3(valueNorm)},"anchor":$anchorJson,"anchor_post":$anchorPostJson,"anchor_ratio_final":[${r3(anchorRatioFinal)},${r3(anchorRatioPostFinal)}],"probe_median":${r3(probeMedian)},"value_norm_brackets":${r3(valueNormBrackets)},"anchor_retries":$anchorRetries,"anchor_bracket_disagree":$bracketDisagree,"anchor_errors":${anchorErrors.get()},"probe_errors":${probeErrors.get()},"probes":$probesJson,"probe_flagged":$probeFlaggedJson,"remeasured":$remeasuredJson,"probe_flagged_final":$flaggedFinalJson,"remeasure_spent_sec":${r3(remeasureSpent)},"remeasure_budget_sec":${r3(remeasureBudget)},"peak_drain_capped":$drainCappedJson,"unit":"sec","repeat":$repeat,"repeat_slow":$repeatSlow,"agg":"min","errors":$errors,$protocol,"queries":$qs,"queries_norm":$qsNorm,"peak_mb":$peakJson,"rows_out":$rowsJson,"sf":"$sfDir"}"""
     // "agg"/"repeat" appear in BOTH artifacts: the round-5 estimator change
     // (median -> min) moved the headline total, and a consumer reading only
     // BENCH_total.json must be able to tell estimator change from plan change.

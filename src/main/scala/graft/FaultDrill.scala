@@ -141,8 +141,15 @@ object FaultDrill {
       // the kill itself still only counts via killLanded = process confirmed
       // dead while the query ran, so this window cannot fabricate evidence
       // for a kill that landed after the query.
-      queryDone.set(true) // freeze the watcher's "during query" window FIRST
+      // snapshot executor-removed evidence BEFORE publishing queryDone
+      // (round-16 advisor): an event delivered on the async bus in the gap
+      // between queryDone.set(true) and a later read would count as
+      // "observed before done" — the post-query-kill class this evidence
+      // rule exists to exclude. Reading first is strictly conservative:
+      // an event that raced the query's completion may be missed, never
+      // miscounted.
       val execRemovedBeforeDone = execRemovedSeen.get()
+      queryDone.set(true) // freeze the watcher's "during query" window
       val drainDeadline = System.nanoTime() + 500_000_000L
       while (!failedTaskSeen.get() && !execRemovedBeforeDone &&
         System.nanoTime() < drainDeadline) Thread.sleep(5)

@@ -597,7 +597,12 @@ object FhirQueries {
     QueryDef(
       "fhir_view_definition",
       Some(
-        s"WITH p AS (SELECT * FROM read_parquet('$G/Patient.parquet') WHERE gender = 'female'), " +
+        // Oracle mirrors the view's FULL where list (round-16 advisor): the
+        // maritalStatus.text.exists() predicate must appear here too, or the
+        // oracle only agrees while the golden data happens to contain no
+        // female patient with a null maritalStatus.text.
+        s"WITH p AS (SELECT * FROM read_parquet('$G/Patient.parquet') " +
+          "WHERE gender = 'female' AND maritalStatus.\"text\" IS NOT NULL), " +
           "n AS (SELECT id, unnest(name) AS nm FROM p), " +
           "t AS (SELECT id, unnest(telecom) AS tc FROM p) " +
           "SELECT p.id AS patient_id, p.gender AS gender, p.birthDate AS birth_date, " +

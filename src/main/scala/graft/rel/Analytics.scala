@@ -311,20 +311,34 @@ object Analytics {
         val wnRev = Window.partitionBy(col("user_id")).orderBy(col("bucket").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val obsBucket = when(col("obs").isNotNull, col("bucket"))
+        // Sort-count fix (round-16 verdict task #4). Three changes make the
+        // final global ORDER BY free: (1) the window stage runs on RANGE
+        // partitioning by user_id — RangePartitioning(user_id) satisfies
+        // the windows' ClusteredDistribution(user_id), and because equal
+        // keys co-locate it ALSO satisfies OrderedDistribution(user_id, …)
+        // as a prefix; (2) the DESCENDING pass runs first and the
+        // ASCENDING pass second, so the stage's output ordering is
+        // (user_id, bucket asc); (3) the final sort orders by the
+        // pre-projection attributes (bucket, not bucket·3600000 — the
+        // expression is order-equivalent but Catalyst matches orderings on
+        // attributes only). RemoveRedundantSorts then elides the final
+        // SortExec AND its range exchange: 3 sorts + 2 post-join exchanges
+        // → 2 sorts + 1 exchange.
         grid.join(perBucket, Seq("user_id", "bucket"), "left")
           .select(col("user_id"), col("bucket"), col("obs"),
             coalesce(col("n_obs"), lit(0L)).as("n_obs"))
-          .withColumn("prev_v", last(col("obs"), ignoreNulls = true).over(wp))
-          .withColumn("prevb", last(obsBucket, ignoreNulls = true).over(wp))
+          .repartitionByRange(col("user_id"))
           .withColumn("next_v", last(col("obs"), ignoreNulls = true).over(wnRev))
           .withColumn("nextb", last(obsBucket, ignoreNulls = true).over(wnRev))
+          .withColumn("prev_v", last(col("obs"), ignoreNulls = true).over(wp))
+          .withColumn("prevb", last(obsBucket, ignoreNulls = true).over(wp))
+          .orderBy("user_id", "bucket")
           .select(col("user_id"), (col("bucket") * 3600000).as("bucket_ms"),
             when(col("prevb") === col("nextb"), col("prev_v"))
               .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
                 ((col("bucket") - col("prevb")).cast("double") /
                   (col("nextb") - col("prevb")).cast("double"))).as("value"),
             col("n_obs"))
-          .orderBy("user_id", "bucket_ms")
       }),
 
     // AN5 — manifest-snapshot scan (the Iceberg/Delta mechanic): a snapshot

@@ -248,11 +248,23 @@ object Windows {
           .select(col("user_id"), explode(expr("sequence(b0, b1)")).as("bucket"))
         val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // Range-partition into the window so the final global ORDER BY is
+        // free (the resample_interpolate sort-elision pattern, r17):
+        // RangePartitioning(user_id) satisfies the window's clustering AND
+        // — equal keys co-locating — prefixes OrderedDistribution(user_id,
+        // bucket), so with the window's own (user_id, bucket asc) sort as
+        // the stage's output ordering, RemoveRedundantSorts elides the
+        // final SortExec and its range exchange. The sort must name the
+        // pre-projection attribute `bucket` (bucket_ms = bucket·3600000 is
+        // order-equivalent, but orderings only match on attributes).
         grid.join(perBucket, Seq("user_id", "bucket"), "left")
-          .select(col("user_id"), (col("bucket") * 3600000).as("bucket_ms"),
+          .repartitionByRange(col("user_id"))
+          .select(col("user_id"), col("bucket"),
             last(col("obs"), ignoreNulls = true).over(w).as("value"),
             coalesce(col("n_obs"), lit(0L)).as("n_obs"))
-          .orderBy("user_id", "bucket_ms")
+          .orderBy("user_id", "bucket")
+          .select(col("user_id"), (col("bucket") * 3600000).as("bucket_ms"),
+            col("value"), col("n_obs"))
       }),
 
     // F8 — CDC-style latest-record compaction: keep the newest event per

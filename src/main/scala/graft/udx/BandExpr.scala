@@ -85,10 +85,26 @@ case class FirstMatchBand(left: Expression, right: Expression, stride: Int)
 }
 
 object BandExpr {
+  // Sessions already holding the registration — the builder closes over no
+  // runtime data (unlike TextExpr's model-carrying expressions), so one
+  // registration per session is complete and re-registering only spams a
+  // SimpleFunctionRegistry replace-WARN into every bench/verify tail
+  // (round-16 verdict task #5). Weak keys: a stopped session's entry must
+  // not pin the SessionState graph.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Session-scoped SQL registration: first_match_band(xs, ys, stride).
     * stride must be an integer literal (it shapes the generated code).
+    * Idempotent per session.
     */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
+    if (registered.putIfAbsent(s, java.lang.Boolean.TRUE) == null)
+      registerAlways(s)
+  }
+
+  private def registerAlways(s: SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "first_match_band",
       exprs => {

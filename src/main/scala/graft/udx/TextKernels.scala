@@ -33,11 +33,17 @@ object TextKernels {
     * digit is rk(c - minC) - 1 when `rk` is non-null (rank-compressed
     * cube) or c - minC when null (dense span cube); index composes digits
     * base-`base`. Mirrors the element_at(typedlit(q), ...) aggregate form
-    * 1:1, including 0-based q indexing.
+    * 1:1, including 0-based q indexing — and including its null tolerance
+    * (round-16 advisor): a character outside [minC, minC+span) or with
+    * rank 0 in the rk table made the old element_at lookup null and the
+    * HOF sum null with it; here any out-of-range gram returns null (boxed)
+    * instead of indexing q out of bounds. Hot path unchanged: in-range
+    * corpora never box anything but the single return value.
     */
   def gramScoreSum(s: UTF8String, q: Array[Long], rk: Array[Int],
-      minC: Int, base: Int, n: Int): Long = {
+      minC: Int, base: Int, n: Int): java.lang.Long = {
     val b = s.getBytes
+    val span = if (rk == null) base else rk.length
     var sum = 0L
     var i = 0
     val last = b.length - n
@@ -46,14 +52,17 @@ object TextKernels {
       var j = 0
       while (j < n) {
         val c = (b(i + j) & 0xff) - minC
+        if (c < 0 || c >= span) return null
         val d = if (rk == null) c else rk(c) - 1
+        if (d < 0) return null
         idx = idx * base + d
         j += 1
       }
+      if (idx >= q.length) return null
       sum += q(idx)
       i += 1
     }
-    sum
+    java.lang.Long.valueOf(sum)
   }
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
@@ -106,13 +115,21 @@ object TextKernels {
 case class CharGramScoreSum(child: Expression, q: Array[Long], rk: Array[Int],
     minC: Int, base: Int, n: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
+  // null on any out-of-model-range gram (matching the element_at HOF form
+  // this kernel replaced) — not only on null input
+  override def nullable: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     TextKernels.gramScoreSum(v.asInstanceOf[UTF8String], q, rk, minC, base, n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val qRef = ctx.addReferenceObj("q", q, "long[]")
     val rkRef = if (rk == null) "(int[]) null" else ctx.addReferenceObj("rk", rk, "int[]")
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.udx.TextKernels.gramScoreSum($c, $qRef, $rkRef, $minC, $base, $n);")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("gramSum")
+      s"""
+         |java.lang.Long $tmp = graft.udx.TextKernels.gramScoreSum($c, $qRef, $rkRef, $minC, $base, $n);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
