@@ -677,6 +677,70 @@ object FhirQueries {
         }"""
         ViewDefinition.evaluate(Tables.golden(s, "Observation", d), view)
           .orderBy("obs_id", "cat_code", "cat_system")
+      }),
+
+    // A13c — ViewDefinition over ExplanationOfBenefit (the deepest golden
+    // file, 66 leaf columns): the round-17 evaluator slice in one view —
+    // getResourceKey(), getReferenceKey(Patient) on a literal relative
+    // reference, a %constant in a comparison where predicate, exists() on
+    // a REPEATING element (size > 0, not isNotNull), a string-literal
+    // column, and unionAll (two branches per item: the item's own net
+    // amount tagged 'net', plus one row per adjudication tagged by its
+    // category code — identical column lists, rows concatenated). Oracle:
+    // the same flattening as DuckDB unnest CTEs + UNION ALL.
+    QueryDef(
+      "fhir_view_definition_eob",
+      Some(
+        s"WITH e AS (SELECT * FROM read_parquet('$G/ExplanationOfBenefit.parquet') " +
+          "WHERE created > '2000-01-01' AND len(item) > 0), " +
+          "i AS (SELECT id, unnest(item) AS it FROM e), " +
+          "u AS (SELECT id, it.\"sequence\" AS item_seq, it.productOrService.\"text\" AS service, " +
+          "'net' AS amount_kind, CAST(it.net.__value_numeric AS DOUBLE) AS amount FROM i " +
+          "UNION ALL " +
+          "SELECT i.id, i.it.\"sequence\", i.it.productOrService.\"text\", " +
+          "a.category.coding[1].code, CAST(a.amount.__value_numeric AS DOUBLE) " +
+          "FROM i, unnest(i.it.adjudication) AS t(a)) " +
+          "SELECT e.id AS eob_id, e.status AS status, " +
+          "CASE WHEN starts_with(e.patient.reference, 'Patient/') " +
+          "THEN substr(e.patient.reference, 9) END AS patient_key, " +
+          "e.billablePeriod.\"start\" AS period_start, " +
+          "e.\"type\".coding[1].code AS claim_type, " +
+          "u.item_seq, u.service, u.amount_kind, u.amount " +
+          "FROM e JOIN u ON e.id = u.id " +
+          "ORDER BY eob_id, item_seq, amount_kind, amount"),
+      (s, d) => {
+        val view = """{
+          "name": "eob_amounts",
+          "resource": "ExplanationOfBenefit",
+          "constant": [{"name": "sinceDate", "valueString": "2000-01-01"}],
+          "select": [
+            {"column": [
+              {"path": "getResourceKey()", "name": "eob_id"},
+              {"path": "status", "name": "status"},
+              {"path": "patient.getReferenceKey(Patient)", "name": "patient_key"},
+              {"path": "billablePeriod.start", "name": "period_start"},
+              {"path": "type.coding.first().code", "name": "claim_type"}]},
+            {"forEach": "item", "select": [
+              {"column": [
+                {"path": "sequence", "name": "item_seq"},
+                {"path": "productOrService.text", "name": "service"}]},
+              {"unionAll": [
+                {"column": [
+                  {"path": "'net'", "name": "amount_kind"},
+                  {"path": "net.__value_numeric", "name": "amount"}]},
+                {"forEach": "adjudication", "column": [
+                  {"path": "category.coding.first().code", "name": "amount_kind"},
+                  {"path": "amount.__value_numeric", "name": "amount"}]}]}]}
+          ],
+          "where": [
+            {"path": "created > %sinceDate"},
+            {"path": "item.exists()"}]
+        }"""
+        // decimal money columns surface as DOUBLE (the repo's Q.out6
+        // posture — both engines cast the same decimal, so bit-identical)
+        ViewDefinition.evaluate(Tables.golden(s, "ExplanationOfBenefit", d), view)
+          .withColumn("amount", col("amount").cast("double"))
+          .orderBy("eob_id", "item_seq", "amount_kind", "amount")
       })
   )
 }

@@ -82,7 +82,7 @@ class ViewDefinitionSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(0) == "p1"))
   }
 
-  test("where: exists() and equality filter at resource level; unionAll rejected") {
+  test("where: exists() and equality filter at resource level") {
     val view = """{
       "resource": "Patient",
       "select": [{"column": [{"path": "id", "name": "id"}]}],
@@ -90,9 +90,98 @@ class ViewDefinitionSpec extends AnyFunSuite {
     }"""
     val rows = ViewDefinition.evaluate(synth, view).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("p1"))
-    val bad = """{"resource":"Patient","select":[{"unionAll":[],"column":[{"path":"id","name":"id"}]}]}"""
-    val e = intercept[IllegalArgumentException](ViewDefinition.parse(bad))
+  }
+
+  // --- round-17 slice: unionAll, constants, key functions, comparisons ---
+
+  private val synth2Json = Seq(
+    """{"resourceType":"Patient","id":"q1","gender":"female","score":5,"telecom":[{"system":"phone","value":"1"}],"name":[{"family":"A"}],"managingOrganization":{"reference":"Organization/o1"}}""",
+    """{"resourceType":"Patient","id":"q2","gender":"female","score":9,"telecom":[],"name":[{"family":"B"}],"managingOrganization":{"reference":"Practitioner/x9"}}""",
+    """{"resourceType":"Patient","id":"q3","gender":"male","score":7,"name":[{"family":"C"}],"managingOrganization":{"reference":"urn:uuid:abc"}}""")
+
+  private def synth2 = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(synth2Json))
+  }
+
+  test("exists() on a repeating element is non-emptiness, not isNotNull") {
+    val view = """{
+      "resource": "Patient",
+      "select": [{"column": [{"path": "id", "name": "id"}]}],
+      "where": [{"path": "telecom.exists()"}]
+    }"""
+    // q2's telecom is [] — an empty COLLECTION is exists()=false even
+    // though the array value itself is not null (round-16 advisor)
+    val rows = ViewDefinition.evaluate(synth2, view).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("q1"))
+  }
+
+  test("comparison where predicates with a %constant operand") {
+    val view = """{
+      "resource": "Patient",
+      "constant": [{"name": "minScore", "valueInteger": 6}],
+      "select": [{"column": [{"path": "id", "name": "id"}]}],
+      "where": [{"path": "score >= %minScore"}, {"path": "id != 'q3'"}]
+    }"""
+    val rows = ViewDefinition.evaluate(synth2, view).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("q2"))
+    val e = intercept[IllegalArgumentException] {
+      ViewDefinition.evaluate(synth2,
+        """{"resource":"Patient","select":[{"column":[{"path":"id","name":"id"}]}],"where":[{"path":"score >= %nope"}]}""")
+    }
+    assert(e.getMessage.contains("undefined constant"))
+  }
+
+  test("getResourceKey() and getReferenceKey(Type?) column paths") {
+    val view = """{
+      "resource": "Patient",
+      "select": [{"column": [
+        {"path": "getResourceKey()", "name": "rk"},
+        {"path": "managingOrganization.getReferenceKey(Organization)", "name": "org_key"},
+        {"path": "managingOrganization.getReferenceKey()", "name": "any_key"}]}]
+    }"""
+    val rows = ViewDefinition.evaluate(synth2, view).orderBy("rk").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+    assert(rows.toSeq == Seq(
+      ("q1", Some("o1"), Some("o1")),      // matching type
+      ("q2", None, Some("x9")),            // other type: typed null, untyped id
+      ("q3", None, None)))                 // urn form: no relative key at all
+  }
+
+  test("unionAll: branch rows concatenate within the row context; mismatched branches rejected") {
+    val view = """{
+      "resource": "Patient",
+      "select": [
+        {"column": [{"path": "id", "name": "id"}]},
+        {"unionAll": [
+          {"forEach": "name", "column": [
+            {"path": "'name'", "name": "kind"},
+            {"path": "family", "name": "val"}]},
+          {"forEach": "telecom", "column": [
+            {"path": "'telecom'", "name": "kind"},
+            {"path": "value", "name": "val"}]}]}
+      ]
+    }"""
+    val rows = ViewDefinition.evaluate(synth2, view).orderBy("id", "kind").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("q1", "name", "A"), ("q1", "telecom", "1"),
+      ("q2", "name", "B"),                 // telecom [] contributes nothing
+      ("q3", "name", "C")))
+    assert(ViewDefinition.evaluate(synth2, view).schema.fieldNames.toSeq ==
+      Seq("id", "kind", "val"))
+    val bad = view.replace("""{"path": "value", "name": "val"}""",
+      """{"path": "value", "name": "other"}""")
+    val e = intercept[IllegalArgumentException](ViewDefinition.evaluate(synth2, bad))
     assert(e.getMessage.contains("unionAll"))
+  }
+
+  test("where path traversing a repeating element is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      ViewDefinition.evaluate(synth2,
+        """{"resource":"Patient","select":[{"column":[{"path":"id","name":"id"}]}],"where":[{"path":"name.family = 'A'"}]}""")
+    }
+    assert(e.getMessage.contains("repeating element"))
   }
 
   test("nested select recurses: forEach category -> forEach coding on golden Observation") {
