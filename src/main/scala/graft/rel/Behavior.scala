@@ -316,8 +316,14 @@ object Behavior {
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
           .rowsBetween(-9, 0)
+        // Range-partition into the window (the resample sort-elision
+        // pattern, r17): the window's own (user_id, ts_ms, event_id) sort
+        // then satisfies the final presentation ORDER BY — global, because
+        // RangePartitioning(user_id) prefixes its OrderedDistribution — so
+        // the final sort AND its exchange vanish from the plan.
         Tables.events(s, d)
           .select("user_id", "event_id", "value", "ts_ms")
+          .repartitionByRange(col("user_id"))
           .withColumn("xs", collect_list(col("value")).over(w))
           .select(col("user_id"), col("event_id"),
             round(expr(
