@@ -26,13 +26,23 @@ object Windows {
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        // Full sort elision (the r17 range-window pattern): rn is
+        // row_number over (price desc, orderkey), so ORDER BY (custkey, rn)
+        // is row-identical to ORDER BY (custkey, price desc, orderkey) —
+        // the window's own sort. Expressing the presentation sort in those
+        // ATTRIBUTES (Catalyst cannot see through rn) on a range-partitioned
+        // window stage elides both the final SortExec and its exchange.
         Tables.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(col("o_custkey"))
           .select(col("o_custkey"), col("o_orderkey"), Q.out4(col("o_totalprice")).as("price"),
+            col("o_totalprice"),
             rank().over(w).cast("long").as("rnk"),
             dense_rank().over(w).cast("long").as("drnk"),
             row_number().over(w).cast("long").as("rn"))
           .where(col("rn") <= 3)
-          .orderBy("o_custkey", "rn")
+          .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+          .drop("o_totalprice")
       }),
 
     // F2 — lag/lead/first/last over per-user event sequences.
@@ -48,7 +58,13 @@ object Windows {
       (s, d) => {
         val wBase = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         val w = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // Range-partition into the window (r17): the presentation sort's
+        // inner key (event_id) differs from the window order (ts, event_id)
+        // so a per-partition SortExec remains, but RangePartitioning(user_id)
+        // prefix-satisfies its OrderedDistribution — the full-output range
+        // EXCHANGE is elided.
         Tables.events(s, d)
+          .repartitionByRange(col("user_id"))
           .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),
             lag(col("value"), 1).over(wBase).as("prev_val"),
             lead(col("event_type"), 1).over(wBase).as("next_type"),
@@ -68,7 +84,9 @@ object Windows {
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
           .rowsBetween(-2, Window.currentRow)
+        // same exchange elision as window_analytic (r17)
         Tables.events(s, d)
+          .repartitionByRange(col("user_id"))
           .select(col("user_id"), col("event_id"),
             Q.out6(sum(Q.dec4(col("value"))).over(w)).as("mov_sum"))
           .orderBy("user_id", "event_id")
@@ -86,7 +104,10 @@ object Windows {
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        // same exchange elision as window_analytic (r17): the o_orderkey
+        // tie-break keeps a local SortExec, the range exchange goes
         Tables.t(s, d, "orders")
+          .repartitionByRange(col("o_custkey"))
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
             Q.out6(sum(Q.dec4(col("o_totalprice"))).over(w)).as("running"))
           .orderBy("o_custkey", "o_orderdate", "o_orderkey")
