@@ -253,8 +253,13 @@ object Behavior {
           "FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id"),
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+        // Range-partition into the window (r17 elision pattern): the
+        // downstream groupBy(user_id) is satisfied by the same clustering,
+        // and the final ORDER BY user_id needs no exchange over
+        // RangePartitioning(user_id) — 2 exchanges → 1.
         Tables.events(s, d)
           .select("user_id", "event_id", "value", "ts_ms")
+          .repartitionByRange(col("user_id"))
           .withColumn("gap", lead(col("ts_ms"), 1).over(w) - col("ts_ms"))
           .where(col("gap").isNotNull)
           .groupBy("user_id")

@@ -418,7 +418,11 @@ object Windows {
           .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
           .distinct()
         val byDay = Window.partitionBy("user_id").orderBy("day")
+        // range partitioning feeds the window, BOTH groupBys (subset-key
+        // clustering) and the final ORDER BY user_id — the presentation
+        // range exchange is elided (r17 pattern)
         days
+          .repartitionByRange(col("user_id"))
           .withColumn("grp", col("day") - row_number().over(byDay))
           .groupBy("user_id", "grp").agg(count(lit(1)).as("streak"))
           .groupBy("user_id")
@@ -457,9 +461,14 @@ object Windows {
         val sd = sqrt((col("ss7").cast("double")
           - col("s7").cast("double") * col("s7").cast("double") / col("k7"))
           / (col("k7") - 1))
+        // The window's own (user_id, day) sort IS the presentation order,
+        // so on a range-partitioned stage the final ORDER BY elides fully
+        // — sort and exchange (r17 pattern); the daily rollup (the tiny
+        // side) pays the one range exchange instead of a hash one.
         Tables.events(s, d)
           .groupBy(col("user_id"), expr("ts_ms div 86400000").as("day"))
           .agg(count(lit(1)).as("n"))
+          .repartitionByRange(col("user_id"))
           .withColumn("s7", sum(col("n")).over(w7))
           .withColumn("ss7", sum(col("n") * col("n")).over(w7))
           .withColumn("k7", count(lit(1)).over(w7))
