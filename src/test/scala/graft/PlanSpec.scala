@@ -125,6 +125,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "no map-side partial aggregation")
   }
 
+  test("r17 sort elision: range-partitioned window stages drop the presentation sort") {
+    // The v5.3 fullmat protocol charges final ORDER BYs; these keys feed
+    // their window stage with repartitionByRange so the window's own sort
+    // doubles as the (globally valid) presentation order and
+    // RemoveRedundantSorts elides the final SortExec + exchange. A third
+    // sort reappearing in resample_interpolate (or a second in the others)
+    // means the final sort regressed — e.g. someone re-ordered the window
+    // passes or sorted on a projected expression instead of the attribute.
+    def sorts(key: String): Int = " Sort \\[".r.findAllIn(plan(key)).length
+    assert(sorts("resample_interpolate") == 2,
+      s"resample_interpolate must carry exactly the two window sorts:\n${plan("resample_interpolate")}")
+    for (k <- Seq("window_rank", "window_ewma", "window_anomaly_zscore", "resample_ffill"))
+      assert(sorts(k) == 1, s"$k must carry only its window sort:\n${plan(k)}")
+    assert(plan("resample_interpolate").contains("rangepartitioning"),
+      "window stage lost its range partitioning")
+  }
+
   test("A6 expression participates in WholeStageCodegen") {
     fhir.FhirDateTimeExpr.register(spark)
     val df = spark.read.parquet("/root/reference/examples/Patient.parquet")
