@@ -1972,8 +1972,14 @@ object Llm {
           "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq FROM documents) " +
           "ORDER BY doc_id"),
       (s, d) => {
+        // Sort-first (r17, see text_repetition_filter): single HOF pass at
+        // explicit width above the range sort, instead of twice at scan
+        // width below it.
         val toks = split(col("text"), " ")
         Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+          .sortWithinPartitions("doc_id")
           .select(
             col("doc_id"),
             size(toks).cast("long").as("n_toks"),
@@ -1986,7 +1992,6 @@ object Llm {
             expr("n_stop * 1000000 DIV n_toks").as("stop_ratio_micro"),
             expr("n_uniq * 1000000 DIV n_toks").as("distinct_ratio_micro"),
             (col("n_toks") >= 20 && expr("n_uniq * 1000000 DIV n_toks") >= 100000).as("is_quality"))
-          .orderBy("doc_id")
       }),
 
     // Repetition filter (Gopher/RefinedWeb-style quality rule): fraction of
@@ -2007,7 +2012,19 @@ object Llm {
           "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))) " +
           "ORDER BY doc_id"),
       (s, d) => {
+        // Sort-first (r17): range-sort the raw (doc_id, text) rows and run
+        // the gram/distinct HOFs once, post-sort, at explicit cluster
+        // width. The old kernel-then-orderBy shape paid the HOF pass twice
+        // (range-bound sampling re-executes a shuffle-free child) and ran
+        // it at scan width — documents ships as ONE parquet file, so that
+        // was a single core regardless of executor count (sf10: 70 s, all
+        // in one straggler task). Sort above a Project is also the barrier
+        // that keeps the optimizer from sinking the HOFs back into the
+        // scan stage (the winnowGrams lesson, Pipeline.scala:53).
         Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+          .sortWithinPartitions("doc_id")
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .select(col("doc_id"), col("w"),
             expr(s"CASE WHEN size(w) >= 5 THEN $gramsFromW ELSE array() END").as("g"))
@@ -2020,7 +2037,6 @@ object Llm {
             expr("CASE WHEN n_toks > 0 THEN (n_toks - nd_toks) * 1000000 DIV n_toks ELSE 0 END").as("dup_tok_micro"),
             expr("CASE WHEN n_grams > 0 THEN (n_grams - nd_grams) * 1000000 DIV n_grams ELSE 0 END").as("dup_gram_micro"),
             expr("n_grams > 0 AND (n_grams - nd_grams) * 1000000 DIV n_grams > 300000").as("is_repetitive"))
-          .orderBy("doc_id")
       }),
 
     // Token counting: whitespace split vs BPE-ish regex vs chars/4 estimate.
@@ -2033,7 +2049,11 @@ object Llm {
           "n_chars, CAST(length(text) AS BIGINT) = n_chars AS len_ok " +
           "FROM documents ORDER BY doc_id"),
       (s, d) =>
+        // Sort-first (r17): the regex token pass runs once, post-sort.
         Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+          .sortWithinPartitions("doc_id")
           .select(
             col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_ws"),
@@ -2041,8 +2061,7 @@ object Llm {
             expr("(length(text) + 3) DIV 4").as("n_est"),
             length(col("text")).cast("long").as("len_chars"),
             col("n_chars"),
-            (length(col("text")).cast("long") === col("n_chars")).as("len_ok"))
-          .orderBy("doc_id")),
+            (length(col("text")).cast("long") === col("n_chars")).as("len_ok"))),
 
     // Fingerprinting: min-hash over char 8-grams (md5 text-min is engine-
     // portable) + whole-document md5.
@@ -2058,11 +2077,16 @@ object Llm {
         // (4.4 s under the v5.3 fullmat bench); the kernel takes the byte-
         // lexicographic min DIGEST (hex is order-preserving) and hex-encodes
         // once per doc. Equality vs the HOF pinned in OpsSpec.
+        // Sort-first (r17): the per-char md5 digest loop runs once at
+        // explicit width above the range sort (the length filter stays
+        // below it, at the scan).
         Tables.t(s, d, "documents")
           .where(length(col("text")) >= 8)
+          .select(col("doc_id"), col("text"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+          .sortWithinPartitions("doc_id")
           .select(col("doc_id"),
             graft.udx.TextExpr.minGramMd5(s, col("text"), 8).as("fp"),
-            md5(col("text")).as("full_md5"))
-          .orderBy("doc_id"))
+            md5(col("text")).as("full_md5")))
   )
 }

@@ -146,9 +146,14 @@ object Pipeline {
           "CAST(len(regexp_extract_all(s, '[a-z0-9]+@[a-z]+[.][a-z]+')) AS BIGINT) AS n_emails " +
           "FROM synth ORDER BY doc_id"),
       (s, d) => {
+        // Sort-first (r17, see text_repetition_filter): the three regex
+        // passes run once, post-sort, at explicit width.
         val email = "[a-z0-9]+@[a-z]+[.][a-z]+"
         val phone = "[0-9]{3}-[0-9]+"
         Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+          .sortWithinPartitions("doc_id")
           .withColumn("s", concat(
             col("text"), lit(" contact user"), col("doc_id"),
             lit("@example.com or call 555-"), pmod(col("doc_id") * 7, lit(10000))))
@@ -156,7 +161,6 @@ object Pipeline {
             col("doc_id"),
             regexp_replace(regexp_replace(col("s"), email, "<EMAIL>"), phone, "<PHONE>").as("redacted"),
             size(expr(s"regexp_extract_all(s, '$email', 0)")).cast("long").as("n_emails"))
-          .orderBy("doc_id")
       }),
 
     // Context chunking: token windows of 16 with stride 8 (half-window

@@ -101,17 +101,23 @@ object Funcs {
           "CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS BIGINT) AS n_long " +
           "FROM documents ORDER BY doc_id"),
       (s, d) => {
+        // Sort-first (r17): the array HOFs are the expensive part, so run
+        // the range sort over the raw (doc_id, text) rows — the sampling
+        // pass then re-executes only the scan, and the HOF projection runs
+        // exactly once, post-sort, at explicit cluster width.
         val toks = split(col("text"), " ")
-        Tables.t(s, d, "documents").select(
-          col("doc_id"),
-          size(toks).cast("long").as("n_toks"),
-          size(array_distinct(toks)).cast("long").as("n_uniq"),
-          array_contains(toks, "spark").as("has_spark"),
-          array_join(slice(sort_array(toks), 1, 3), ",").as("first3"),
-          aggregate(transform(toks, x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
-            .as("sum_len"),
-          size(filter(toks, x => length(x) > 4)).cast("long").as("n_long"))
-          .orderBy("doc_id")
+        Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_toks"),
+            size(array_distinct(toks)).cast("long").as("n_uniq"),
+            array_contains(toks, "spark").as("has_spark"),
+            array_join(slice(sort_array(toks), 1, 3), ",").as("first3"),
+            aggregate(transform(toks, x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
+              .as("sum_len"),
+            size(filter(toks, x => length(x) > 4)).cast("long").as("n_long"))
       }),
 
     // I5 — map family: parse props to MapType and explode.
@@ -123,10 +129,24 @@ object Funcs {
           "FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events) " +
           "ORDER BY event_id, key"),
       (s, d) => {
+        // Sort BEFORE parsing: a global sort's range exchange executes its
+        // child twice (bound-sampling pass + real pass), so ordering the
+        // narrow scan output first means the sampler pays a 2-column
+        // parquet scan instead of 2× the JSON parse + explode (r17 sf10
+        // decomposition: the parse-then-sort shape cost 154-169 s vs 64 s
+        // for the same child under a sample-free hash exchange). event_id
+        // is unique, so sorting rows by event_id and exploding each map's
+        // entries in key order yields exactly ORDER BY (event_id, key);
+        // Project/Generate preserve the sorted partition order.
         val m = from_json(col("props"), MapType(StringType, LongType))
         Tables.events(s, d)
-          .select(col("event_id"), size(map_keys(m)).cast("long").as("n_keys"), explode(m))
-          .orderBy("event_id", "key")
+          .select(col("event_id"), col("props"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .select(col("event_id"), size(m).cast("long").as("n_keys"),
+            explode(array_sort(map_entries(m))).as("e"))
+          .select(col("event_id"), col("n_keys"),
+            col("e.key").as("key"), col("e.value").as("value"))
       }),
 
     // I6 — JSON family: path extraction, typed cast, missing path.
@@ -138,12 +158,19 @@ object Funcs {
           "json_extract_string(props, '$.missing') AS missing " +
           "FROM events ORDER BY event_id"),
       (s, d) =>
-        Tables.events(s, d).select(
-          col("event_id"),
-          get_json_object(col("props"), "$.k").as("k_str"),
-          get_json_object(col("props"), "$.k").cast("long").as("k_num"),
-          get_json_object(col("props"), "$.missing").as("missing"))
-          .orderBy("event_id")),
+        // Sort-first (r17, same reasoning as func_map): the global sort's
+        // sampling pass re-executes a shuffle-free child, so ordering the
+        // narrow scan first means bounds are sampled off a 2-column
+        // parquet read and the JSON extraction runs exactly once. Using
+        // json_tuple parses each props string once for both paths, where
+        // 2× get_json_object + the sampling re-execution parsed it 6×.
+        Tables.events(s, d)
+          .select(col("event_id"), col("props"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .select(col("event_id"), json_tuple(col("props"), "k", "missing"))
+          .select(col("event_id"), col("c0").as("k_str"),
+            col("c0").cast("long").as("k_num"), col("c1").as("missing"))),
 
     // I6v — VARIANT semi-structured type (Spark 4): props parses ONCE into
     // the binary variant encoding, then typed variant_get extractions —
@@ -159,14 +186,18 @@ object Funcs {
           "json_extract_string(props, '$.missing') IS NULL AS missing_null " +
           "FROM events ORDER BY event_id"),
       (s, d) =>
+        // Sort-first (r17): sample the sort bounds off the narrow scan,
+        // parse into the variant encoding once above the sort.
         Tables.events(s, d)
+          .select(col("event_id"), col("props"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("event_id"))
+          .sortWithinPartitions("event_id")
           .withColumn("v", parse_json(col("props")))
           .select(
             col("event_id"),
             expr("variant_get(v, '$.k', 'bigint')").as("k_num"),
             (expr("variant_get(v, '$.k', 'bigint')") % 10).as("k_mod"),
-            expr("variant_get(v, '$.missing', 'string')").isNull.as("missing_null"))
-          .orderBy("event_id")),
+            expr("variant_get(v, '$.missing', 'string')").isNull.as("missing_null"))),
 
     // I6t — TRY_CAST: malformed input degrades to NULL instead of failing
     // the job — the difference between a 100 TB ingest that finishes with
@@ -181,16 +212,22 @@ object Funcs {
           "TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '2024-01-0' ELSE '2024-01-02' END AS DATE) AS maybe_date " +
           "FROM events ORDER BY event_id"),
       (s, d) =>
-        // spread: events ships as ONE parquet file, so the parse-heavy
-        // projection (per-row date parsing) otherwise runs on a single
-        // task regardless of executor width (round 16 — the v5.3 fullmat
-        // bench stopped count-pruning the projection and exposed it)
-        Tables.spread(s, Tables.events(s, d)).selectExpr(
-          "event_id",
-          "TRY_CAST(CAST(event_id AS STRING) AS BIGINT) AS good_num",
-          "TRY_CAST(event_type AS BIGINT) AS bad_num",
-          "TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '2024-01-0' ELSE '2024-01-02' END AS DATE) AS maybe_date")
-          .orderBy("event_id")),
+        // Sort-first (r17, replacing the round-16 spread): the range sort
+        // itself redistributes the narrow scan across the cluster, so the
+        // parse-heavy projection runs once, post-sort, at the sort's
+        // output width — where the old shape paid the projection twice
+        // (range-bound sampling re-executes a shuffle-free... and even a
+        // spread child re-runs everything above the materialized
+        // exchange).
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .selectExpr(
+            "event_id",
+            "TRY_CAST(CAST(event_id AS STRING) AS BIGINT) AS good_num",
+            "TRY_CAST(event_type AS BIGINT) AS bad_num",
+            "TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '2024-01-0' ELSE '2024-01-02' END AS DATE) AS maybe_date")),
 
     // I6c — collated comparison (Spark 4 collations): grouping under
     // UTF8_LCASE makes case-insensitivity a property of the COLUMN TYPE —
