@@ -437,7 +437,12 @@ object Corpus {
           "FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)))) " +
           "GROUP BY lang ORDER BY lang"),
       (s, d) => {
-        Tables.t(s, d, "documents")
+        // spread before the HOF pass (r17): documents is a single-split
+        // file at bench scales, so the gram/distinct kernels and the
+        // map-side partial aggregate otherwise run on one core. No filter
+        // sits between the spread and the aggregate, so nothing sinks the
+        // projection back into the scan stage (the winnowGrams hazard).
+        Tables.spread(s, Tables.t(s, d, "documents"))
           .select(col("lang"), split(col("text"), " ").as("w"))
           .select(col("lang"), col("w"),
             expr(s"CASE WHEN size(w) >= 5 THEN ${Llm.gramsFromW} ELSE array() END").as("g"))

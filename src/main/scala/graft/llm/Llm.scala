@@ -1939,7 +1939,12 @@ object Llm {
           "FROM pred JOIN documents d USING (doc_id) ORDER BY d.doc_id"),
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
-        val toks = docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        // spread before the token explode (r17): documents is a single-
+        // split file at bench scales, so the explode + broadcast-join +
+        // partial-agg stage otherwise runs on one core; spread is a no-op
+        // on an already-wide scan.
+        val toks = Tables.spread(s, docs)
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
         val wProf = Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("tok"))
         val prof = toks.groupBy(col("lang").as("plang"), col("tok")).agg(count(lit(1)).as("cnt"))
           .withColumn("rnk", row_number().over(wProf))

@@ -91,8 +91,11 @@ object Formats {
           "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       (s, d) => {
         val tmp = scratch("csv", d)
-        Tables.t(s, d, "lineitem")
-          .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        // spread before write (r17): the text encode runs post-exchange at
+        // cluster width and produces one file per task — a real ingest
+        // writes many files, and the read side then parallelizes for free.
+        Tables.spread(s, Tables.t(s, d, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"))
           .write.mode("overwrite").option("header", "true").csv(tmp)
         val schema = StructType(Seq(
           StructField("l_orderkey", LongType),
@@ -125,6 +128,8 @@ object Formats {
           "FROM documents GROUP BY lang ORDER BY lang"),
       (s, d) => {
         val tmp = scratch("csv_corrupt", d)
+        // no spread here (r17): the encode is a trivial concat and the
+        // measured shuffle cost exceeded the parallel-write gain
         Tables.t(s, d, "documents")
           .select(concat_ws(",",
             col("doc_id"), col("lang"),
@@ -192,8 +197,12 @@ object Formats {
           "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
       (s, d) => {
         val tmp = scratch("xml", d)
-        Tables.t(s, d, "orders")
-          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        // spread before write (r17): XML element serialization is the
+        // expensive half of this key — run it at cluster width, one file
+        // per task (XML is not split-readable, so the many-file layout is
+        // also what makes the re-read parallel).
+        Tables.spread(s, Tables.t(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"))
           .write.mode("overwrite").option("rowTag", "order").format("xml").save(tmp)
         s.read.option("rowTag", "order")
           .schema("o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
