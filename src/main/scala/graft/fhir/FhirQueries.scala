@@ -741,6 +741,57 @@ object FhirQueries {
         ViewDefinition.evaluate(Tables.golden(s, "ExplanationOfBenefit", d), view)
           .withColumn("amount", col("amount").cast("double"))
           .orderBy("eob_id", "item_seq", "amount_kind", "amount")
+      }),
+
+    // A13d — ViewDefinition choice-type slice (round-17 slice 3) over the
+    // golden Observation file: `ofType(Type)` steps address the layout's
+    // flattened choice columns (README.md:139-172 — value[x] ships as
+    // valueQuantity / valueCodeableConcept / valueString), including a
+    // lowercase-primitive form (value.ofType(string)), ofType inside a
+    // where path, ofType relative to a forEach element (component), plus
+    // the new where functions empty() and postfix not(). forEachOrNull
+    // keeps the 89 component-less observations as null-component rows
+    // (oracle: LEFT JOIN the unnested components).
+    QueryDef(
+      "fhir_view_definition_choice",
+      Some(
+        s"WITH o AS (SELECT * FROM read_parquet('$G/Observation.parquet') " +
+          "WHERE valueString IS NULL AND len(meta.profile) > 0), " +
+          "base AS (SELECT id AS obs_id, valueQuantity.\"value\" AS qty_value, " +
+          "valueQuantity.unit AS qty_unit, " +
+          "valueCodeableConcept.coding[1].code AS val_code, " +
+          "valueString AS val_str FROM o), " +
+          "c AS (SELECT id, unnest(component) AS comp FROM o), " +
+          "cr AS (SELECT id, comp.code.coding[1].code AS comp_code, " +
+          "comp.valueQuantity.\"value\" AS comp_qty, " +
+          "comp.valueCodeableConcept.\"text\" AS comp_text FROM c) " +
+          "SELECT b.obs_id, b.qty_value, b.qty_unit, b.val_code, b.val_str, " +
+          "cr.comp_code, cr.comp_qty, cr.comp_text " +
+          "FROM base b LEFT JOIN cr ON b.obs_id = cr.id " +
+          "ORDER BY obs_id, comp_code, comp_qty, comp_text"),
+      (s, d) => {
+        val view = """{
+          "name": "observation_choice_values",
+          "resource": "Observation",
+          "select": [
+            {"column": [
+              {"path": "getResourceKey()", "name": "obs_id"},
+              {"path": "value.ofType(Quantity).value", "name": "qty_value"},
+              {"path": "value.ofType(Quantity).unit", "name": "qty_unit"},
+              {"path": "value.ofType(CodeableConcept).coding.first().code", "name": "val_code"},
+              {"path": "value.ofType(string)", "name": "val_str"}]},
+            {"forEachOrNull": "component", "select": [
+              {"column": [
+                {"path": "code.coding.first().code", "name": "comp_code"},
+                {"path": "value.ofType(Quantity).value", "name": "comp_qty"},
+                {"path": "value.ofType(CodeableConcept).text", "name": "comp_text"}]}]}
+          ],
+          "where": [
+            {"path": "value.ofType(string).exists().not()"},
+            {"path": "meta.profile.empty().not()"}]
+        }"""
+        ViewDefinition.evaluate(Tables.golden(s, "Observation", d), view)
+          .orderBy("obs_id", "comp_code", "comp_qty", "comp_text")
       })
   )
 }

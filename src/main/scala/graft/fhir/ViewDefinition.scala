@@ -16,11 +16,14 @@ import scala.jdk.CollectionConverters._
   *
   *   - `select[].column[]`: FHIRPath-lite column paths — dotted struct
   *     navigation (`maritalStatus.text`), a `first()` terminal or mid-path
-  *     step for repeating elements (`given.first()`), string literals
-  *     (`'claim'`), view constants (`%name`), `getResourceKey()` (the
-  *     resource's `id`), and `<ref>.getReferenceKey(Type?)` (the id part
-  *     of a relative literal reference, null when the prefix is not the
-  *     requested type).
+  *     step for repeating elements (`given.first()`), `ofType(Type)`
+  *     choice-type steps (`value.ofType(Quantity).value` addresses the
+  *     layout's flattened `valueQuantity` column; primitive type names
+  *     capitalize — `value.ofType(string)` → `valueString`), string
+  *     literals (`'claim'`), view constants (`%name`), `getResourceKey()`
+  *     (the resource's `id`), and `<ref>.getReferenceKey(Type?)` (the id
+  *     part of a relative literal reference, null when the prefix is not
+  *     the requested type).
   *   - `select[].forEach` / `forEachOrNull`: one output row per element of
   *     a repeating element (explode / explode_outer); nested `select`
   *     recurses relative to the iterated element. Sibling selects compose
@@ -34,10 +37,11 @@ import scala.jdk.CollectionConverters._
   *     `%name` in column paths and where operands.
   *   - `where[].path`: `path.exists()` (array paths test non-emptiness —
   *     FHIRPath exists() is false for the empty collection, so an empty
-  *     repeating element must not pass an isNotNull test), bare boolean
-  *     paths, and binary comparisons `path OP operand` with OP in
-  *     `= != > >= < <=` and operand a string literal, number, boolean or
-  *     `%constant`.
+  *     repeating element must not pass an isNotNull test), `path.empty()`
+  *     (true for missing scalars, null arrays and empty arrays alike),
+  *     postfix `.not()` over either function form, bare boolean paths,
+  *     and binary comparisons `path OP operand` with OP in `= != > >= < <=`
+  *     and operand a string literal, number, boolean or `%constant`.
   *
   * Spark-first posture: a ViewDefinition compiles to a single declarative
   * plan (getField projections + generate + filter + union), so Catalyst
@@ -46,9 +50,9 @@ import scala.jdk.CollectionConverters._
   * exactly a scan-shaped job, no shuffle.
   *
   * Still out of scope (fail loudly rather than mis-evaluate): FHIRPath
-  * functions beyond first()/exists()/getResourceKey()/getReferenceKey(),
-  * where paths that traverse (rather than terminate at) a repeating
-  * element, and non-literal where operands.
+  * functions beyond first()/exists()/empty()/not()/ofType()/
+  * getResourceKey()/getReferenceKey(), where paths that traverse (rather
+  * than terminate at) a repeating element, and non-literal where operands.
   */
 object ViewDefinition {
 
@@ -109,6 +113,31 @@ object ViewDefinition {
   private val StrLit = """'(.*)'""".r
   private val ConstRef = """%(\w+)""".r
   private val RefKey = """getReferenceKey\((\w*)\)""".r
+  private val OfType = """ofType\((\w+)\)""".r
+
+  /** Fold choice-type steps into the flattened column name the reference
+    * layout uses (README.md:139-172: `value[x]` ships as one column per
+    * realized type — `valueQuantity`, `valueString`, …): `value.ofType(
+    * Quantity)` addresses `valueQuantity`; FHIR primitive type names are
+    * lowercase in FHIRPath, so the first letter capitalizes
+    * (`value.ofType(string)` → `valueString`). An `ofType()` with no
+    * preceding plain name segment (path head, or after a function step)
+    * has no column to fold into and is rejected loudly.
+    */
+  private def foldOfType(segs: List[String], full: String): List[String] =
+    segs match {
+      case a :: OfType(t) :: rest if !a.contains("(") =>
+        foldOfType((a + t.capitalize) :: rest, full)
+      case OfType(_) :: _ =>
+        throw new IllegalArgumentException(
+          s"ViewDefinition path '$full': ofType() must directly follow a " +
+            "choice element name")
+      case a :: rest => a :: foldOfType(rest, full)
+      case Nil => Nil
+    }
+
+  private def splitPath(path: String): List[String] =
+    foldOfType(path.split("\\.").toList, path)
 
   /** Resolve a FHIRPath-lite path relative to an optional iterated-element
     * alias: dotted getField navigation, `first()` = element_at(_, 1),
@@ -125,7 +154,7 @@ object ViewDefinition {
         // any context (the key is per-RESOURCE even inside a forEach)
         col("id")
       case _ =>
-        val segs = path.split("\\.")
+        val segs = splitPath(path)
         val head: Column = prefix match {
           case Some(p) => col(p).getField(segs.head)
           case None => col(segs.head)
@@ -187,22 +216,42 @@ object ViewDefinition {
       case other => throw new IllegalArgumentException(
         s"ViewDefinition where operand '$other': only literals and %constants are supported")
     }
+    // existence as a TRUE BOOLEAN (never null), so `.not()` composes:
+    // FHIRPath exists() is false for the EMPTY collection — an empty array
+    // is not null, so isNotNull would mis-evaluate telecom: [] (round-16
+    // advisor) — and a MISSING repeating element (null array) must read
+    // exists()=false / empty()=true, so size() is coalesced to 0 rather
+    // than left null (null would filter correctly bare, but negate wrong).
+    def existsCol(base: String, full: String): Column =
+      pathType(schema, splitPath(base), full) match {
+        case _: ArrayType =>
+          coalesce(size(ref(None, base, constants)), lit(0)) > 0
+        case _ => ref(None, base, constants).isNotNull
+      }
     path match {
+      case p if p.endsWith(".not()") =>
+        // postfix negation over the boolean function forms only — a bare
+        // comparison has no .not() spelling in this subset
+        val inner = p.stripSuffix(".not()")
+        if (inner.endsWith(".exists()"))
+          !existsCol(inner.stripSuffix(".exists()"), p)
+        else if (inner.endsWith(".empty()"))
+          existsCol(inner.stripSuffix(".empty()"), p)
+        else throw new IllegalArgumentException(
+          s"ViewDefinition where-path '$p': not() is supported only after " +
+            "exists() or empty()")
       case p if p.endsWith(".exists()") =>
-        val base = p.stripSuffix(".exists()")
-        pathType(schema, base.split("\\.").toList, p) match {
-          // FHIRPath exists() is false for the EMPTY collection — an empty
-          // array is not null, so isNotNull would mis-evaluate telecom: []
-          // (round-16 advisor). size(null array) is null → filter-false.
-          case _: ArrayType => size(ref(None, base, constants)) > 0
-          case _ => ref(None, base, constants).isNotNull
-        }
+        existsCol(p.stripSuffix(".exists()"), p)
+      case p if p.endsWith(".empty()") =>
+        // FHIRPath empty() ≡ the collection has no elements — true for a
+        // missing scalar, a null array AND an empty array
+        !existsCol(p.stripSuffix(".empty()"), p)
       case Cmp(lhs, op, rhs) =>
         // same traversal guard as exists(): a plain dotted LHS must not
         // cross a repeating element (getField would map element-wise and
         // the comparison would mis-typecheck or mis-evaluate)
-        if (!lhs.contains("(")) {
-          pathType(schema, lhs.trim.split("\\.").toList, path) match {
+        if (!lhs.replaceAll("""ofType\(\w+\)""", "").contains("(")) {
+          pathType(schema, splitPath(lhs.trim), path) match {
             case _: ArrayType => throw new IllegalArgumentException(
               s"ViewDefinition where-path '$path' compares a repeating element — unsupported")
             case _ => ()

@@ -208,6 +208,81 @@ class ViewDefinitionSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("ofType() addresses the flattened choice column, incl. lowercase primitives") {
+    val view = """{
+      "resource": "Observation",
+      "select": [
+        {"column": [
+          {"path": "id", "name": "obs_id"},
+          {"path": "value.ofType(Quantity).value", "name": "qty"},
+          {"path": "value.ofType(CodeableConcept).coding.first().code", "name": "vcode"},
+          {"path": "value.ofType(string)", "name": "vstr"}]}
+      ]
+    }"""
+    val got = ViewDefinition.evaluate(Tables.golden(spark, "Observation"), view)
+      .orderBy("obs_id")
+    val expected = Tables.golden(spark, "Observation")
+      .select(col("id").as("obs_id"),
+        col("valueQuantity.value").as("qty"),
+        element_at(col("valueCodeableConcept.coding"), 1).getField("code").as("vcode"),
+        col("valueString").as("vstr"))
+      .orderBy("obs_id")
+    assert(got.collect().toSeq == expected.collect().toSeq)
+    assert(got.count() > 0)
+  }
+
+  test("ofType() relative to a forEach element navigates the component choice") {
+    val view = """{
+      "resource": "Observation",
+      "select": [
+        {"column": [{"path": "id", "name": "obs_id"}]},
+        {"forEach": "component", "column": [
+          {"path": "value.ofType(Quantity).value", "name": "cq"},
+          {"path": "value.ofType(CodeableConcept).text", "name": "ct"}]}
+      ]
+    }"""
+    val got = ViewDefinition.evaluate(Tables.golden(spark, "Observation"), view)
+    // the golden BP components carry Quantity values, the survey components
+    // carry CodeableConcept text — both arms must be populated
+    assert(got.where(col("cq").isNotNull).count() > 0)
+    assert(got.where(col("ct").isNotNull).count() > 0)
+  }
+
+  test("ofType() with no preceding choice name is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      ViewDefinition.evaluate(synth,
+        """{"resource":"Patient","select":[{"column":[{"path":"ofType(string)","name":"x"}]}]}""")
+    }
+    assert(e.getMessage.contains("ofType"))
+  }
+
+  test("empty() and not(): missing scalar, null array, empty array, populated array") {
+    // p1 telecom populated, p2/p3 telecom missing (null array after json
+    // read); synth2-style empty arrays are covered by the exists() test —
+    // here the composition table: empty() == !exists(), .not() flips both
+    val keepEmpty = ViewDefinition.evaluate(synth,
+      """{"resource":"Patient","select":[{"column":[{"path":"id","name":"id"}]}],"where":[{"path":"telecom.empty()"}]}""")
+    assert(keepEmpty.collect().map(_.getString(0)).sorted.toSeq == Seq("p2", "p3"))
+    val keepPresent = ViewDefinition.evaluate(synth,
+      """{"resource":"Patient","select":[{"column":[{"path":"id","name":"id"}]}],"where":[{"path":"telecom.empty().not()"}]}""")
+    assert(keepPresent.collect().map(_.getString(0)).toSeq == Seq("p1"))
+    val notExists = ViewDefinition.evaluate(synth,
+      """{"resource":"Patient","select":[{"column":[{"path":"id","name":"id"}]}],"where":[{"path":"telecom.exists().not()"}]}""")
+    assert(notExists.collect().map(_.getString(0)).sorted.toSeq == Seq("p2", "p3"))
+    // scalar: gender present on all three -> empty() keeps none
+    val scalarEmpty = ViewDefinition.evaluate(synth,
+      """{"resource":"Patient","select":[{"column":[{"path":"id","name":"id"}]}],"where":[{"path":"gender.empty()"}]}""")
+    assert(scalarEmpty.count() == 0)
+  }
+
+  test("not() after anything but exists()/empty() is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      ViewDefinition.evaluate(synth,
+        """{"resource":"Patient","select":[{"column":[{"path":"id","name":"id"}]}],"where":[{"path":"gender.not()"}]}""")
+    }
+    assert(e.getMessage.contains("not()"))
+  }
+
   test("view plan is scan-shaped: column-pruned, no shuffle") {
     val view = """{
       "resource": "Patient",
