@@ -277,14 +277,21 @@ object Udx {
           "last_day(CAST(o_orderdate AS DATE)), INTERVAL 1 DAY)) AS g FROM orders) " +
           "ORDER BY o_orderkey, day"),
       (s, d) =>
-        // spread: orders is one parquet file, so the ~30x generate (4.5M
-        // output rows at sf0.1) otherwise explodes on a single task
-        Tables.spread(s, Tables.t(s, d, "orders"))
+        // Sort-first (r17, replacing the spread): range-sort the narrow
+        // (o_orderkey, o_orderdate) rows, then run the ~30x generate
+        // (4.5M output rows at sf0.1) ONCE above the sort at explicit
+        // width — the old explode-then-orderBy shape re-executed the
+        // generate for the range-bound sampling pass. o_orderkey is
+        // unique and sequence() emits days ascending, so the exploded
+        // output is exactly ORDER BY (o_orderkey, day).
+        Tables.t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
           .select(
             col("o_orderkey"),
             explode(expr(
               "sequence(to_date(date_trunc('month', o_orderdate)), last_day(o_orderdate), interval 1 day)"))
-              .as("day"))
-          .orderBy("o_orderkey", "day"))
+              .as("day")))
   )
 }
