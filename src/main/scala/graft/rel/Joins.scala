@@ -46,20 +46,35 @@ object Joins {
     // ANSI off, a budget violation NULLs the CAST/multiply and max() then
     // silently drops that candidate — a wrong pick with no error). The CASE
     // raises loudly on the first out-of-budget row instead; the guard is a
-    // codegen-friendly three-range check per row, and the agg buffer stays
-    // the fixed-width DECIMAL(38,0) that keeps the partial a HASH aggregate.
-    e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts_ts"))
-      .groupBy(col("event_id"))
-      .agg(max(expr(
-        "CASE WHEN datediff(o_orderdate, DATE'1970-01-01') BETWEEN 0 AND 99999" +
-          " AND o_orderkey BETWEEN 0 AND 999999999999999" +
-          " AND ts_ms BETWEEN 0 AND 9999999999999" +
-          " THEN CAST(datediff(o_orderdate, DATE'1970-01-01') AS DECIMAL(10,0))" +
-          " * 10000000000000000000000000000" +
-          " + CAST(o_orderkey AS DECIMAL(16,0)) * 10000000000000 + ts_ms" +
+    // codegen-friendly range check, and the agg buffer stays the
+    // fixed-width DECIMAL(38,0) that keeps the partial a HASH aggregate.
+    //
+    // r17 (guide §1.2 "per-task work", §2.6): the guard + packing
+    // arithmetic used to run per JOIN FAN-OUT row (~10 orders × every
+    // event). The order-side prefix (days·10^28 + orderkey·10^13) and the
+    // event-side ts_ms guard each depend on ONE side only, so they are
+    // precomputed per side — per-side guards raise on the same violations
+    // — and the per-pair work collapses to one decimal add feeding max().
+    // `spread` widens the (single-split at bench scale) orders scan so the
+    // fan-out stage runs at cluster width; no-op on an already-wide scan.
+    e.withColumn("ts_ms", expr(
+        "CASE WHEN ts_ms BETWEEN 0 AND 9999999999999 THEN ts_ms" +
           " ELSE CAST(raise_error('join_asof packed pick: digit budget violated" +
-          " (need 0<=days<1e5, 0<=o_orderkey<1e15, 0<=ts_ms<1e13)') AS DECIMAL(38,0))" +
-          " END")).as("p"))
+          " (need 0<=days<1e5, 0<=o_orderkey<1e15, 0<=ts_ms<1e13)') AS BIGINT) END"))
+      .join(
+        graft.Tables.spread(o.sparkSession, o)
+          .select(col("o_custkey"), col("o_orderdate"), expr(
+            "CASE WHEN datediff(o_orderdate, DATE'1970-01-01') BETWEEN 0 AND 99999" +
+              " AND o_orderkey BETWEEN 0 AND 999999999999999" +
+              " THEN CAST(datediff(o_orderdate, DATE'1970-01-01') AS DECIMAL(10,0))" +
+              " * 10000000000000000000000000000" +
+              " + CAST(o_orderkey AS DECIMAL(16,0)) * 10000000000000" +
+              " ELSE CAST(raise_error('join_asof packed pick: digit budget violated" +
+              " (need 0<=days<1e5, 0<=o_orderkey<1e15, 0<=ts_ms<1e13)') AS DECIMAL(38,0))" +
+              " END").as("opfx")),
+        e("user_id") === col("o_custkey") && col("o_orderdate") <= e("ts_ts"))
+      .groupBy(col("event_id"))
+      .agg(max(expr("opfx + ts_ms")).as("p"))
       .select(col("event_id"),
         expr("CAST(p % 10000000000000 AS BIGINT)").as("ts_ms"),
         expr("CAST((p % 10000000000000000000000000000) div 10000000000000 AS BIGINT)")
@@ -75,18 +90,32 @@ object Joins {
     * ts_ms < 10^13.
     */
   private[graft] def asofNearestPick(e: DataFrame, o: DataFrame): DataFrame = {
-    val od = o.select(col("o_orderkey"), col("o_custkey"),
-      unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"))
     // Same runtime budget guard as [[asofPick]] — min() must never see a
-    // silently-NULLed packed value.
-    e.join(od, e("user_id") === od("o_custkey"))
+    // silently-NULLed packed value. r17: the distance term is the only
+    // genuinely per-PAIR component, so only its guard + one multiply + two
+    // adds run on the join fan-out; the orderkey tail (o side) and the
+    // ts_ms guard (e side) are precomputed per side, and the orders scan
+    // is spread to cluster width (single-split at bench scale; no-op on an
+    // already-wide scan).
+    val od = graft.Tables.spread(o.sparkSession, o)
+      .select(col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"),
+        expr(
+          "CASE WHEN o_orderkey BETWEEN 0 AND 999999999999" +
+            " THEN CAST(o_orderkey AS DECIMAL(13,0)) * 10000000000000" +
+            " ELSE CAST(raise_error('join_asof_nearest packed pick: digit budget violated" +
+            " (need dist_ms<1e13, 0<=o_orderkey<1e12, 0<=ts_ms<1e13)') AS DECIMAL(26,0))" +
+            " END").as("otail"))
+    e.withColumn("ts_ms", expr(
+        "CASE WHEN ts_ms BETWEEN 0 AND 9999999999999 THEN ts_ms" +
+          " ELSE CAST(raise_error('join_asof_nearest packed pick: digit budget violated" +
+          " (need dist_ms<1e13, 0<=o_orderkey<1e12, 0<=ts_ms<1e13)') AS BIGINT) END"))
+      .join(od, e("user_id") === od("o_custkey"))
       .groupBy(col("event_id"))
       .agg(min(expr(
         "CASE WHEN abs(ts_ms - od_ms) BETWEEN 0 AND 9999999999999" +
-          " AND o_orderkey BETWEEN 0 AND 999999999999" +
-          " AND ts_ms BETWEEN 0 AND 9999999999999" +
           " THEN CAST(abs(ts_ms - od_ms) AS DECIMAL(14,0)) * 10000000000000000000000000" +
-          " + CAST(o_orderkey AS DECIMAL(13,0)) * 10000000000000 + ts_ms" +
+          " + otail + ts_ms" +
           " ELSE CAST(raise_error('join_asof_nearest packed pick: digit budget violated" +
           " (need dist_ms<1e13, 0<=o_orderkey<1e12, 0<=ts_ms<1e13)') AS DECIMAL(38,0))" +
           " END")).as("p"))
