@@ -45,6 +45,30 @@ object Ckpt {
   val reliable: Boolean = sys.env.contains("GRAFT_RELIABLE_CKPT")
   private val warnedNoCleaner = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** One-slot checkpoint registry (r17): for query bodies whose plan
+    * consumes one derived table TWICE (a stats aggregate joined back
+    * against its own source — bm25, tf-idf), checkpointing the shared
+    * table executes its expensive pass ONCE per invocation instead of once
+    * per consumer. The slot pins the checkpointed Dataset and releases the
+    * PREVIOUS invocation's blocks (the graph_pagerank final-state
+    * discipline) — release must lag one invocation because the returned
+    * plan still references the blocks when the query function returns.
+    * The checkpoint itself is eager and runs inside the caller's timed
+    * window; nothing is reused across invocations.
+    */
+  private val slots = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), (Dataset[_], Seq[Int])]()
+
+  def slot[T](key: String, df: Dataset[T]): Dataset[T] = {
+    val sc = df.sparkSession.sparkContext
+    val (out, ids) = apply(df)
+    Option(slots.put((sc, key), (out, ids))).foreach { case (_, oldIds) =>
+      val live = sc.getPersistentRDDs
+      oldIds.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    out
+  }
+
   def apply[T](df: Dataset[T]): (Dataset[T], Seq[Int]) = {
     val sc = df.sparkSession.sparkContext
     if (reliable) {

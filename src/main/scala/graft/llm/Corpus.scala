@@ -495,15 +495,23 @@ object Corpus {
           "ORDER BY score DESC, doc_id LIMIT 20"),
       (s, d) => {
         // spread: the regex tokenize + term-filter HOFs are per-row work —
-        // parallelize off the single-row-group local scan
-        val scored = Tables.spread(s, Tables.t(s, d, "documents"))
+        // parallelize off the single-row-group local scan.
+        // Ckpt.slot (r17): the per-doc (dl, tf1..tf3) table feeds BOTH the
+        // corpus-stats aggregate and the scoring join — without the
+        // checkpoint each consumer re-ran the regex tokenize over the whole
+        // corpus (two full passes). The materialized table is 5 longs per
+        // doc; the checkpoint executes inside the timed invocation and the
+        // corpus is now scanned once. Solo gate measurement in
+        // OPTIMIZATION_r17.md.
+        val scored = graft.Ckpt.slot(s"bm25:$d",
+          Tables.spread(s, Tables.t(s, d, "documents"))
           .select(col("doc_id"),
             expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").as("toks"))
           .select(col("doc_id"),
             size(col("toks")).cast("long").as("dl"),
             expr("size(filter(toks, x -> x = 'vector'))").cast("long").as("tf1"),
             expr("size(filter(toks, x -> x = 'stream'))").cast("long").as("tf2"),
-            expr("size(filter(toks, x -> x = 'merge'))").cast("long").as("tf3"))
+            expr("size(filter(toks, x -> x = 'merge'))").cast("long").as("tf3")))
         val st = scored.agg(
           count(lit(1)).as("n"), sum(col("dl")).as("sl"),
           sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
