@@ -41,8 +41,10 @@ object PlanDump {
       val df = if (countMode) df0.groupBy().count() else df0
       df.collect() // materialize so AQE finalizes every stage
       if (formatted)
+        // 60k cap (r17): the 12k cap truncated wide plans (runlen's 3-join
+        // tree) before the operator details the dossier needs to cite.
         println(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(12000))
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(60000))
       else
         println(df.queryExecution.executedPlan.toString.take(9000))
     }

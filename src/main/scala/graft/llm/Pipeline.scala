@@ -901,9 +901,18 @@ object Pipeline {
           .select(col("rep"), posexplode(expr(
             "transform(sequence(1, length(text) - 39), i -> substring(text, i, 40))")))
           .select(col("rep"), (col("pos") + 1).as("i"), col("col").as("g"))
-        val shared = g.select(col("rep"), col("g")).distinct()
-          .groupBy("g").agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("g")
-        val gs = g.join(shared, Seq("g"), "left_semi")
+        // r17 (guide §2.3 shuffle fewer bytes): the shared-gram filter is a
+        // PRUNER, not a verifier — the position join below matches on the
+        // true 40-char gram, so a hash collision here only admits a gram
+        // that then forms no cross-rep pair (it exists in one rep) and the
+        // result stays exact. Running the distinct + share-count over
+        // xxhash64(g) shuffles (rep, 8-byte hash) instead of (rep, 40-char
+        // string) through the two 1.3M-row aggregates — fixed-width
+        // codegen rows in place of string hashing/equality.
+        val shared = g.select(col("rep"), xxhash64(col("g")).as("gh")).distinct()
+          .groupBy("gh").agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("gh")
+        val gs = g.withColumn("gh", xxhash64(col("g")))
+          .join(shared, Seq("gh"), "left_semi").drop("gh")
         val a = gs.select(col("g"), col("rep").as("ra"), col("i").as("ia"))
         val b = gs.select(col("g"), col("rep").as("rb"), col("i").as("ib"))
         val m = a.join(b, Seq("g")).where(col("ra") < col("rb"))
